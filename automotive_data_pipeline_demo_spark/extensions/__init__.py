@@ -1,0 +1,41 @@
+"""Large-scale training-data pipeline operators (BASELINE.json north star).
+
+Beyond the reference's own surface: deduplication families, similarity
+search over embedding columns, text analysis, and multimodal column
+plumbing — each designed so the heavy lifting is JVM-side column algebra
+(explode/groupBy/join), with Python only in clearly-marked stubs.
+"""
+
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    tokenize,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+)
+from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from automotive_data_pipeline_demo_spark.extensions.similarity import (
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "tokenize",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count_bpe",
+    "exact_dedup",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+]

@@ -1,0 +1,209 @@
+"""Deduplication families over a text column.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> salted-min-hash signature ->
+band bucket join), SimHash (weighted bit votes), and n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is one partial-aggregated groupBy on a fixed-width digest, not
+  on the raw text (shuffle carries 32-byte keys, not documents);
+- MinHash/LSH is the scale path for near-dup: candidate generation is an
+  equi-join on (band, band_signature) buckets — no O(n^2) pair space. The
+  band join's hot buckets (boilerplate docs) are the skew risk; AQE skew-join
+  plus an optional bucket-size cap handle it;
+- n-gram Jaccard is the exact verifier, run only on LSH candidates (or, at
+  small scale, on a bounded candidate space such as same-source buckets);
+- all hashing uses md5 (deterministic across engines/runs — no seed drift
+  between Spark's xxhash and anything else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import tokenize
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Returns one row per distinct content: ``keep_id`` (smallest id), ``n_dups``
+    (group size), ``content_hash``. Join back on the hash to drop dups.
+    """
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (token n-grams) as strings."""
+    toks = tokenize(text)
+
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(F.transform(idx, make))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: (id, hash_idx, min_hash).
+
+    Each of the ``num_hashes`` "permutations" is a salted md5 — min over the
+    shingle set approximates the Jaccard-similarity-preserving min-permutation.
+    Runs as explode + groupBy (partial agg combines map-side).
+    """
+    shingled = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    salted = shingled.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("hash_idx"),
+        F.col("shingle"),
+    ).select(
+        "id",
+        "hash_idx",
+        F.md5(F.concat_ws("|", F.col("hash_idx").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return salted.groupBy("id", "hash_idx").agg(F.min("h").alias("min_hash"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket.
+
+    Bands of ``band_size`` consecutive min-hashes are concatenated into a
+    bucket key; the candidate join is an equi-join on (band, key). Returns
+    distinct (id_a, id_b) with id_a < id_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands = (
+        sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("_", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("hash_idx").cast("string"), F.col("min_hash"))
+        ))).alias("band_key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for near-dup pairs.
+
+    With ``candidates`` (id_a, id_b) the verification is a sparse join —
+    the 100 TB path (LSH candidates in, verified pairs out). Without, the
+    pair space comes from co-occurring shingles (still no full cross join:
+    docs sharing zero shingles never pair).
+    """
+    shingles = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    pair_src = (
+        candidates
+        if candidates is not None
+        else shingles.alias("x")
+        .join(shingles.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    inter = (
+        shingles.alias("sa")
+        .join(pair_src.alias("p"), F.col("sa.id") == F.col("p.id_a"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("sb.id") == F.col("p.id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash per document: majority vote over token-hash bits.
+
+    Bit j of the fingerprint is 1 iff more tokens hash to 1 than 0 at
+    position j. Token hash = first 8 md5 hex chars -> 32-bit int (conv is a
+    JVM builtin). Near-dups then cluster by Hamming distance on the
+    fingerprint (compare via xor + bit_count downstream).
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit = hashed.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
+        F.col("h"),
+    ).select(
+        "id",
+        "bit",
+        # shiftright's python signature wants a literal shift; the SQL form
+        # takes any expression
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
+    )
+    votes = bit.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

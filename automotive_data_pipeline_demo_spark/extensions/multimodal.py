@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The decode step is STUBBED (image/audio libraries are not in this container):
+``decode_image_stub`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case it emits a schema-correct fake
+derived from the bytes (md5-seeded dims) so the Spark-side plumbing —
+schema, Arrow batch shape, ``mapInPandas`` signature, partition behavior —
+is real and testable.
+
+Scale notes: binary payloads ride in parquet as a normal column; the decode
+map is a narrow ``mapInPandas`` (Arrow-batched, no shuffle). Feature columns
+come back as typed struct/array columns so downstream similarity/dedup
+operators (see ``similarity.py``) apply unchanged. Keep batch sizes bounded
+via ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, sha string, "
+    "width int, height int, feature array<double>"
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap metadata that never needs decoding: byte length + digest.
+
+    Pure column expressions — this is the 100 TB fast path for exact media
+    dedup (group by sha) without touching Python.
+    """
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col))).withColumn(
+        "sha", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    deterministic_fake: bool = False,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
+
+    Real decoders (PIL / torchaudio / ffmpeg) are not installed here —
+    with ``deterministic_fake`` the stub derives dims and a feature vector
+    from the payload digest, exercising the full distributed plumbing.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libs not present in "
+                    "this container; pass deterministic_fake=True for the "
+                    "schema-correct stub"
+                )
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                digest = hashlib.md5(payload).digest()
+                feature = [b / 255.0 for b in digest[:feature_dim]]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(payload),
+                        "sha": hashlib.sha256(payload).hexdigest(),
+                        "width": 1 + digest[0] % 64,
+                        "height": 1 + digest[1] % 64,
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan frame-sampling offsets from metadata only (no decode).
+
+    Emits (media_id, frame_ms) rows — the explode is JVM-side; the decode of
+    each sampled frame is a later ``decode_media`` pass over a much smaller
+    row set. This ordering (plan cheap, decode sparse) is what survives video
+    at scale.
+    """
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )

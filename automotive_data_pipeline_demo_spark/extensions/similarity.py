@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the exact baseline: one broadcast of the query
+vectors, a narrow map over the corpus (dot products via JVM higher-order
+functions — no Python in the hot path), then per-query top-k via window.
+
+The scale path is sign-LSH bucketing: project every vector onto ``n_planes``
+deterministic pseudo-random hyperplanes, bucket by the sign bit-string, and
+only score query-corpus pairs sharing a bucket. At 100 TB the bucket join
+replaces the corpus broadcast/cross-product; recall is tunable via number of
+planes and probing (we probe the exact bucket; multi-probe is a TODO knob).
+Hyperplanes derive from md5 of (plane, dim) so every run/engine agrees
+without shipping a random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side fold)."""
+    a = F.transform(a, lambda x: x.cast("double"))
+    b = F.transform(b, lambda x: x.cast("double"))
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` has (query_id_col, vec_col). The query side is broadcast
+    (queries are few; corpus is the 100 TB side), the score is a narrow
+    projection, and top-k per query is a window over per-query partitions.
+    Output: (query_id, vec_id, score) — score rounded to 4 dp, ties broken
+    by vec_id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("c_vec"), F.col("q_vec")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _plane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", plane.cast("string"), dim.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(4294967296.0) - 0.5
+
+
+def sign_lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane, packed into a string."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+
+    def plane_fn(p: int):
+        # one-arg closure (a two-arg lambda would be read as (element, index))
+        def comp(d: Column) -> Column:
+            return _plane_component(F.lit(p), d)
+
+        return comp
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), plane_fn(p)),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: score only pairs sharing a sign-LSH bucket.
+
+    Same output shape as :func:`brute_force_topk`; recall < 1.0 by design.
+    The equi-join on bucket replaces the cross product — at scale this is
+    the difference between a broadcast-everything scan and a co-partitioned
+    join on a 2^n_planes-way key.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("c_vec"), F.col("q_vec")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

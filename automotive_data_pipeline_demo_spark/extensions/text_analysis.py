@@ -1,0 +1,124 @@
+"""Text analysis operators over a `text` column (documents table).
+
+All pure column expressions (whole-stage codegen, no UDFs):
+- tokenization (regex word split, lowercased),
+- language-ID heuristic (stopword-hit ratio against per-language lists),
+- quality scoring (length / punctuation / stopword / repetition signals),
+- token counting (whitespace + BPE-ish regex estimate),
+- document fingerprinting (md5 over the sorted distinct token set).
+
+At 100 TB these run as a single narrow projection over the scan — no
+shuffle at all unless the caller aggregates afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"[^a-zA-Z0-9]+"
+
+# tiny built-in stopword lists for the language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercased word tokens; empty strings from the split removed."""
+    toks = F.split(F.lower(_c(text)), TOKEN_SPLIT)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(_c(text), r"\s+"), lambda t: t != F.lit("")))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token estimate: word pieces + digits + punctuation runs.
+
+    A cheap proxy for tokenizer-based counts when the tokenizer can't run
+    cluster-side: counts maximal runs of letters (split every 4 chars, the
+    rough BPE piece length), digit runs, and single punctuation marks.
+    """
+    t = _c(text)
+    letters = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}"), F.lit(0)))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]{1,3}"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    return letters + digits + punct
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    # one-arg lambda (a two-arg lambda would be read as (element, index))
+    def contains(t: Column) -> Column:
+        return t.isin(words)
+
+    return F.size(F.filter(tokens, contains))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokenize(text)
+    return _stopword_hits(toks, STOPWORDS[lang]) / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_id(text: Column | str) -> Column:
+    """Pick the language whose stopword list matches most tokens.
+
+    Deterministic tiebreak: higher hit-count wins, then alphabetical code;
+    'und' (undetermined) when no list matches at all.
+    """
+    toks = tokenize(text)
+    scores = [
+        F.struct(
+            _stopword_hits(toks, ws).alias("hits"),
+            # invert code ordering so array_max's struct comparison (hits
+            # first, then this) prefers the alphabetically-smaller code
+            F.lit(-ord(code[0]) * 256 - ord(code[1])).alias("inv"),
+            F.lit(code).alias("code"),
+        )
+        for code, ws in STOPWORDS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Signals (equal-weighted quarters): reasonable length (>=20 tokens),
+    moderate punctuation density (<20%), has English stopwords (>=5%),
+    low repetition (distinct/total tokens >= 0.3).
+    """
+    t = _c(text)
+    toks = tokenize(t)
+    n = F.size(toks)
+    punct_ratio = F.length(F.regexp_replace(t, r"[\sA-Za-z0-9]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    sw = stopword_ratio(t)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    return (
+        F.when(n >= 20, 0.25).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.25).otherwise(0.0)
+        + F.when(sw >= 0.05, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of sorted distinct tokens.
+
+    Robust to whitespace/shuffling; the cheap first line of near-dup
+    detection before MinHash.
+    """
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text))))
+    return F.md5(canon)

@@ -1,0 +1,37 @@
+"""Composable DataFrame operators (SURVEY.md §2).
+
+Each function takes DataFrames/Columns in and returns DataFrames/Columns out,
+so Catalyst sees one logical plan end-to-end and can push filters/prune
+columns through the whole composition.
+"""
+
+from automotive_data_pipeline_demo_spark.operators.dedup import (
+    dedup_latest,
+    primary_relationship,
+    sequence_number,
+)
+from automotive_data_pipeline_demo_spark.operators.cleaning import (
+    clean_email,
+    clean_phone,
+    clean_numeric_value,
+    clean_string_value,
+    is_marketable_contact,
+    is_valid_email,
+)
+from automotive_data_pipeline_demo_spark.operators.classify import case_ladder, ilike_classify
+from automotive_data_pipeline_demo_spark.operators.arrays import ordered_distinct_array
+
+__all__ = [
+    "dedup_latest",
+    "sequence_number",
+    "primary_relationship",
+    "clean_email",
+    "clean_phone",
+    "clean_numeric_value",
+    "clean_string_value",
+    "is_marketable_contact",
+    "is_valid_email",
+    "case_ladder",
+    "ilike_classify",
+    "ordered_distinct_array",
+]

@@ -1,0 +1,80 @@
+"""Contact/data cleaning predicates and normalizers.
+
+Reference parity (all pure column expressions — zero UDFs, so they stay
+inside whole-stage codegen):
+- P5 marketable-contact predicate (``sql/customer_360_views.sql:175-186``)
+- P6 email validity / dummy-email rejection (``sql/customer_360_views.sql:93-101``)
+- P10 ``clean_numeric_value`` / ``clean_string_value``
+  (``scripts/lambda_redshift_to_segment.py:248-261``)
+- F2/F3/F6 lower/trim/regexp_replace normalizers
+  (``sql/customer_360_views.sql:99-116``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Dummy-email prefixes and domains rejected by the reference
+# (sql/customer_360_views.sql:93-101). Redshift `~*` = case-insensitive regex
+# -> Java regex with an embedded (?i) flag.
+_DUMMY_PREFIX = r"(?i)^(no|nothanks|none|noemail|declined|x|xx|xxx)@"
+_DUMMY_DOMAIN = r"(?i)(@example\.com|@test\.com|@dealer\.com|@dealership\.com|@noemail|@nomail)"
+_EMAIL_SHAPE = r"(?i)^[^@\s]+@[^@\s]+\.[^@\s]+$"
+
+
+def clean_string_value(col: Column | str) -> Column:
+    """TRIM; empty string -> NULL (P10)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def clean_numeric_value(col: Column | str) -> Column:
+    """String -> double, blank/garbage -> NULL (P10; permissive cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.trim(c.cast("string")), F.lit("")).cast("double")
+
+
+def clean_email(col: Column | str) -> Column:
+    """LOWER(TRIM(email)), '' -> NULL (F2 at sql/customer_360_views.sql:99)."""
+    return F.lower(clean_string_value(col))
+
+
+def clean_phone(col: Column | str) -> Column:
+    """Strip non-digits; NULL if no digits remain (F3 at :106-107)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_replace(c.cast("string"), r"[^0-9]", ""), F.lit(""))
+
+
+def is_valid_email(col: Column | str) -> Column:
+    """Email passes shape check and is not a known dummy (P6)."""
+    e = clean_email(col)
+    return (
+        e.isNotNull()
+        & e.rlike(_EMAIL_SHAPE)
+        & ~e.rlike(_DUMMY_PREFIX)
+        & ~e.rlike(_DUMMY_DOMAIN)
+    )
+
+
+def has_valid_phone(col: Column | str, min_digits: int = 10) -> Column:
+    """Phone has >= min_digits digits after stripping punctuation (P5)."""
+    p = clean_phone(col)
+    return p.isNotNull() & (F.length(p) >= min_digits)
+
+
+def is_marketable_contact(
+    name_col: Column | str, email_col: Column | str, phone_col: Column | str
+) -> Column:
+    """Name non-empty AND (valid email OR >=10-digit phone) (P5)."""
+    n = clean_string_value(name_col)
+    return n.isNotNull() & (is_valid_email(email_col) | has_valid_phone(phone_col))
+
+
+def not_soft_deleted(is_deleted: Column | str, delete_flag: Column | str) -> Column:
+    """P4 soft-delete / GDPR filter (sql/customer_360_views.sql:77-80):
+    (isdeleted IS NULL OR NOT isdeleted) AND (deletedataflag IS NULL OR NOT deletedataflag).
+    """
+    d = F.col(is_deleted) if isinstance(is_deleted, str) else is_deleted
+    g = F.col(delete_flag) if isinstance(delete_flag, str) else delete_flag
+    return (d.isNull() | ~d) & (g.isNull() | ~g)

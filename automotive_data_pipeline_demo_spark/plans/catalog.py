@@ -1,0 +1,1667 @@
+"""Operator catalog: one entry per SURVEY.md §2 operator (+ extensions).
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the equivalent
+ANSI SQL the DuckDB oracle runs over the same parquet tables (TESTDATA.md:
+region nation customer supplier part orders lineitem events documents
+embeddings). The driver hash-compares results, so every computed column is
+aliased identically on both sides.
+
+Determinism rules (SURVEY hard spot #4 + oracle hashing):
+- no wall clock: fixed as-of dates (AS_OF for the TPC-H-ish tables,
+  EVENTS_AS_OF for events);
+- money aggregates go through DECIMAL(18,2) (exact, engine-independent) and
+  are cast to double only at the end — both engines then emit bit-identical
+  float64;
+- every window/top-k has a total order (unique tiebreaker columns);
+- array outputs are rendered to strings with an explicit element order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.operators import (
+    case_ladder,
+    dedup_latest,
+    ilike_classify,
+    ordered_distinct_array,
+    primary_relationship,
+    sequence_number,
+)
+from automotive_data_pipeline_demo_spark.operators.classify import recency_bucket
+from automotive_data_pipeline_demo_spark.functions.scalars import (
+    iso8601_noon,
+    message_id,
+    mint_user_id,
+    url_query_param,
+)
+from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from automotive_data_pipeline_demo_spark.extensions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+    tokenize,
+)
+
+AS_OF = "1998-12-01"          # orders/lineitem span 1995..2001
+EVENTS_AS_OF = "2024-02-01"   # events span 2024-01
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and convert to micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias: str):
+    """Exact money sum: decimal-accumulate, emit double (bit-stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    survey: str                      # SURVEY §2 ids this covers
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None        # DuckDB SQL; None -> rows-only check
+    bench: bool = False              # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: list[QuerySpec] = []
+
+
+def _register(spec: QuerySpec) -> QuerySpec:
+    CATALOG.append(spec)
+    return spec
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+def q_p2_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P2/P11: required-field quality gate + narrow projection.
+
+    The projection+filter reach the parquet scan (PushedFilters / pruned
+    ReadSchema) — at 100 TB this is the difference between reading 2 columns
+    and reading 16.
+    """
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & (F.col("l_quantity") > 0)
+            & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p2_quality_filter",
+    survey="P2,P11",
+    build=q_p2_quality_filter,
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_quantity > 0 AND l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    bench=True,
+    tags=("filter", "scan"),
+))
+
+
+def q_p6_regex_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """P5/P6/F3/F4/F6: regex shape checks + digit extraction.
+
+    Customer names carry an embedded number; treat it like the reference's
+    phone-digit validation (strip non-digits, length check) and apply a
+    case-insensitive regex like its email-shape test.
+    """
+    c = _t(spark, sf, "customer")
+    digits = F.regexp_replace(F.col("c_name"), r"[^0-9]", "")
+    return (
+        c.withColumn("digits", digits)
+        .filter(
+            (F.length("digits") >= 5)
+            & F.col("c_name").rlike(r"(?i)^customer#[0-9]+$")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_valid"),
+            F.max(F.length("digits")).cast("long").alias("max_digits"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p6_regex_validity",
+    survey="P5,P6,F3,F4,F6",
+    build=q_p6_regex_validity,
+    oracle="""
+        WITH d AS (
+          SELECT c_mktsegment, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+          FROM customer
+          WHERE regexp_matches(c_name, '(?i)^customer#[0-9]+$')
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_valid,
+               CAST(MAX(length(digits)) AS BIGINT) AS max_digits
+        FROM d WHERE length(digits) >= 5
+        GROUP BY c_mktsegment
+    """,
+    tags=("filter", "regex"),
+))
+
+
+def q_p8_anti_join_processed(spark: SparkSession, sf: str) -> DataFrame:
+    """P8: NOT-IN-huge-list rewritten as left_anti join.
+
+    The reference inlines every processed id into SQL text
+    (lambda_redshift_to_segment.py:159-163) — unbounded at scale. The
+    anti-join shuffles only the key column and survives any state size.
+    """
+    orders = _t(spark, sf, "orders")
+    processed = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    fresh = orders.join(processed, "o_orderkey", "left_anti")
+    return fresh.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        _dec_sum("o_totalprice", "sum_price"),
+    )
+
+
+_register(QuerySpec(
+    name="p8_anti_join_processed",
+    survey="P8",
+    build=q_p8_anti_join_processed,
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_fresh,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders p
+          WHERE p.o_orderstatus = 'F' AND p.o_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    bench=True,
+    tags=("anti_join",),
+))
+
+
+def q_p9_date_range(spark: SparkSession, sf: str) -> DataFrame:
+    """P9: between-dates predicate (partition-prunable at the lake layer)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_register(QuerySpec(
+    name="p9_date_range",
+    survey="P9",
+    build=q_p9_date_range,
+    oracle="""
+        SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY 1
+    """,
+    tags=("filter",),
+))
+
+
+def q_p10_json_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """P10/F21: JSON field extraction + null/format normalizers."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("k"),
+            F.nullif(F.trim(F.col("event_type")), F.lit("")).alias("cleaned_type"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("cleaned_type").isNull(), 1)).alias("n_blank"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p10_json_normalize",
+    survey="P10,F21",
+    build=q_p10_json_normalize,
+    oracle="""
+        SELECT event_type,
+               COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               COUNT(CASE WHEN nullif(trim(event_type), '') IS NULL THEN 1 END) AS n_blank
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("json",),
+))
+
+
+# --------------------------------------------------------------------------
+# Joins + aggregation (SURVEY §2.3 / §2.4)
+# --------------------------------------------------------------------------
+
+def q_j1_a1_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+A1+A2: left join profiles x history, per-customer hash aggregate
+    with conditional counts — the customer_segments core
+    (sql/customer_360_views.sql:396-425).
+
+    customer is the small side only in toy data; at 100 TB both sides are
+    big and this is a plain shuffled hash-agg after a sort-merge join on the
+    high-cardinality key — no broadcast, partial aggregation map-side.
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("total_orders"),
+        _dec_sum("o_totalprice", "lifetime_value"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         / F.count("o_orderkey")).alias("avg_order_value"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
+        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("urgent_orders"),
+    )
+
+
+_register(QuerySpec(
+    name="j1_a1_customer_metrics",
+    survey="J1,A1,A2,A10",
+    build=q_j1_a1_customer_metrics,
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               COUNT(o.o_orderkey) AS total_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(o.o_orderkey) AS avg_order_value,
+               MAX(CAST(o.o_orderdate AS DATE)) AS last_order_date,
+               MIN(CAST(o.o_orderdate AS DATE)) AS first_order_date,
+               COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+               COUNT(CASE WHEN o.o_orderpriority LIKE '1%' THEN 1 END) AS urgent_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2, 3
+    """,
+    bench=True,
+    tags=("join", "agg"),
+))
+
+
+def q_j2_w4_primary_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """A4+W4+J2: per-customer "primary" order priority (most orders, then
+    most recent), inner-joined back to the profile — the primary-dealership
+    pattern (sql/customer_360_views.sql:528-608).
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    primary = primary_relationship(
+        o, "o_custkey", "o_orderpriority",
+        order_agg={"last_order": F.max(F.to_date("o_orderdate"))},
+    )
+    return (
+        c.join(primary, c.c_custkey == primary.o_custkey, "inner")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("primary_priority"),
+            F.col("transaction_count").alias("transaction_count"),
+            F.col("last_order").alias("last_transaction_date"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="j2_w4_primary_priority",
+    survey="J2,A4,W4",
+    build=q_j2_w4_primary_priority,
+    oracle="""
+        WITH g AS (
+          SELECT o_custkey, o_orderpriority,
+                 COUNT(*) AS transaction_count,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_order
+          FROM orders GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY transaction_count DESC, last_order DESC,
+                            o_orderpriority ASC) AS rk
+          FROM g
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               r.o_orderpriority AS primary_priority,
+               r.transaction_count AS transaction_count,
+               r.last_order AS last_transaction_date
+        FROM customer c JOIN ranked r ON c.c_custkey = r.o_custkey
+        WHERE r.rk = 1
+    """,
+    bench=True,
+    tags=("window", "join"),
+))
+
+
+def q_j3_validation_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3+P7: inner join as validation — only rows whose parent passes the
+    compliance filter survive; output is fact columns only
+    (sql/customer_360_views.sql:628-635).
+    """
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    valid_orders = o.filter(
+        (F.col("o_orderstatus") != "F") & (F.col("o_totalprice") > 1000)
+    ).select("o_orderkey")
+    validated = li.join(valid_orders, li.l_orderkey == valid_orders.o_orderkey, "inner")
+    return validated.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+_register(QuerySpec(
+    name="j3_validation_join",
+    survey="J3,P7",
+    build=q_j3_validation_join,
+    oracle="""
+        SELECT l.l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus <> 'F' AND o.o_totalprice > 1000
+        GROUP BY 1
+    """,
+    bench=True,
+    tags=("join",),
+))
+
+
+def q_j4_session_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """J4/J5: session-bridge join — signup events matched to the same user's
+    purchase events within the next 24 h (equi + range hybrid, the identity
+    join at identity-resolution/api-server.js:249-251).
+
+    Equi key first (user_id) so the range predicate evaluates inside the
+    hash-join match, never as a cross product.
+    """
+    ev = _t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    )
+    return joined.groupBy("s_user").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        _dec_sum("p_value", "conversion_value"),
+        F.min("p_ts").alias("first_conversion_ts"),
+    )
+
+
+_register(QuerySpec(
+    name="j4_session_bridge",
+    survey="J4,J5,ST4",
+    build=q_j4_session_bridge,
+    oracle="""
+        SELECT s.user_id AS s_user, COUNT(*) AS n_conversions,
+               CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS conversion_value,
+               MIN(p.ts) AS first_conversion_ts
+        FROM events s
+        JOIN events p ON s.user_id = p.user_id
+                     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    bench=True,
+    tags=("join", "range"),
+))
+
+
+def q_j6_a8_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """J6+A5+A6+A8: attribution funnel — sessions left-joined to matches,
+    grouped by source, with FILTER-style conditional aggregates and a
+    guarded match-rate ratio (identity-resolution/database-schema.sql:306-342).
+    """
+    ev = _t(spark, sf, "events")
+    visitors = ev.filter(F.col("event_type").isin("view", "click"))
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user")
+    ).distinct()
+    joined = visitors.join(buyers, visitors.user_id == buyers.b_user, "left")
+    return joined.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_visitors"),
+        F.countDistinct("b_user").alias("n_matched"),
+        F.round(
+            F.countDistinct("b_user") * 100.0
+            / F.nullif(F.countDistinct("user_id"), F.lit(0)),
+            2,
+        ).alias("match_rate_pct"),
+    )
+
+
+_register(QuerySpec(
+    name="j6_a8_attribution",
+    survey="J6,A5,A6,A8,F9,F15",
+    build=q_j6_a8_attribution,
+    oracle="""
+        WITH buyers AS (
+          SELECT DISTINCT user_id AS b_user FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_type,
+               COUNT(DISTINCT e.user_id) AS n_visitors,
+               COUNT(DISTINCT b.b_user) AS n_matched,
+               ROUND(COUNT(DISTINCT b.b_user) * 100.0
+                     / NULLIF(COUNT(DISTINCT e.user_id), 0), 2) AS match_rate_pct
+        FROM events e LEFT JOIN buyers b ON e.user_id = b.b_user
+        WHERE e.event_type IN ('view', 'click')
+        GROUP BY 1
+    """,
+    tags=("join", "agg"),
+))
+
+
+def q_a3_ordered_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: ordered-distinct array agg — DISTINCT priorities per customer
+    ordered by most-recent order date (ARRAY_AGG(DISTINCT x ORDER BY d DESC),
+    sql/customer_360_views.sql:407-408). Rendered as a joined string so both
+    engines hash the same value.
+    """
+    o = _t(spark, sf, "orders")
+    arr = ordered_distinct_array(
+        F.col("o_orderpriority"), F.max(F.to_date("o_orderdate")).alias("latest")
+    )
+    # aggregate per (custkey, priority) first for exact first-occurrence
+    # semantics: each value ordered by ITS latest date
+    per_val = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.max(F.to_date("o_orderdate")).alias("latest")
+    )
+    return per_val.groupBy("o_custkey").agg(
+        F.array_join(
+            ordered_distinct_array(F.col("o_orderpriority"), F.col("latest")), ","
+        ).alias("priorities")
+    )
+
+
+_register(QuerySpec(
+    name="a3_ordered_distinct",
+    survey="A3,F25",
+    build=q_a3_ordered_distinct,
+    oracle="""
+        WITH m AS (
+          SELECT o_custkey, o_orderpriority AS v, MAX(CAST(o_orderdate AS DATE)) AS latest
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_custkey,
+               string_agg(v, ',' ORDER BY latest DESC, v ASC) AS priorities
+        FROM m GROUP BY o_custkey
+    """,
+    tags=("agg", "array"),
+))
+
+
+def q_a5_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: aggregate FILTER (WHERE ...) clause, Spark SQL >= 3.0."""
+    ev = _t(spark, sf, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+        FROM events_v GROUP BY user_id
+    """)
+
+
+_register(QuerySpec(
+    name="a5_filter_clause",
+    survey="A5",
+    build=q_a5_filter_clause,
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("agg",),
+))
+
+
+def q_a7_having(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: group by derived expression + HAVING threshold
+    (identity-resolution/database-schema.sql:337-342).
+    """
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_day"))
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_users") >= 10)
+    )
+
+
+_register(QuerySpec(
+    name="a7_having",
+    survey="A7,F13",
+    build=q_a7_having,
+    oracle="""
+        SELECT CAST(ts AS DATE) AS event_day,
+               COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY 1 HAVING COUNT(DISTINCT user_id) >= 10
+    """,
+    tags=("agg",),
+))
+
+
+def q_a9_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: two-grain rollup cache (daily + hourly) as ROLLUP(date, hour) —
+    the match_analytics pattern (identity-resolution/database-schema.sql:196-229).
+    """
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.to_date("ts").alias("date_period"),
+            F.hour("ts").alias("hour_period"),
+            "value",
+        )
+        .rollup("date_period", "hour_period")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", "total_value"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="a9_rollup",
+    survey="A9",
+    build=q_a9_rollup,
+    oracle="""
+        SELECT CAST(ts AS DATE) AS date_period,
+               EXTRACT(hour FROM ts) AS hour_period,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY ROLLUP (1, 2)
+    """,
+    tags=("agg", "rollup"),
+))
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / set ops (SURVEY §2.5 / §2.6 / §2.7)
+# --------------------------------------------------------------------------
+
+def q_w1_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/W2: the reference's signature operator — latest record per key via
+    ROW_NUMBER (sql/customer_360_views.sql:71-74). Unique tiebreaker added:
+    the reference's version is nondeterministic on ties.
+    """
+    li = _t(spark, sf, "lineitem")
+    latest = dedup_latest(li, ["l_orderkey"], ["l_shipdate"], tiebreakers=["l_linenumber"])
+    return latest.select(
+        "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_day"),
+        F.round(F.col("l_quantity").cast("decimal(18,2)"), 2).cast("double").alias("quantity"),
+    )
+
+
+_register(QuerySpec(
+    name="w1_dedup_latest",
+    survey="W1,W2,O4",
+    build=q_w1_dedup_latest,
+    oracle="""
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_shipdate DESC, l_linenumber ASC) AS rn
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity
+        FROM r WHERE rn = 1
+    """,
+    bench=True,
+    tags=("window",),
+))
+
+
+def q_w3_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: per-key ascending sequence number (purchase sequence,
+    sql/customer_360_views.sql:350-353).
+    """
+    o = _t(spark, sf, "orders")
+    seq = sequence_number(
+        o, ["o_custkey"], ["o_orderdate"], out_col="purchase_sequence",
+        tiebreakers=["o_orderkey"],
+    )
+    return seq.select("o_custkey", "o_orderkey", "purchase_sequence")
+
+
+_register(QuerySpec(
+    name="w3_sequence",
+    survey="W3",
+    build=q_w3_sequence,
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC)
+                 AS purchase_sequence
+        FROM orders
+    """,
+    tags=("window",),
+))
+
+
+def q_o2_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """O2: top-k pull — ORDER BY ... DESC LIMIT 1000
+    (lambda_redshift_to_segment.py:207-208). Spark runs this as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(1000)
+        .select("o_orderkey", "o_custkey",
+                F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+                 .cast("double").alias("total_price"))
+    )
+
+
+_register(QuerySpec(
+    name="o2_topk",
+    survey="O2,O1",
+    build=q_o2_topk,
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1000
+    """,
+    tags=("sort", "limit"),
+))
+
+
+def q_o3_nulls_last(spark: SparkSession, sf: str) -> DataFrame:
+    """O3: ORDER BY ... DESC NULLS LAST over a genuinely nullable measure
+    (identity-resolution/database-schema.sql:342).
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rev = o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey").agg(
+        _dec_sum("o_totalprice", "open_revenue")
+    )
+    joined = c.join(rev, c.c_custkey == rev.o_custkey, "left")
+    return (
+        joined.orderBy(F.desc_nulls_last("open_revenue"), F.asc("c_custkey"))
+        .limit(500)
+        .select("c_custkey", "open_revenue")
+    )
+
+
+_register(QuerySpec(
+    name="o3_nulls_last",
+    survey="O3",
+    build=q_o3_nulls_last,
+    oracle="""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_revenue
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        )
+        SELECT c.c_custkey, rev.open_revenue
+        FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+        ORDER BY rev.open_revenue DESC NULLS LAST, c.c_custkey ASC LIMIT 500
+    """,
+    tags=("sort",),
+))
+
+
+def q_u1_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """U1: SELECT DISTINCT (README.md:170-176)."""
+    o = _t(spark, sf, "orders")
+    return o.select("o_custkey", "o_orderpriority").distinct()
+
+
+_register(QuerySpec(
+    name="u1_distinct",
+    survey="U1",
+    build=q_u1_distinct,
+    oracle="SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
+    tags=("distinct",),
+))
+
+
+def q_u2_merge_union(spark: SparkSession, sf: str) -> DataFrame:
+    """U2+J7+S5: the MERGE upsert expressed relationally — target rows not
+    matched by updates, UNION the updates (DELETE USING + INSERT SELECT,
+    glue_vehicle_sales_etl.py:364-383). Updates here: finished orders get a
+    re-delivered row with bumped price; idempotent by key.
+    """
+    o = _t(spark, sf, "orders")
+    target = o.select("o_orderkey", "o_orderstatus",
+                      F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    updates = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.lit("R").alias("o_orderstatus"),
+                (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1).cast("decimal(18,2)")).alias("price"))
+    )
+    kept = target.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = kept.unionByName(updates)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+_register(QuerySpec(
+    name="u2_merge_union",
+    survey="U2,J7,S5,ST1",
+    build=q_u2_merge_union,
+    oracle="""
+        WITH target AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+        ), updates AS (
+          SELECT o_orderkey, 'R' AS o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS price
+          FROM orders WHERE o_orderstatus = 'F'
+        ), merged AS (
+          SELECT t.* FROM target t
+          WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+          UNION ALL SELECT * FROM updates
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(price) AS DOUBLE) AS sum_price
+        FROM merged GROUP BY 1
+    """,
+    tags=("merge", "union"),
+))
+
+
+def q_u3_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface (free in Spark; SURVEY §2.7 note):
+    customers active in 1995 and 1996 vs churned after 1995.
+    """
+    o = _t(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).withColumn("cohort", F.lit("retained"))
+    churned = y95.subtract(y96).withColumn("cohort", F.lit("churned"))  # EXCEPT DISTINCT
+    return both.unionByName(churned).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_register(QuerySpec(
+    name="u3_intersect_except",
+    survey="U1 (extension: INTERSECT/EXCEPT)",
+    build=q_u3_intersect_except,
+    oracle="""
+        WITH y95 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+             y96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+             both_y AS (SELECT DISTINCT o_custkey FROM y95 INTERSECT SELECT DISTINCT o_custkey FROM y96),
+             churned AS (SELECT DISTINCT o_custkey FROM y95 EXCEPT SELECT DISTINCT o_custkey FROM y96)
+        SELECT 'retained' AS cohort, COUNT(*) AS n_customers FROM both_y
+        UNION ALL
+        SELECT 'churned' AS cohort, COUNT(*) AS n_customers FROM churned
+    """,
+    tags=("setop",),
+))
+
+
+# --------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+def q_f_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2/F3/F6: concat minting, case/trim normalizers, regex strip,
+    length — the contact-cleaning expression kit
+    (sql/customer_360_views.sql:85-116).
+    """
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        mint_user_id("c_custkey").alias("user_id"),
+        F.lower(F.trim(F.col("c_name"))).alias("name_lower"),
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.regexp_replace("c_name", r"[^0-9]", "").alias("name_digits"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws(" ", F.col("c_mktsegment"), F.col("c_name")).alias("trade_desc"),
+    )
+
+
+_register(QuerySpec(
+    name="f_strings",
+    survey="F1,F2,F3,F6",
+    build=q_f_strings,
+    oracle="""
+        SELECT c_custkey,
+               'AUTO-' || CAST(c_custkey AS VARCHAR) AS user_id,
+               lower(trim(c_name)) AS name_lower,
+               upper(c_mktsegment) AS segment_upper,
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+               CAST(length(c_name) AS INT) AS name_len,
+               c_mktsegment || ' ' || c_name AS trade_desc
+        FROM customer
+    """,
+    tags=("scalar",),
+))
+
+
+def q_f_case_ladders(spark: SparkSession, sf: str) -> DataFrame:
+    """F5/F7: ILIKE substring classify + multi-branch CASE segment ladder
+    (sql/customer_360_views.sql:290-304, 473-482).
+    """
+    c = _t(spark, sf, "customer")
+    p = _t(spark, sf, "part")
+    segments = c.select(
+        "c_custkey",
+        case_ladder(
+            [
+                (F.col("c_acctbal") >= 8000, "VIP"),
+                (F.col("c_acctbal") >= 5000, "Loyal"),
+                (F.col("c_acctbal") >= 1000, "Active"),
+                (F.col("c_acctbal") >= 0, "New"),
+            ],
+            default="Delinquent",
+        ).alias("segment"),
+    ).groupBy("segment").agg(F.count(F.lit(1)).alias("n_customers"))
+    part_classes = p.select(
+        ilike_classify(
+            "p_type",
+            [("polished", "Polished"), ("brushed", "Brushed"), ("anodized", "Anodized")],
+            default="Other",
+        ).alias("finish")
+    ).groupBy("finish").agg(F.count(F.lit(1)).alias("n_customers"))
+    return segments.withColumn("kind", F.lit("segment")).unionByName(
+        part_classes.withColumnRenamed("finish", "segment").withColumn("kind", F.lit("finish"))
+    )
+
+
+_register(QuerySpec(
+    name="f_case_ladders",
+    survey="F5,F7",
+    build=q_f_case_ladders,
+    oracle="""
+        SELECT CASE WHEN c_acctbal >= 8000 THEN 'VIP'
+                    WHEN c_acctbal >= 5000 THEN 'Loyal'
+                    WHEN c_acctbal >= 1000 THEN 'Active'
+                    WHEN c_acctbal >= 0 THEN 'New'
+                    ELSE 'Delinquent' END AS segment,
+               COUNT(*) AS n_customers, 'segment' AS kind
+        FROM customer GROUP BY 1
+        UNION ALL
+        SELECT CASE WHEN lower(p_type) LIKE '%polished%' THEN 'Polished'
+                    WHEN lower(p_type) LIKE '%brushed%' THEN 'Brushed'
+                    WHEN lower(p_type) LIKE '%anodized%' THEN 'Anodized'
+                    ELSE 'Other' END AS segment,
+               COUNT(*) AS n_customers, 'finish' AS kind
+        FROM part GROUP BY 1
+    """,
+    tags=("scalar", "case"),
+))
+
+
+def q_f_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """F10-F14: calendar-year diffs, date-minus-date day counts, recency
+    windows against a pinned as-of date (hard spot #4), DATE() casts.
+    """
+    o = _t(spark, sf, "orders")
+    as_of = F.to_date(F.lit(AS_OF))
+    return o.select(
+        "o_orderkey",
+        (F.year(as_of) - F.year("o_orderdate")).cast("int").alias("years_ago"),
+        F.datediff(as_of, F.to_date("o_orderdate")).cast("int").alias("days_since"),
+        recency_bucket(
+            F.to_date("o_orderdate"), as_of,
+            [(90, "Hot"), (365, "Recent"), (1095, "Aging")],
+            default="Inactive",
+        ).alias("recency"),
+        (F.to_date("o_orderdate") >= F.date_sub(as_of, 180)).alias("last_180d"),
+    )
+
+
+_register(QuerySpec(
+    name="f_dates",
+    survey="F10,F11,F12,F13,F14",
+    build=q_f_dates,
+    oracle=f"""
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM DATE '{AS_OF}') - EXTRACT(year FROM o_orderdate) AS INT)
+                 AS years_ago,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS INT)
+                 AS days_since,
+               CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') <= 90 THEN 'Hot'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') <= 365 THEN 'Recent'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') <= 1095 THEN 'Aging'
+                    ELSE 'Inactive' END AS recency,
+               CAST(o_orderdate AS DATE) >= DATE '{AS_OF}' - INTERVAL 180 DAY AS last_180d
+        FROM orders
+    """,
+    tags=("scalar", "dates"),
+))
+
+
+def q_f_guards(spark: SparkSession, sf: str) -> DataFrame:
+    """F8/F9/F15/F16/F17: COALESCE defaults, NULLIF div-guard, ROUND,
+    decimal arithmetic, boolean negation (can_market pattern,
+    sql/customer_360_views.sql:725-737).
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = c.join(rev, c.c_custkey == rev.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)")).cast("double").alias("lifetime_value"),
+        (F.col("rev").cast("double") / F.nullif(F.col("n"), F.lit(0)).cast("double"))
+        .alias("avg_value"),
+        (~F.coalesce(F.col("c_acctbal") < 0, F.lit(False))).alias("can_market"),
+        (F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)"))
+         + F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("combined_value"),
+    )
+
+
+_register(QuerySpec(
+    name="f_guards",
+    survey="F8,F9,F15,F16,F17",
+    build=q_f_guards,
+    oracle="""
+        WITH rev AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, COUNT(*) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT c.c_custkey,
+               CAST(COALESCE(rev.rev, 0) AS DOUBLE) AS lifetime_value,
+               CAST(rev.rev AS DOUBLE) / CAST(NULLIF(rev.n, 0) AS DOUBLE) AS avg_value,
+               NOT COALESCE(c.c_acctbal < 0, FALSE) AS can_market,
+               CAST(COALESCE(rev.rev, 0) + CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                 AS combined_value
+        FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+    """,
+    tags=("scalar",),
+))
+
+
+def q_f_hash_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """F18/F19/F1: md5 message-id minting with 50-char cap, AUTO- user ids,
+    ISO8601 noon-pad formatting (lambda_redshift_to_segment.py:316-356).
+    """
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        message_id(F.col("o_orderkey"), F.col("o_custkey"), prefix="vp_").alias("message_id"),
+        mint_user_id("o_custkey").alias("user_id"),
+        iso8601_noon("o_orderdate").alias("event_ts"),
+    )
+
+
+_register(QuerySpec(
+    name="f_hash_ids",
+    survey="F18,F19,F1,UD1,UD2",
+    build=q_f_hash_ids,
+    oracle="""
+        SELECT o_orderkey,
+               substr('vp_' || md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                                   CAST(o_custkey AS VARCHAR)), 1, 50) AS message_id,
+               'AUTO-' || CAST(o_custkey AS VARCHAR) AS user_id,
+               strftime(o_orderdate, '%Y-%m-%dT12:00:00Z') AS event_ts
+        FROM orders
+    """,
+    tags=("scalar", "hash"),
+))
+
+
+def q_f_url_params(spark: SparkSession, sf: str) -> DataFrame:
+    """F22/F23: URL query-param extraction (UTM attribution,
+    website-tracker.js:104-120) + regex capture groups.
+    """
+    ev = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://dealer.example/lp?utm_source="), F.col("event_type"),
+        F.lit("&utm_campaign=c"), (F.col("user_id") % 5).cast("string"),
+        F.lit("&gclid=g"), F.col("event_id").cast("string"),
+    )
+    with_url = ev.select("event_id", url.alias("url"))
+    return with_url.select(
+        "event_id",
+        url_query_param("url", "utm_source").alias("utm_source"),
+        url_query_param("url", "utm_campaign").alias("utm_campaign"),
+        F.regexp_extract("url", r"gclid=(g[0-9]+)", 1).alias("gclid"),
+    )
+
+
+_register(QuerySpec(
+    name="f_url_params",
+    survey="F22,F23",
+    build=q_f_url_params,
+    oracle="""
+        WITH u AS (
+          SELECT event_id,
+                 'https://dealer.example/lp?utm_source=' || event_type ||
+                 '&utm_campaign=c' || CAST(user_id % 5 AS VARCHAR) ||
+                 '&gclid=g' || CAST(event_id AS VARCHAR) AS url
+          FROM events
+        )
+        SELECT event_id,
+               regexp_extract(url, 'utm_source=([^&]+)', 1) AS utm_source,
+               regexp_extract(url, 'utm_campaign=([^&]+)', 1) AS utm_campaign,
+               regexp_extract(url, 'gclid=(g[0-9]+)', 1) AS gclid
+        FROM u
+    """,
+    tags=("scalar", "url"),
+))
+
+
+# --------------------------------------------------------------------------
+# Incremental / sessionization semantics, batch-expressible (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+def q_st5_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """ST5: session windows — gap > 30 min starts a new session; per-user
+    session count and duration stats (first_seen/last_seen/duration,
+    identity-resolution/database-schema.sql:56-58). Batch formulation:
+    lag + cumulative gap-count; the streaming twin uses session_window.
+    """
+    ev = _t(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gapped = ev.withColumn("prev_ts", F.lag("ts").over(w_user)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum(
+            F.unix_micros("last_seen") - F.unix_micros("first_seen")
+        ).cast("long").alias("total_session_us"),
+    )
+
+
+_register(QuerySpec(
+    name="st5_sessionization",
+    survey="ST5",
+    build=q_st5_sessionization,
+    oracle="""
+        WITH gapped AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM gapped
+        ), per_session AS (
+          SELECT user_id, session_no, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+                 COUNT(*) AS n_events
+          FROM numbered GROUP BY 1, 2
+        )
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+               CAST(SUM(epoch_us(last_seen) - epoch_us(first_seen)) AS BIGINT)
+                 AS total_session_us
+        FROM per_session GROUP BY user_id
+    """,
+    bench=True,
+    tags=("window", "session"),
+))
+
+
+def q_st8_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8: trailing 7-day rolling aggregates at daily grain
+    (identity-resolution/database-schema.sql:304-317).
+    """
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value", "day_value"),
+    )
+    w7 = (
+        Window.orderBy(F.col("event_day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_day",
+        "n_events",
+        F.sum("n_events").over(w7).cast("long").alias("events_7d"),
+        F.round(F.sum("day_value").over(w7), 2).alias("value_7d"),
+    )
+
+
+_register(QuerySpec(
+    name="st8_rolling_window",
+    survey="ST8,A9",
+    build=q_st8_rolling_window,
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS event_day, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+          FROM events GROUP BY 1
+        )
+        SELECT event_day, n_events,
+               CAST(SUM(n_events) OVER w AS BIGINT) AS events_7d,
+               ROUND(SUM(day_value) OVER w, 2) AS value_7d
+        FROM daily
+        WINDOW w AS (ORDER BY event_day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling"),
+))
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions (BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+def q_x_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy; shuffle carries 32-byte hashes,
+    not documents.
+    """
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, "doc_id", "text").select(
+        "content_hash", "keep_id", "n_dups"
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_exact",
+    survey="north-star: exact dedup",
+    build=q_x_dedup_exact,
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(CAST(doc_id AS BIGINT)) AS keep_id,
+               COUNT(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+))
+
+
+def q_x_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: salted-md5 min over word shingles,
+    banded bucket equi-join (no O(n^2) pair space).
+    """
+    docs = _t(spark, sf, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_size=2, shingle_n=3
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_minhash",
+    survey="north-star: minhash LSH dedup",
+    build=q_x_dedup_minhash,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id,
+                   array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM toks,
+                 UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx,
+                 md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash
+          FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+    tags=("dedup", "minhash"),
+))
+
+
+def q_x_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring over co-shingled candidates (the
+    exact verifier that runs on LSH candidates at scale).
+    """
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, shingle_n=3)
+
+
+_register(QuerySpec(
+    name="x_dedup_jaccard",
+    survey="north-star: ngram jaccard dedup",
+    build=q_x_dedup_jaccard,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM toks,
+                 UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+        ), pairs AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
+          FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               ROUND(p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common), 4)
+                 AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.id_a = sa.id
+        JOIN sizes sb ON p.id_b = sb.id
+        WHERE p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.3
+    """,
+    tags=("dedup", "jaccard"),
+))
+
+
+def q_x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints (32-bit majority-vote over token hashes).
+    Verified against a pure-Python reference in tests; the driver records a
+    rows-only check (bit-twiddling SQL differs too much across dialects).
+    """
+    docs = _t(spark, sf, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+_register(QuerySpec(
+    name="x_dedup_simhash",
+    survey="north-star: simhash dedup",
+    build=q_x_dedup_simhash,
+    oracle=None,
+    tags=("dedup", "simhash"),
+))
+
+
+def q_x_sim_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Query side broadcast; score is a JVM-side fold (zip_with +
+    aggregate), no Python in the hot path.
+    """
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+_register(QuerySpec(
+    name="x_sim_bruteforce",
+    survey="north-star: ANN brute-force cosine",
+    build=q_x_sim_bruteforce,
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(
+                   list_aggregate(list_transform(list_zip(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.q_vec,   x -> CAST(x AS DOUBLE))),
+                     p -> p[1] * p[2]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(q.q_vec,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+                 AS score
+          FROM embeddings e CROSS JOIN q
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+    """,
+    bench=True,
+    tags=("similarity",),
+))
+
+
+def q_x_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the 100 TB scale path; recall < 1 by design,
+    so no SQL oracle — tests assert recall against brute force instead).
+    """
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, queries, k=10, n_planes=8)
+
+
+_register(QuerySpec(
+    name="x_sim_lsh",
+    survey="north-star: ANN sign-LSH",
+    build=q_x_sim_lsh,
+    oracle=None,
+    tags=("similarity", "lsh"),
+))
+
+
+def q_x_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Text quality metrics per document: token counts (whitespace + BPE-ish
+    regex), distinct ratio, quality score — all codegen'd expressions.
+    """
+    docs = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("int").alias("n_tokens_ws"),
+        token_count_bpe("text").cast("int").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"), 4
+        ).alias("distinct_ratio"),
+        F.round(quality_score("text").cast("double"), 2).alias("quality"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_stats",
+    survey="north-star: text quality scoring / token counting",
+    build=q_x_text_stats,
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws_toks,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, text, ws_toks, toks,
+                 len(list_distinct(toks)) AS n_distinct,
+                 len(toks) AS n_toks,
+                 length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+                   / greatest(length(text), 1) AS punct_ratio,
+                 len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], x)))
+                   / greatest(len(toks), 1) AS sw_ratio
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(ws_toks) AS INT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}'))
+                  + len(regexp_extract_all(text, '[0-9]{1,3}'))
+                  + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS INT)
+                 AS n_tokens_bpe,
+               CAST(n_distinct AS INT) AS n_distinct_tokens,
+               ROUND(CAST(n_distinct AS DOUBLE) / greatest(n_toks, 1), 4) AS distinct_ratio,
+               ROUND(CAST(
+                 (CASE WHEN n_toks >= 20 THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN sw_ratio >= 0.05 THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN CAST(n_distinct AS DOUBLE) / greatest(n_toks, 1) >= 0.3
+                       THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+        FROM scored
+    """,
+    tags=("text",),
+))
+
+
+def q_x_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax) + content fingerprint
+    (md5 over the sorted distinct token set).
+    """
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        language_id("text").alias("lang_guess"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_langid",
+    survey="north-star: language id / fingerprinting",
+    build=q_x_text_langid,
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, toks,
+                 len(list_filter(toks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for'], x))) AS en,
+                 len(list_filter(toks, x -> list_contains(
+                   ['el','la','de','que','y','en','un','es','se','no'], x))) AS es,
+                 len(list_filter(toks, x -> list_contains(
+                   ['le','la','de','et','les','des','en','un','du','une'], x))) AS fr,
+                 len(list_filter(toks, x -> list_contains(
+                   ['der','die','und','das','von','zu','mit','den','ein','ist'], x))) AS de
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr
+                         AND NOT (en >= de OR es >= de OR fr >= de) THEN 'de'
+                    WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                    WHEN es > en AND es >= fr AND es >= de THEN 'es'
+                    WHEN fr > en AND fr > es AND fr >= de THEN 'fr'
+                    ELSE 'de' END AS lang_guess,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+        FROM hits
+    """,
+    tags=("text", "langid"),
+))
+
+
+def q_x_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary plumbing: text payloads as opaque binary columns —
+    byte length + sha256 digest (the no-decode media dedup fast path).
+    The mapInPandas decode stub is exercised in tests (no SQL equivalent).
+    """
+    docs = _t(spark, sf, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("int").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+_register(QuerySpec(
+    name="x_multimodal_bytes",
+    survey="north-star: multimodal binary columns",
+    build=q_x_multimodal_bytes,
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+    """,
+    tags=("multimodal",),
+))
+
+
+# --------------------------------------------------------------------------
+# Flagship: the customer-360 segmentation pipeline on TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_flagship_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole reference view-DAG shape in one plan (EP2,
+    sql/customer_360_views.sql): dedup -> join -> aggregate -> ordered
+    distinct array -> segment/recency CASE ladders.
+
+    Catalyst inlines all stages into one optimized plan: scan-level column
+    pruning, one shuffle per key change, broadcast for the dim side.
+    """
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    as_of = F.to_date(F.lit(AS_OF))
+
+    # W2-style dedup is a no-op on this synthetic data but keeps plan parity
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        _dec_sum("o_totalprice", "lifetime_value"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("urgent_orders"),
+    )
+    per_val = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.max(F.to_date("o_orderdate")).alias("latest")
+    )
+    prefs = per_val.groupBy("o_custkey").agg(
+        F.array_join(
+            ordered_distinct_array(F.col("o_orderpriority"), F.col("latest")), ","
+        ).alias("preferred_priorities")
+    )
+    joined = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .drop("o_custkey")
+        .join(prefs, c.c_custkey == prefs.o_custkey, "left")
+        .drop("o_custkey")
+    )
+    return joined.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("total_orders", F.lit(0)).cast("long").alias("total_orders"),
+        F.coalesce("lifetime_value", F.lit(0.0)).alias("lifetime_value"),
+        "preferred_priorities",
+        case_ladder(
+            [
+                (F.col("lifetime_value") >= 1000000, "VIP"),
+                (F.col("lifetime_value") >= 500000, "Loyal"),
+                (F.col("total_orders") >= 5, "Repeat"),
+                (F.col("total_orders") >= 1, "Active"),
+            ],
+            default="Prospect",
+        ).alias("customer_segment"),
+        recency_bucket(
+            F.col("last_order_date"), as_of,
+            [(180, "Current"), (720, "Recent")],
+            default="Lapsed", null_label="Never",
+        ).alias("purchase_recency"),
+    )
+
+
+_register(QuerySpec(
+    name="flagship_segments",
+    survey="EP2: W1,J1,A1,A2,A3,F7,F11,F12",
+    build=q_flagship_segments,
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS total_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+                 COUNT(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS urgent_orders
+          FROM orders GROUP BY 1
+        ), per_val AS (
+          SELECT o_custkey, o_orderpriority AS v, MAX(CAST(o_orderdate AS DATE)) AS latest
+          FROM orders GROUP BY 1, 2
+        ), prefs AS (
+          SELECT o_custkey,
+                 string_agg(v, ',' ORDER BY latest DESC, v ASC) AS preferred_priorities
+          FROM per_val GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COALESCE(pc.total_orders, 0) AS BIGINT) AS total_orders,
+               COALESCE(pc.lifetime_value, 0.0) AS lifetime_value,
+               p.preferred_priorities,
+               CASE WHEN COALESCE(pc.lifetime_value, 0.0) >= 1000000 THEN 'VIP'
+                    WHEN COALESCE(pc.lifetime_value, 0.0) >= 500000 THEN 'Loyal'
+                    WHEN COALESCE(pc.total_orders, 0) >= 5 THEN 'Repeat'
+                    WHEN COALESCE(pc.total_orders, 0) >= 1 THEN 'Active'
+                    ELSE 'Prospect' END AS customer_segment,
+               CASE WHEN pc.last_order_date IS NULL THEN 'Never'
+                    WHEN date_diff('day', pc.last_order_date, DATE '{AS_OF}') <= 180 THEN 'Current'
+                    WHEN date_diff('day', pc.last_order_date, DATE '{AS_OF}') <= 720 THEN 'Recent'
+                    ELSE 'Lapsed' END AS purchase_recency
+        FROM customer c
+        LEFT JOIN per_cust pc ON c.c_custkey = pc.o_custkey
+        LEFT JOIN prefs p ON c.c_custkey = p.o_custkey
+    """,
+    bench=True,
+    tags=("flagship",),
+))
+
+
+def queries() -> dict:
+    """name -> builder, the __spark_entry__ contract."""
+    return {spec.name: spec.build for spec in CATALOG}
+
+
+def oracle_sql() -> dict:
+    """name -> DuckDB SQL for every oracle-checkable spec."""
+    return {spec.name: spec.oracle for spec in CATALOG if spec.oracle is not None}

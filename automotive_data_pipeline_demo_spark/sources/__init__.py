@@ -1,0 +1,19 @@
+"""Sources and sinks (SURVEY.md §2.1)."""
+
+from automotive_data_pipeline_demo_spark.sources.readers import (
+    read_csv_typed,
+    read_lake,
+    read_table,
+    write_partitioned_lake,
+)
+from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert
+from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
+
+__all__ = [
+    "read_csv_typed",
+    "read_lake",
+    "read_table",
+    "write_partitioned_lake",
+    "merge_upsert",
+    "write_jsonl_events",
+]

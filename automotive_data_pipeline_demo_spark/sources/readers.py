@@ -1,0 +1,96 @@
+"""Readers and lake writers.
+
+Reference parity:
+- S1 CSV scan with header/quotes/recursion
+  (``scripts/glue_vehicle_sales_etl.py:54-68``): everything read as string
+  (DMS exports are stringly), then cast column-by-column (P3,
+  ``:190-266``). Never ``inferSchema`` — IDs keep leading zeros.
+- S2 hive-partitioned lake writer (``scripts/s3_upload_automation.py:187-224``).
+- malformed-row capture: the reference sets ``optimizePerformance: False``
+  "quality over speed" (``:59``) -> PERMISSIVE mode + corrupt-record column.
+
+Scale notes: the partitioned writer sorts within partitions on the sort keys
+(Redshift SORTKEY analog, ``sql/redshift_table_schemas.sql:115``) so parquet
+row-group min/max stats prune range scans; partition columns give directory
+pruning for the daily-batch access pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    cast_map: Mapping[str, str | T.DataType],
+    header: bool = True,
+    sep: str = ",",
+    quote: str = '"',
+    recursive: bool = True,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """S1+P3: all-string CSV read, then explicit cast projection.
+
+    ``cast_map`` = {column: spark type}; columns absent from the file become
+    NULL of the requested type (schema evolution tolerance). Permissive mode
+    captures malformed rows in ``_corrupt_record`` instead of dropping them.
+    """
+    raw = (
+        spark.read.options(
+            header=header,
+            sep=sep,
+            quote=quote,
+            escape='"',
+            recursiveFileLookup=recursive,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=CORRUPT_COL,
+        ).csv(path)
+    )
+    cols = []
+    for name, dtype in cast_map.items():
+        if name in raw.columns:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    if keep_corrupt and CORRUPT_COL in raw.columns:
+        cols.append(F.col(CORRUPT_COL))
+    return raw.select(*cols)
+
+
+def write_partitioned_lake(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("year", "month", "day"),
+    sort_within: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """S2: hive-style partitioned parquet writes with optional in-file sort."""
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    (
+        out.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def read_lake(spark: SparkSession, path: str, base_path: str | None = None) -> DataFrame:
+    """Partition-discovering parquet read (partition pruning on filters)."""
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
