@@ -645,7 +645,11 @@ def q_w1_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
     the reference's version is nondeterministic on ties.
     """
     li = _t(spark, sf, "lineitem")
-    latest = dedup_latest(li, ["l_orderkey"], ["l_shipdate"], tiebreakers=["l_linenumber"])
+    # the fixture has deliberate full-duplicate rows (FIXTURES.md): tiebreak
+    # on every output column for a total order
+    latest = dedup_latest(
+        li, ["l_orderkey"], ["l_shipdate"], tiebreakers=["l_linenumber", "l_quantity"]
+    )
     return latest.select(
         "l_orderkey", "l_linenumber",
         F.to_date("l_shipdate").alias("ship_day"),
@@ -661,7 +665,8 @@ _register(QuerySpec(
         WITH r AS (
           SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_shipdate DESC, l_linenumber ASC) AS rn
+                                    ORDER BY l_shipdate DESC, l_linenumber ASC,
+                                             l_quantity ASC) AS rn
           FROM lineitem
         )
         SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day,
