@@ -28,7 +28,9 @@ def ordered_distinct_array(value: Column | str, order_by: Column | str, ascendin
     """
     v = F.col(value) if isinstance(value, str) else value
     o = F.col(order_by) if isinstance(order_by, str) else order_by
-    pairs = F.collect_list(F.struct(o.alias("o"), v.alias("v")))
+    # NULL values are skipped (collect_list drops the NULL produced by the
+    # unmatched when-branch), matching ARRAY_AGG/string_agg null handling
+    pairs = F.collect_list(F.when(v.isNotNull(), F.struct(o.alias("o"), v.alias("v"))))
     sorted_pairs = F.array_sort(
         pairs,
         lambda a, b: F.when(a["o"] < b["o"], 1 if not ascending else -1)
