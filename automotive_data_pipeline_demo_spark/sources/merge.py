@@ -57,6 +57,11 @@ def merge_upsert(
     and rewritten (dynamic overwrite); without, the whole table is rewritten
     (fine for dims, wrong for facts — pass partitions for facts).
     """
+    if order_by:
+        updates = dedup_latest(updates, keys, order_by)
+    else:
+        updates = updates.dropDuplicates(list(keys))
+
     try:
         target = spark.read.parquet(target_path)
         exists = True
@@ -83,7 +88,7 @@ def merge_upsert(
             pred = pred | clause
         target = target.filter(pred)
 
-    merged = merge_upsert_frames(target, updates, keys, order_by)
+    merged = merge_upsert_frames(target, updates, keys)  # updates already deduped
     # materialize before overwriting the files we read from
     merged_rows = merged.cache()
     merged_rows.count()

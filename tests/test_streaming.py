@@ -1,0 +1,266 @@
+"""Incremental/streaming semantics tests (SURVEY §5 plan item 3):
+ST1 upsert idempotence, ST2 exactly-once, ST4 two-tier identity matching
+with late leads, ST5 session windows (streaming twin vs batch formulation).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert
+from automotive_data_pipeline_demo_spark.streaming.activation import (
+    emit_new_events,
+    mark_processed,
+)
+from automotive_data_pipeline_demo_spark.streaming.identity import (
+    resolve_identities_batch,
+    streaming_session_match,
+)
+from automotive_data_pipeline_demo_spark.streaming.sessions import session_rollup_stream
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- ST1 merge
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "sales")
+    batch = spark.createDataFrame(
+        [
+            Row(dealno="D1", custno="C1", price=100.0, updated=ts("2025-01-01T10:00")),
+            Row(dealno="D2", custno="C2", price=200.0, updated=ts("2025-01-01T10:00")),
+        ]
+    )
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"])
+    # re-deliver the SAME batch: table must not change (ST1)
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"])
+    out = spark.read.parquet(target)
+    assert out.count() == 2
+
+    # modified re-delivery replaces on key
+    update = spark.createDataFrame(
+        [Row(dealno="D1", custno="C1", price=150.0, updated=ts("2025-01-02T10:00"))]
+    )
+    merge_upsert(spark, target, update, keys=["dealno"], order_by=["updated"])
+    rows = {r["dealno"]: r["price"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"D1": 150.0, "D2": 200.0}
+
+
+def test_merge_upsert_takes_latest_within_batch(spark, tmp_path):
+    target = str(tmp_path / "sales2")
+    batch = spark.createDataFrame(
+        [
+            Row(dealno="D1", price=1.0, updated=ts("2025-01-01T00:00")),
+            Row(dealno="D1", price=9.0, updated=ts("2025-01-03T00:00")),
+            Row(dealno="D1", price=5.0, updated=ts("2025-01-02T00:00")),
+        ]
+    )
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"])
+    [row] = spark.read.parquet(target).collect()
+    assert row["price"] == 9.0
+
+
+# ----------------------------------------------------------- ST2 exactly-once
+
+def test_exactly_once_emission(spark, tmp_path):
+    state = str(tmp_path / "state")
+    sales = spark.createDataFrame(
+        [
+            Row(deal_number="D1", custno="C1", vin="V1", total_price=10.0,
+                sale_date=ts("2025-03-01T00:00")),
+            Row(deal_number="D2", custno="C2", vin="V2", total_price=20.0,
+                sale_date=ts("2025-03-02T00:00")),
+            Row(deal_number="D3", custno="C3", vin=None, total_price=30.0,
+                sale_date=ts("2025-03-03T00:00")),  # invalid: dropped (P11)
+        ]
+    )
+    first = emit_new_events(spark, sales, state)
+    rows = first.collect()
+    assert {r["deal_number"] for r in rows} == {"D1", "D2"}
+    # message ids are deterministic mints (F18)
+    assert all(r["message_id"].startswith("vp_") and len(r["message_id"]) <= 50 for r in rows)
+
+    mark_processed(spark, first, state)
+    second = emit_new_events(spark, sales, state)
+    assert second.count() == 0  # re-run emits nothing (ST2)
+
+    # a new deal arrives: only it is emitted
+    more = sales.union(
+        spark.createDataFrame(
+            [Row(deal_number="D4", custno="C4", vin="V4", total_price=40.0,
+                 sale_date=ts("2025-03-04T00:00"))]
+        )
+    )
+    third = emit_new_events(spark, more, state)
+    assert [r["deal_number"] for r in third.collect()] == ["D4"]
+
+
+def test_track_event_shape(spark, tmp_path):
+    sales = spark.createDataFrame(
+        [Row(deal_number="D1", custno="C9", vin="V1", total_price=12345.5,
+             sale_date=ts("2025-03-01T00:00"))]
+    )
+    events = emit_new_events(spark, sales, str(tmp_path / "s"))
+    [row] = events.select(F.to_json("event").alias("j")).collect()
+    import json
+
+    ev = json.loads(row["j"])
+    assert ev["type"] == "track"
+    assert ev["userId"] == "AUTO-C9"
+    assert ev["event"] == "Vehicle Purchased"
+    assert ev["timestamp"] == "2025-03-01T12:00:00Z"  # noon pad (F19)
+    assert ev["properties"]["revenue"] == 12345.5
+    assert ev["context"]["library"]["name"]
+
+
+# ------------------------------------------------------- ST4 identity tiers
+
+@pytest.fixture()
+def identity_frames(spark):
+    visitors = spark.createDataFrame(
+        [
+            Row(visitor_id=1, session_id="S1", email=None, phone=None,
+                first_seen=ts("2025-05-01T10:00")),
+            Row(visitor_id=2, session_id="S2", email="Match@Ex.Org", phone=None,
+                first_seen=ts("2025-05-01T11:00")),
+            Row(visitor_id=3, session_id=None, email=None, phone="(555) 111-2222",
+                first_seen=ts("2025-05-01T12:00")),
+            Row(visitor_id=4, session_id=None, email="other@ex.org", phone=None,
+                first_seen=ts("2025-04-01T12:00")),
+        ]
+    )
+    leads = spark.createDataFrame(
+        [
+            # tier 1: session match (lead 2 h after session)
+            Row(lead_id=10, session_id="S1", email=None, phone=None,
+                lead_submitted_at=ts("2025-05-01T12:00")),
+            # tier 2: email fallback (no session id; matches visitor 2)
+            Row(lead_id=11, session_id=None, email="match@ex.org", phone=None,
+                lead_submitted_at=ts("2025-05-01T13:00")),
+            # tier 2: phone fallback (punctuation differs; matches visitor 3)
+            Row(lead_id=12, session_id=None, email=None, phone="555-111-2222",
+                lead_submitted_at=ts("2025-05-01T20:00")),
+            # late: outside 24 h window -> unmatched (ST9 retained)
+            Row(lead_id=13, session_id=None, email="other@ex.org", phone=None,
+                lead_submitted_at=ts("2025-04-05T12:00")),
+            # no match at all
+            Row(lead_id=14, session_id="SX", email="nobody@x.co", phone=None,
+                lead_submitted_at=ts("2025-05-01T10:30")),
+        ]
+    )
+    return visitors, leads
+
+
+def test_two_tier_identity_matching(spark, identity_frames):
+    visitors, leads = identity_frames
+    out = {r["lead_id"]: r for r in resolve_identities_batch(visitors, leads).collect()}
+    assert len(out) == 5  # every lead retained (matched or not)
+    assert out[10]["match_method"] == "session_id" and out[10]["visitor_id"] == 1
+    assert out[11]["match_method"] == "email_phone" and out[11]["visitor_id"] == 2
+    assert out[12]["match_method"] == "email_phone" and out[12]["visitor_id"] == 3
+    assert out[13]["match_method"] is None and not out[13]["is_matched"]
+    assert out[14]["match_method"] is None
+    assert out[10]["is_matched"] and out[10]["matched_at"] is not None
+
+
+def test_session_priority_over_contact(spark):
+    """A lead matching both tiers must resolve via session_id (the
+    reference tries session first, api-server.js:249-260)."""
+    visitors = spark.createDataFrame(
+        [
+            Row(visitor_id=1, session_id="S1", email="a@b.co", phone=None,
+                first_seen=ts("2025-05-01T10:00")),
+            Row(visitor_id=2, session_id="S2", email="a@b.co", phone=None,
+                first_seen=ts("2025-05-01T10:30")),
+        ],
+        schema="visitor_id long, session_id string, email string, phone string, "
+               "first_seen timestamp",
+    )
+    leads = spark.createDataFrame(
+        [Row(lead_id=1, session_id="S2", email="a@b.co", phone=None,
+             lead_submitted_at=ts("2025-05-01T11:00"))],
+        schema="lead_id long, session_id string, email string, phone string, "
+               "lead_submitted_at timestamp",
+    )
+    [row] = resolve_identities_batch(visitors, leads).collect()
+    assert row["match_method"] == "session_id"
+    assert row["visitor_id"] == 2
+
+
+def test_streaming_session_match(spark, tmp_path):
+    """ST4 streaming twin: file-source micro-batches through the
+    watermarked join; late-but-in-window lead still matches."""
+    vdir, ldir = str(tmp_path / "v"), str(tmp_path / "l")
+    visitors = spark.createDataFrame(
+        [Row(visitor_id=1, session_id="S1", first_seen=ts("2025-05-01T10:00")),
+         Row(visitor_id=2, session_id="S2", first_seen=ts("2025-05-01T11:00"))]
+    )
+    leads = spark.createDataFrame(
+        [Row(lead_id=10, session_id="S1", lead_submitted_at=ts("2025-05-01T12:00")),
+         Row(lead_id=11, session_id="S2", lead_submitted_at=ts("2025-05-02T23:00"))]
+    )  # lead 11 is 36 h after its session: outside the 24 h join window
+    visitors.write.parquet(vdir)
+    leads.write.parquet(ldir)
+
+    v_stream = spark.readStream.schema(visitors.schema).parquet(vdir)
+    l_stream = spark.readStream.schema(leads.schema).parquet(ldir)
+    matched = streaming_session_match(v_stream, l_stream)
+    q = (
+        matched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("identity_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM identity_out").collect()
+    finally:
+        q.stop()
+    assert [(r["lead_id"], r["visitor_id"]) for r in rows] == [(10, 1)]
+
+
+# --------------------------------------------------------------- ST5 sessions
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The streaming session_window aggregation agrees with the batch
+    lag+cumsum formulation (catalog st5) on the same data."""
+    events = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=ts("2025-06-01T10:00"), event_id=1),
+            Row(user_id=1, ts=ts("2025-06-01T10:10"), event_id=2),
+            Row(user_id=1, ts=ts("2025-06-01T11:30"), event_id=3),  # new session
+            Row(user_id=2, ts=ts("2025-06-01T09:00"), event_id=4),
+        ]
+    )
+    batch_out = session_rollup_stream(events).orderBy("user_id", "first_seen").collect()
+    assert [(r["user_id"], r["n_events"]) for r in batch_out] == [(1, 2), (1, 1), (2, 1)]
+    assert batch_out[0]["session_duration_minutes"] == 10.0
+
+    edir = str(tmp_path / "events")
+    events.write.parquet(edir)
+    stream = spark.readStream.schema(events.schema).parquet(edir)
+    q = (
+        session_rollup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = spark.sql(
+            "SELECT user_id, n_events FROM sessions_out ORDER BY user_id, first_seen"
+        ).collect()
+    finally:
+        q.stop()
+    # append mode only emits windows the watermark has closed; with a static
+    # file source all data is seen, so compare the closed subset
+    batch_pairs = [(r["user_id"], r["n_events"]) for r in batch_out]
+    for pair in [(r["user_id"], r["n_events"]) for r in stream_rows]:
+        assert pair in batch_pairs
