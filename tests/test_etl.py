@@ -1,0 +1,123 @@
+"""EP1 batch ETL tests: raw stringly CSV (quoted commas, header) -> typed
+lake with MERGE idempotence; plus F24 ADF parsing and S2 lake layout."""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.functions.adf import parsed_lead
+from automotive_data_pipeline_demo_spark.plans.etl import (
+    run_vehicle_sales_etl,
+    sql_over_frames,
+)
+from automotive_data_pipeline_demo_spark.sources.readers import read_csv_typed
+
+
+HEADER = [
+    "dealno", "custno", "vin", "branch", "saletype", "cashprice",
+    "outthedoorprice", "term", "contractdate", "salesdate", "rowlastupdatedutc",
+]
+ROWS = [
+    # leading-zero ids must survive; quoted comma in saletype
+    ["001", "00042", "VIN1", "FORD-MAIN", "Cash, retail", "19999.50",
+     "21000.00", "60", "2025-01-05 10:00:00", "2025-01-06 10:00:00",
+     "2025-01-07 00:00:00"],
+    ["002", "00043", "VIN2", "TOYOTA-NORTH", "FINANCE", "not-a-number",
+     "31000.25", "72", "2025-02-01 09:00:00", "2025-02-02 09:00:00",
+     "2025-02-03 00:00:00"],
+    # fails quality filter: no vin
+    ["003", "00044", "", "CHEV-SOUTH", "LEASE", "100", "200", "36",
+     "2025-02-10 09:00:00", "2025-02-11 09:00:00", "2025-02-12 00:00:00"],
+]
+
+
+def _write_csv(path: str) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(HEADER)
+        w.writerows(ROWS)
+
+
+def test_typed_csv_reader(spark, tmp_path):
+    p = str(tmp_path / "sales.csv")
+    _write_csv(p)
+    df = read_csv_typed(
+        spark, p,
+        {"dealno": "string", "custno": "string", "cashprice": "decimal(18,2)",
+         "term": "decimal(18,0)", "contractdate": "timestamp",
+         "missing_col": "string"},
+    )
+    rows = {r["dealno"]: r for r in df.collect()}
+    assert rows["001"]["custno"] == "00042"          # leading zeros preserved
+    assert float(rows["001"]["cashprice"]) == 19999.5
+    assert rows["002"]["cashprice"] is None           # permissive cast -> NULL
+    assert rows["001"]["missing_col"] is None         # schema evolution
+    assert rows["001"]["contractdate"].year == 2025
+
+
+def test_vehicle_sales_etl_end_to_end(spark, tmp_path):
+    csv_path = str(tmp_path / "raw.csv")
+    lake = str(tmp_path / "lake")
+    _write_csv(csv_path)
+
+    typed = run_vehicle_sales_etl(spark, csv_path, lake)
+    assert typed.count() == 2  # row 003 dropped by quality filter (P2)
+
+    out = spark.read.parquet(lake)
+    assert out.count() == 2
+    assert "sale_year=2025" in "".join(
+        str(p) for p in (tmp_path / "lake").rglob("*") if p.is_dir()
+    )  # hive-partitioned layout (S2)
+
+    # re-run the same batch: idempotent (ST1)
+    run_vehicle_sales_etl(spark, csv_path, lake)
+    assert spark.read.parquet(lake).count() == 2
+
+    # the empty-string vin arrives as NULL?  No: CSV empty -> empty string;
+    # quality filter uses IS NOT NULL, so verify the actual semantics:
+    # Spark CSV reads empty unquoted fields as NULL, matching the filter.
+    assert spark.read.parquet(lake).filter(F.col("vin") == "").count() == 0
+
+
+def test_sql_over_frames_surface(spark):
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    out = sql_over_frames(
+        spark, "SELECT sum(v) AS s FROM frame WHERE id >= 1", frame=df
+    )
+    assert out.collect()[0]["s"] == 20
+
+
+ADF_XML = """<?xml version="1.0"?>
+<adf><prospect>
+  <id>LEAD-77</id>
+  <requestdate>2025-05-01T10:00:00</requestdate>
+  <vehicle><year>2024</year><make>Ford</make><model>F-150</model></vehicle>
+  <customer>
+    <contact>
+      <name part="first">Jane</name>
+      <name part="last">Doe</name>
+      <email>jane@ex.org</email>
+      <phone>555-111-2222</phone>
+    </contact>
+    <comments>interested. SD_SESSION: sd_abc123</comments>
+  </customer>
+  <provider><service>web</service></provider>
+</prospect></adf>"""
+
+
+def test_adf_parsing(spark):
+    df = spark.createDataFrame(
+        [(ADF_XML,), ("<notxml",), (None,)], schema="raw_adf_xml string"
+    )
+    out = df.select(parsed_lead("raw_adf_xml").alias("lead")).select("lead.*").collect()
+    ok = out[0]
+    assert ok["lead_id"] == "LEAD-77"
+    assert ok["first_name"] == "Jane" and ok["last_name"] == "Doe"
+    assert ok["email"] == "jane@ex.org"
+    assert ok["vehicle_make"] == "Ford"
+    assert ok["session_id"] == "sd_abc123"
+    assert ok["parse_error"] is None
+    assert out[1]["parse_error"] and out[1]["parse_error"].startswith("xml")
+    assert out[2]["parse_error"] == "empty"
