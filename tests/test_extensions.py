@@ -1,0 +1,144 @@
+"""Extension operator tests beyond the SQL oracle: recall/quality properties
+that SQL can't express (LSH recall vs brute force, SimHash vs a pure-Python
+reference, multimodal decode plumbing, MinHash candidate quality)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+    attach_binary_metadata,
+    decode_media,
+    frame_sample_plan,
+)
+from automotive_data_pipeline_demo_spark.extensions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    """Sign-LSH with few planes must recover a solid fraction of the true
+    top-10 (same-bucket candidates only)."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=10)
+    approx = lsh_bucketed_topk(embeddings, queries, k=10, n_planes=4)
+
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # the query itself always shares its own bucket
+    assert all((q, q) in approx_pairs for q in range(10))
+    # synthetic embeddings are near-uniform on the sphere, so neighbors are
+    # barely separated — recall is structurally low; assert it's far above
+    # the random-candidate floor (10/500 = 2%) rather than a high bar
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.15, f"recall {recall} at the random floor"
+    # scores must agree where pairs overlap (same formula both paths)
+    exact_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def _py_simhash(text: str, bits: int = 32) -> int:
+    votes = [0] * bits
+    toks = [t for t in __import__("re").split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+
+def test_simhash_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="pack my box with five dozen liquor jugs"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog!"),
+        ]
+    )
+    out = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    for row in docs.collect():
+        assert out[row["doc_id"]] == _py_simhash(row["text"]), row["doc_id"]
+    # near-identical docs share the fingerprint (only punctuation differs)
+    assert out[0] == out[2]
+
+
+def test_minhash_candidates_catch_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base + " extra tail words here"),  # near-dup of 0
+            Row(doc_id=2, text="completely different content about spark engines "
+                               "and catalyst optimizers running distributed plans"),
+        ]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    # jaccard verification on the LSH candidates (the scale path)
+    cand = minhash_candidate_pairs(docs, "doc_id", "text")
+    verified = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                   candidates=cand).collect()
+    assert [(r["id_a"], r["id_b"]) for r in verified] == [(0, 1)]
+    assert verified[0]["jaccard"] > 0.5
+
+
+def test_multimodal_decode_stub_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, media_type="image", payload=b"\x89PNGfakebytes",
+                mime="image/png", meta=Row(width=None, height=None, duration_ms=None)),
+            Row(media_id=2, media_type="video", payload=b"\x00\x00ftypmp4fake",
+                mime="video/mp4", meta=Row(width=None, height=None, duration_ms=3500)),
+        ],
+        schema="media_id long, media_type string, payload binary, mime string, "
+               "meta struct<width:int, height:int, duration_ms:int>",
+    )
+    with_meta = attach_binary_metadata(media)
+    rows = {r["media_id"]: r for r in with_meta.collect()}
+    assert rows[1]["n_bytes"] == len(b"\x89PNGfakebytes")
+    assert rows[1]["sha"] == hashlib.sha256(b"\x89PNGfakebytes").hexdigest()
+
+    decoded = decode_media(media, deterministic_fake=True)
+    drows = {r["media_id"]: r for r in decoded.collect()}
+    assert set(drows) == {1, 2}
+    assert len(drows[1]["feature"]) == 8
+    assert 1 <= drows[1]["width"] <= 64
+    # deterministic: same payload -> same fake features
+    again = {r["media_id"]: r for r in decode_media(media, deterministic_fake=True).collect()}
+    assert again[1]["feature"] == drows[1]["feature"]
+
+    # real decode path is an explicit stub
+    with pytest.raises(Exception) as exc:
+        decode_media(media, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "media decoding" in str(exc.value)
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert by_id[2] == [0, 1000, 2000, 3000]  # 3.5 s video -> 4 sampled frames
+    assert by_id[1] == [0]                    # no duration -> single frame
