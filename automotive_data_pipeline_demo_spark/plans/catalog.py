@@ -1577,27 +1577,21 @@ def q_flagship_segments(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     as_of = F.to_date(F.lit(AS_OF))
 
-    # W2-style dedup is a no-op on this synthetic data but keeps plan parity
+    # ONE shuffle on o_custkey: metrics and the ordered-distinct preference
+    # array aggregate in the same groupBy (ordered_distinct_array over raw
+    # rows = first occurrence at each value's max date, identical semantics
+    # to the per-value-max formulation — and two fewer exchanges)
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("total_orders"),
         _dec_sum("o_totalprice", "lifetime_value"),
         F.max(F.to_date("o_orderdate")).alias("last_order_date"),
         F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("urgent_orders"),
-    )
-    per_val = o.groupBy("o_custkey", "o_orderpriority").agg(
-        F.max(F.to_date("o_orderdate")).alias("latest")
-    )
-    prefs = per_val.groupBy("o_custkey").agg(
         F.array_join(
-            ordered_distinct_array(F.col("o_orderpriority"), F.col("latest")), ","
-        ).alias("preferred_priorities")
+            ordered_distinct_array(F.col("o_orderpriority"), F.to_date("o_orderdate")),
+            ",",
+        ).alias("preferred_priorities"),
     )
-    joined = (
-        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
-        .drop("o_custkey")
-        .join(prefs, c.c_custkey == prefs.o_custkey, "left")
-        .drop("o_custkey")
-    )
+    joined = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").drop("o_custkey")
     return joined.select(
         "c_custkey",
         "c_mktsegment",
