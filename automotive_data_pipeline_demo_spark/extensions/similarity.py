@@ -147,3 +147,117 @@ def lsh_bucketed_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_vec",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine).
+
+    The centroid table is broadcast (coarse quantizers are tiny — hundreds
+    to thousands of cells even for billion-vector corpora), so assignment is
+    a narrow map over the corpus: no shuffle until the caller groups by cell.
+    Ties break on centroid id for determinism. Output: (id_col, vec_col,
+    centroid_id, rank) with rank in [1, nprobe].
+    """
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        F.broadcast(
+            centroids.select(
+                F.col(centroid_id_col).alias("centroid_id"),
+                F.col(centroid_vec_col).alias("__cent_vec"),
+            )
+        )
+    ).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine_similarity_col(F.col(vec_col), F.col("__cent_vec")).alias("__csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .drop("__csim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and scores only those.
+
+    Fully deterministic given a fixed centroid table (no trained state), so
+    it is oracle-checkable. At 100 TB the corpus assignment is a broadcast
+    map + one shuffle on centroid_id; the probe join touches
+    nprobe/n_cells of the data instead of all of it. Output matches
+    :func:`brute_force_topk`: (query_id, vec_id, score).
+    """
+    cells = ivf_assign(
+        corpus, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "centroid_id")
+    probes = ivf_assign(
+        queries, centroids, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id")
+    scored = cells.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("c_vec"), F.col("q_vec")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, score >= threshold).
+
+    With ``block_col`` the pair generation is an equi self-join on the block
+    key (IVF cell, LSH bucket, shard …) — the only way pair enumeration
+    survives at 100 TB. Without it, a full self cross-pairing (exact, small
+    corpora only). Score rounded to 4 dp, deterministic order columns.
+    """
+    a = df.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity_col(F.col("a_vec"), F.col("b_vec")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+    )

@@ -18,6 +18,7 @@ Determinism rules (SURVEY hard spot #4 + oracle hashing):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from collections.abc import Callable
 
@@ -47,8 +48,19 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
+from automotive_data_pipeline_demo_spark.functions.adf import parsed_lead
+from automotive_data_pipeline_demo_spark.functions.scalars import track_event_struct
+from automotive_data_pipeline_demo_spark.plans.etl import sql_over_frames
+from automotive_data_pipeline_demo_spark.sources.readers import (
+    read_csv_typed,
+    read_lake,
+    write_partitioned_lake,
+)
+from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
@@ -306,7 +318,7 @@ def q_j1_a1_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(QuerySpec(
     name="j1_a1_customer_metrics",
-    survey="J1,A1,A2,A10",
+    survey="J1,J8,A1,A2,A10",
     build=q_j1_a1_customer_metrics,
     oracle="""
         SELECT c.c_custkey, c.c_name, c.c_mktsegment,
@@ -1653,6 +1665,492 @@ _register(QuerySpec(
     """,
     bench=True,
     tags=("flagship",),
+))
+
+
+# --------------------------------------------------------------------------
+# Sources / sinks exercised as oracle-checked round trips (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+def _scratch(sf: str, leaf: str) -> str:
+    """Deterministic per-SF scratch path for round-trip entries."""
+    return f"/tmp/spark_graft_lake/{os.path.basename(sf.rstrip('/'))}/{leaf}"
+
+
+def q_p1_sql_over_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/UD5: the sql-over-frames surface — frames in, SQL text, frame out.
+
+    Mirrors the reference's ``sparkSqlQuery`` helper
+    (glue_vehicle_sales_etl.py:28-36): register temp views, run Spark SQL.
+    avg is computed as exact decimal sum / count so both engines emit
+    bit-identical doubles.
+    """
+    return sql_over_frames(
+        spark,
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+        customer_v=_t(spark, sf, "customer"),
+        nation_v=_t(spark, sf, "nation"),
+    )
+
+
+_register(QuerySpec(
+    name="p1_sql_over_frames",
+    survey="P1,UD5",
+    build=q_p1_sql_over_frames,
+    oracle="""
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("sql_surface",),
+))
+
+
+def q_s1_csv_typed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/P3: header CSV scan + explicit cast projection, proven by round trip.
+
+    Writes the customer table as CSV, reads it back through the typed reader
+    (all-string scan -> per-column cast, PERMISSIVE corrupt capture,
+    missing-column tolerance — glue_vehicle_sales_etl.py:54-68, 190-266),
+    and aggregates. Matching the oracle run over the original parquet proves
+    the CSV path loses nothing: types, nulls, negative decimals.
+    """
+    out = _scratch(sf, "customer_csv")
+    c = _t(spark, sf, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    typed = read_csv_typed(
+        spark,
+        out,
+        {
+            "c_custkey": "bigint",
+            "c_name": "string",
+            "c_nationkey": "int",
+            "c_acctbal": "double",
+            "c_mktsegment": "string",
+            "loyalty_tier": "string",   # absent from the file -> typed NULL
+        },
+    )
+    n_corrupt = (
+        F.count("_corrupt_record")
+        if "_corrupt_record" in typed.columns
+        else F.sum(F.lit(0))
+    )
+    return typed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dec_sum("c_acctbal", "sum_bal"),
+        F.count("loyalty_tier").alias("n_loyalty"),
+        n_corrupt.alias("n_corrupt"),
+    )
+
+
+_register(QuerySpec(
+    name="s1_csv_typed_roundtrip",
+    survey="S1,P3",
+    build=q_s1_csv_typed_roundtrip,
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               CAST(0 AS BIGINT) AS n_loyalty, CAST(0 AS BIGINT) AS n_corrupt
+        FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("source", "csv"),
+))
+
+
+def q_s2_partitioned_lake(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/S6: hive-partitioned lake write + partition-pruned read-back.
+
+    Writes orders partitioned by year with in-file date ordering
+    (s3_upload_automation.py:187-224 key layout; SORTKEY analog), then reads
+    back filtering one partition — the filter prunes to the single
+    ``o_year=1996`` directory, the scan-side analog of Redshift's sortkey.
+    """
+    out = _scratch(sf, "orders_lake")
+    o = _t(spark, sf, "orders").withColumn("o_year", F.year("o_orderdate"))
+    write_partitioned_lake(o, out, ("o_year",), sort_within=("o_orderdate",))
+    lake = read_lake(spark, out)
+    return (
+        lake.filter(F.col("o_year") == 1996)
+        .groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="s2_partitioned_lake",
+    survey="S2,S6",
+    build=q_s2_partitioned_lake,
+    oracle="""
+        SELECT month(o_orderdate) AS order_month, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE year(o_orderdate) = 1996
+        GROUP BY month(o_orderdate)
+    """,
+    tags=("source", "lake", "partition_pruning"),
+))
+
+
+def q_s7_jsonl_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S7/F18-F20/O2: Track-event assembly + JSONL sink, proven by round trip.
+
+    Top-1000 orders by price (the reference's LIMIT-bounded activation pull,
+    lambda_redshift_to_segment.py:207-208) are rendered as nested Segment
+    Track events (:358-418), written through the JSONL sink, read back as
+    text, and the identity fields re-extracted from the wire JSON. Matching
+    the oracle (which computes the same fields straight from orders) proves
+    struct assembly + JSON serialization round-trips exactly.
+    """
+    out = _scratch(sf, "track_events")
+    o = _t(spark, sf, "orders")
+    top = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(1000)
+    events = top.select(
+        track_event_struct(
+            user_id=mint_user_id("o_custkey"),
+            event_name="Vehicle Purchased",
+            msg_id=message_id("o_orderkey", "o_custkey"),
+            timestamp=iso8601_noon("o_orderdate"),
+            properties={
+                "price": F.col("o_totalprice")
+                .cast("decimal(18,2)")
+                .cast("double"),
+                "priority": F.col("o_orderpriority"),
+            },
+        ).alias("event")
+    )
+    write_jsonl_events(events, out)
+    back = spark.read.text(out)
+    return back.select(
+        F.get_json_object("value", "$.messageId").alias("message_id"),
+        F.get_json_object("value", "$.userId").alias("user_id"),
+        F.get_json_object("value", "$.timestamp").alias("ts_iso"),
+        F.get_json_object("value", "$.properties.price").cast("double").alias("price"),
+        F.get_json_object("value", "$.properties.priority").alias("priority"),
+    )
+
+
+_register(QuerySpec(
+    name="s7_jsonl_sink_roundtrip",
+    survey="S7,F18,F19,F20,O2,UD2",
+    build=q_s7_jsonl_sink_roundtrip,
+    oracle="""
+        SELECT 'vp_' || md5(o_orderkey || '_' || o_custkey) AS message_id,
+               'AUTO-' || o_custkey AS user_id,
+               strftime(o_orderdate, '%Y-%m-%dT12:00:00Z') AS ts_iso,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               o_orderpriority AS priority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000
+    """,
+    tags=("sink", "json"),
+))
+
+
+def q_p4_softdelete_optout(spark: SparkSession, sf: str) -> DataFrame:
+    """P4/P7/F17: soft-delete + GDPR opt-out filtering with NULL-able flags.
+
+    Flags are derived deterministically from the data (no fixture columns
+    exist for them); the operator under test is the reference's exact
+    predicate shape: ``(isdeleted IS NULL OR isdeleted = false)`` — NULL
+    must pass — and ``NOT COALESCE(opt_out, false)``
+    (customer_360_views.sql:77-80, 603-608, 725-737).
+    """
+    c = _t(spark, sf, "customer")
+    isdeleted = (
+        F.when(F.col("c_acctbal") < 0, F.lit(True))
+        .when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+    )
+    opt_out = (
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(True))
+        .when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+    )
+    flagged = c.withColumn("isdeleted", isdeleted).withColumn("opt_out", opt_out)
+    return (
+        flagged.filter(
+            (F.col("isdeleted").isNull() | (F.col("isdeleted") == F.lit(False)))
+            & ~F.coalesce(F.col("opt_out"), F.lit(False))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_marketable"),
+            _dec_sum("c_acctbal", "sum_bal"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p4_softdelete_optout",
+    survey="P4,P7,F17",
+    build=q_p4_softdelete_optout,
+    oracle="""
+        WITH flagged AS (
+          SELECT *,
+            CASE WHEN c_acctbal < 0 THEN TRUE
+                 WHEN c_custkey % 7 = 0 THEN NULL ELSE FALSE END AS isdeleted,
+            CASE WHEN c_custkey % 5 = 0 THEN TRUE
+                 WHEN c_custkey % 11 = 0 THEN NULL ELSE FALSE END AS opt_out
+          FROM customer)
+        SELECT c_mktsegment, COUNT(*) AS n_marketable,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM flagged
+        WHERE (isdeleted IS NULL OR isdeleted = FALSE)
+          AND NOT COALESCE(opt_out, FALSE)
+        GROUP BY c_mktsegment
+    """,
+    tags=("filter", "gdpr"),
+))
+
+
+def q_p12_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """P12: ingest-stream validation predicates (shape checks on raw events).
+
+    The reference validates capture payloads with express-validator
+    (api-server.js:106-156: notEmpty / isISO8601 / format checks); here the
+    same gate is regex + null + range predicates counted per event type.
+    """
+    e = _t(spark, sf, "events")
+    valid = (
+        F.col("props").rlike(r'^[{]"k": [0-9]+[}]$')
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("value") >= 0)
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(valid, 1)).alias("n_valid"),
+    )
+
+
+_register(QuerySpec(
+    name="p12_validation",
+    survey="P12,A2",
+    build=q_p12_validation,
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE regexp_matches(props, '^[{]"k": [0-9]+[}]$')
+                 AND ts IS NOT NULL AND user_id IS NOT NULL AND value >= 0)
+                 AS n_valid
+        FROM events GROUP BY event_type
+    """,
+    tags=("filter", "validation"),
+))
+
+
+def q_f24_adf_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """F24/UD3: ADF/XML lead parsing — the engine's one genuine pandas UDF.
+
+    ADF XML is synthesized deterministically per customer, parsed with the
+    Arrow-batched XML parser (api-server.js:28, 228-245 semantics: contact
+    names by part attribute, vehicle interest, session id mined from
+    comments). The oracle computes the expected fields directly from the
+    generating columns, so the parser is checked against ground truth rather
+    than against another XML library.
+    """
+    c = _t(spark, sf, "customer")
+    ck = F.col("c_custkey").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><adf><prospect><id>LEAD-'), ck,
+        F.lit('</id><customer><contact><name part="first">F'), ck,
+        F.lit('</name><name part="last">'), F.col("c_name"),
+        F.lit('</name><email>cust'), ck,
+        F.lit('@example.com</email><phone>555-'),
+        F.lpad(ck, 7, "0"),
+        F.lit("</phone></contact></customer><vehicle><year>"),
+        (F.lit(1990) + F.col("c_custkey") % 10).cast("string"),
+        F.lit("</year><make>MAKE"), (F.col("c_custkey") % 5).cast("string"),
+        F.lit("</make><model>MODEL"), (F.col("c_custkey") % 3).cast("string"),
+        F.lit("</model></vehicle><comments>"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("SD_SESSION: sess_"), ck),
+        ).otherwise(F.lit("no session")),
+        F.lit("</comments></prospect></adf>"),
+    )
+    lead = parsed_lead(xml)
+    return c.select(
+        "c_custkey",
+        lead.getField("lead_id").alias("lead_id"),
+        lead.getField("first_name").alias("first_name"),
+        lead.getField("last_name").alias("last_name"),
+        lead.getField("email").alias("email"),
+        lead.getField("phone").alias("phone"),
+        lead.getField("vehicle_year").alias("vehicle_year"),
+        lead.getField("vehicle_make").alias("vehicle_make"),
+        lead.getField("vehicle_model").alias("vehicle_model"),
+        lead.getField("session_id").alias("session_id"),
+    )
+
+
+_register(QuerySpec(
+    name="f24_adf_parse",
+    survey="F24,UD3",
+    build=q_f24_adf_parse,
+    oracle="""
+        SELECT c_custkey,
+               'LEAD-' || c_custkey AS lead_id,
+               'F' || c_custkey AS first_name,
+               c_name AS last_name,
+               'cust' || c_custkey || '@example.com' AS email,
+               '555-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS phone,
+               CAST(1990 + c_custkey % 10 AS VARCHAR) AS vehicle_year,
+               'MAKE' || (c_custkey % 5) AS vehicle_make,
+               'MODEL' || (c_custkey % 3) AS vehicle_model,
+               CASE WHEN c_custkey % 3 = 0 THEN 'sess_' || c_custkey END AS session_id
+        FROM customer
+    """,
+    tags=("udf", "xml"),
+))
+
+
+def q_st7_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7: GDPR retention sweep — expire rows older than the cutoff.
+
+    The reference deletes unmatched sessions past 2 years
+    (database-schema.sql:364-380); here the window is 14 days before the
+    fixed as-of so both branches are populated. Output reports what a
+    filtered-rewrite would keep vs drop per event type (A2 conditional
+    counts), with the newest surviving day as an audit column.
+    """
+    e = _t(spark, sf, "events")
+    cutoff = F.to_timestamp(
+        F.date_sub(F.to_date(F.lit(EVENTS_AS_OF)), 14)
+    )
+    keep = F.col("ts") >= cutoff
+    return e.groupBy("event_type").agg(
+        F.count(F.when(keep, 1)).alias("n_retained"),
+        F.count(F.when(~keep, 1)).alias("n_expired"),
+        F.max(F.when(keep, F.to_date("ts"))).alias("newest_retained_day"),
+    )
+
+
+_register(QuerySpec(
+    name="st7_retention",
+    survey="ST7,A2,F12",
+    build=q_st7_retention,
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{{EVENTS_AS_OF}}' - INTERVAL 14 DAY)
+                 AS n_retained,
+               COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{{EVENTS_AS_OF}}' - INTERVAL 14 DAY)
+                 AS n_expired,
+               MAX(CASE WHEN ts >= TIMESTAMP '{{EVENTS_AS_OF}}' - INTERVAL 14 DAY
+                        THEN CAST(ts AS DATE) END) AS newest_retained_day
+        FROM events GROUP BY event_type
+    """.replace("{EVENTS_AS_OF}", EVENTS_AS_OF),
+    tags=("retention",),
+))
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions: embedding near-dup + IVF ANN
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+    list_aggregate(list_transform(list_zip(
+        list_transform({a}, x -> CAST(x AS DOUBLE)),
+        list_transform({b}, x -> CAST(x AS DOUBLE))),
+      p -> p[1] * p[2]), 'sum')
+    / (sqrt(list_aggregate(list_transform({a},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform({b},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+def q_x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Pair enumeration is an equi self-join on the block key (here the label
+    column; at scale an IVF cell or LSH bucket) — never an unblocked cross
+    product. The synthetic embeddings are not clustered tightly, so the
+    threshold is 0.30 (top ~1% of within-block pairs) to keep the check
+    non-vacuous.
+    """
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.30, block_col="label")
+
+
+_register(QuerySpec(
+    name="x_dedup_embed",
+    survey="north-star: embedding-cosine near-dup",
+    build=q_x_dedup_embed,
+    oracle=f"""
+        SELECT a_id, b_id, score FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE score >= 0.30
+    """,
+    tags=("dedup", "embedding"),
+))
+
+
+def q_x_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: fixed coarse centroids, corpus bucketed by nearest
+    cell, queries probe their 2 nearest cells. Deterministic (centroids are
+    the first 8 vectors, no trained state) and therefore oracle-checkable,
+    unlike the sign-LSH path whose recall is asserted in tests instead.
+    """
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, centroids, k=10, nprobe=2)
+
+
+_register(QuerySpec(
+    name="x_sim_ivf",
+    survey="north-star: ANN IVF",
+    build=q_x_sim_ivf,
+    oracle=f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8
+        ), corpus_assign AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     {_COS_SQL.format(a="e.embedding", b="c.cvec")} DESC,
+                     c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1
+        ), probes AS (
+          SELECT query_id, embedding, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_COS_SQL.format(a="q.embedding", b="c.cvec")} DESC,
+                     c.centroid_id ASC) AS rn
+            FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+          WHERE rn <= 2
+        ), scored AS (
+          SELECT p.query_id, a.vec_id,
+                 ROUND({_COS_SQL.format(a="a.embedding", b="p.embedding")}, 4) AS score
+          FROM corpus_assign a JOIN probes p USING (centroid_id)
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+    """,
+    tags=("similarity", "ivf"),
 ))
 
 

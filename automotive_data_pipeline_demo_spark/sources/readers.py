@@ -41,17 +41,35 @@ def read_csv_typed(
     ``cast_map`` = {column: spark type}; columns absent from the file become
     NULL of the requested type (schema evolution tolerance). Permissive mode
     captures malformed rows in ``_corrupt_record`` instead of dropping them.
+
+    Spark only populates the corrupt-record column when it is declared in an
+    explicit schema, so the read is two-phase: a header-only pass discovers
+    the column names (no data scan — inferSchema stays off), then the real
+    scan applies an all-string schema + the corrupt column. The extra pass
+    touches one file header, not data, so it is scale-free.
     """
+    base_opts = dict(
+        header=header,
+        sep=sep,
+        quote=quote,
+        escape='"',
+        recursiveFileLookup=recursive,
+    )
+    names = [
+        c for c in spark.read.options(**base_opts).csv(path).columns
+        if c != CORRUPT_COL
+    ]
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    if keep_corrupt:
+        schema = schema.add(CORRUPT_COL, T.StringType(), True)
     raw = (
         spark.read.options(
-            header=header,
-            sep=sep,
-            quote=quote,
-            escape='"',
-            recursiveFileLookup=recursive,
+            **base_opts,
             mode="PERMISSIVE",
             columnNameOfCorruptRecord=CORRUPT_COL,
-        ).csv(path)
+        )
+        .schema(schema)
+        .csv(path)
     )
     cols = []
     for name, dtype in cast_map.items():

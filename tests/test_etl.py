@@ -121,3 +121,18 @@ def test_adf_parsing(spark):
     assert ok["parse_error"] is None
     assert out[1]["parse_error"] and out[1]["parse_error"].startswith("xml")
     assert out[2]["parse_error"] == "empty"
+
+
+def test_csv_typed_corrupt_capture(spark, tmp_path):
+    """S1 PERMISSIVE mode: malformed rows land in _corrupt_record instead of
+    being dropped (the reference's optimizePerformance=False 'quality over
+    speed' contract, glue_vehicle_sales_etl.py:59)."""
+    p = tmp_path / "in.csv"
+    p.write_text('dealno,price\nD1,100.5\n"D2,not-a-number-and-unclosed\nD3,7\n')
+    df = read_csv_typed(
+        spark, str(p), {"dealno": "string", "price": "double"}, recursive=False
+    )
+    rows = {r["dealno"]: r for r in df.collect()}
+    assert rows["D1"]["price"] == 100.5
+    corrupt = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    assert corrupt, "malformed row was silently dropped"

@@ -142,3 +142,50 @@ def test_multimodal_decode_stub_plumbing(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ms"])
     assert by_id[2] == [0, 1000, 2000, 3000]  # 3.5 s video -> 4 sampled frames
     assert by_id[1] == [0]                    # no duration -> single frame
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    """IVF with nprobe=2 of 8 cells must beat the random-scan floor by a wide
+    margin (structural recall < 1 is expected; vacuous recall is a bug)."""
+    from pyspark.sql import functions as F
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(embeddings, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(embeddings, queries, centroids, k=10, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/n_cells = 1/4 of the corpus scanned; random floor ~0.25
+    assert recall >= 0.30, f"IVF recall {recall} at or below the random floor"
+
+
+def test_embedding_near_dup_pairs_ordering(spark, embeddings):
+    """Pairs are canonical (a_id < b_id), deduplicated, and symmetric-safe."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=0.30, block_col="label"
+    ).collect()
+    assert pairs, "threshold too high: vacuous result"
+    seen = set()
+    for r in pairs:
+        assert r.a_id < r.b_id
+        assert (r.a_id, r.b_id) not in seen
+        seen.add((r.a_id, r.b_id))
+        assert r.score >= 0.30

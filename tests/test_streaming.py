@@ -264,3 +264,38 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     batch_pairs = [(r["user_id"], r["n_events"]) for r in batch_out]
     for pair in [(r["user_id"], r["n_events"]) for r in stream_rows]:
         assert pair in batch_pairs
+
+
+# ------------------------------------------------------------ S7/O5 batching
+
+def test_post_events_http_batches(spark, tmp_path):
+    """O5: the HTTP sink slices each partition into <=batch_size batches and
+    delivers every event exactly once (per attempt)."""
+    from automotive_data_pipeline_demo_spark.sources.sinks import post_events_http
+
+    events = spark.range(0, 257).select(
+        F.struct(
+            F.concat(F.lit("m"), F.col("id")).alias("messageId"),
+            F.lit("track").alias("type"),
+        ).alias("event")
+    ).repartition(2)
+
+    outdir = tmp_path / "batches"
+    outdir.mkdir()
+
+    def capture(url: str, batch: list[str]) -> None:
+        # executor-side in local mode shares the FS; one file per batch
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        p = outdir / f"{_os.getpid()}_{_uuid.uuid4().hex}.json"
+        p.write_text(_json.dumps(batch))
+
+    post_events_http(events, "http://unused", batch_size=100, post_fn=capture)
+
+    import json
+    batches = [json.loads(f.read_text()) for f in outdir.iterdir()]
+    assert all(len(b) <= 100 for b in batches), "batch size cap violated"
+    ids = [json.loads(e)["messageId"] for b in batches for e in b]
+    assert len(ids) == 257 and len(set(ids)) == 257
