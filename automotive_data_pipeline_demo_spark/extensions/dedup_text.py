@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import tokenize
@@ -60,22 +60,38 @@ def minhash_signatures(
 
     Each of the ``num_hashes`` "permutations" is a salted md5 — min over the
     shingle set approximates the Jaccard-similarity-preserving min-permutation.
-    Runs as explode + groupBy (partial agg combines map-side).
+
+    All ``num_hashes`` mins are computed in ONE groupBy(id): each shingle row
+    carries the k salted hashes as columns, so the shuffle moves the shingle
+    rows once (with map-side partial mins), not k× exploded copies — at
+    100 TB that is a k-fold cut in shuffle bytes. The (id, hash_idx,
+    min_hash) long shape is restored by a narrow post-agg explode.
     """
     shingled = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    salted = shingled.select(
-        "id",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("hash_idx"),
-        F.col("shingle"),
-    ).select(
-        "id",
-        "hash_idx",
-        F.md5(F.concat_ws("|", F.col("hash_idx").cast("string"), F.col("shingle"))).alias("h"),
+    mins = shingled.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return salted.groupBy("id", "hash_idx").agg(F.min("h").alias("min_hash"))
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"), F.col(f"__h{i}").alias("min_hash")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("__sig"),
+    ).select("id", "__sig.hash_idx", "__sig.min_hash")
 
 
 def minhash_candidate_pairs(
@@ -133,33 +149,54 @@ def ngram_jaccard_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct()
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    pair_src = (
-        candidates
-        if candidates is not None
-        else shingles.alias("x")
-        .join(shingles.alias("y"), "shingle")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-
-    inter = (
-        shingles.alias("sa")
-        .join(pair_src.alias("p"), F.col("sa.id") == F.col("p.id_a"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("sb.id") == F.col("p.id_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
+    if candidates is not None:
+        # sparse verification path: intersect only candidate pairs, then
+        # attach set sizes (planner auto-broadcasts when the sizes side is
+        # small; no forced hint — at 100 TB sizes is one row per doc and a
+        # shuffle join is the correct physical choice).
+        sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        inter = (
+            shingles.alias("sa")
+            .join(candidates.alias("p"), F.col("sa.id") == F.col("p.id_a"))
+            .join(
+                shingles.alias("sb"),
+                (F.col("sb.id") == F.col("p.id_b"))
+                & (F.col("sb.shingle") == F.col("sa.shingle")),
+            )
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        scored = inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b")),
+            "id_b",
+        )
+    else:
+        # intersections straight off shingle co-occurrence: one self-join on
+        # shingle (the exchange is reused for both sides) + one pair groupBy.
+        # No materialized pair list, no re-join — pairs with zero common
+        # shingles never exist, so the fan-out is bounded by shingle
+        # document frequency (cap hot shingles upstream at true scale).
+        # Set sizes ride along as a window column, so no sizes join at all.
+        sized = shingles.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
+        scored = (
+            sized.alias("x")
+            .join(sized.alias("y"), "shingle")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.first("x.sz").alias("size_a"),
+                F.first("y.sz").alias("size_b"),
+            )
+        )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")

@@ -160,34 +160,41 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine).
 
-    The centroid table is broadcast (coarse quantizers are tiny — hundreds
-    to thousands of cells even for billion-vector corpora), so assignment is
-    a narrow map over the corpus: no shuffle until the caller groups by cell.
-    Ties break on centroid id for determinism. Output: (id_col, vec_col,
-    centroid_id, rank) with rank in [1, nprobe].
+    The centroid table is collected to the driver and inlined as array
+    literals (coarse quantizers are tiny — hundreds to thousands of cells
+    even for billion-vector corpora), so assignment is a pure narrow map
+    over the corpus: per row, score every centroid in one codegen'd
+    expression, sort the (sim, centroid) structs, take the top ``nprobe``.
+    NO shuffle, NO window, NO join — the corpus is touched exactly once.
+    Ties break on centroid id asc for determinism. Output: (id_col,
+    vec_col, centroid_id, rank) with rank in [1, nprobe].
     """
-    scored = vectors.select(
-        F.col(id_col), F.col(vec_col)
-    ).join(
-        F.broadcast(
-            centroids.select(
-                F.col(centroid_id_col).alias("centroid_id"),
-                F.col(centroid_vec_col).alias("__cent_vec"),
+    cents = [
+        (int(r["__cid"]), [float(x) for x in r["__cvec"]])
+        for r in centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(centroid_vec_col).alias("__cvec"),
+        ).collect()
+    ]
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity_col(F.col(vec_col), F.lit(cvec)).alias("sim"),
+                # negative id: sort desc then gives centroid-id-ASC tiebreak
+                F.lit(-cid).alias("ncid"),
             )
-        )
-    ).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine_similarity_col(F.col(vec_col), F.col("__cent_vec")).alias("__csim"),
+            for cid, cvec in cents
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__csim").desc(), F.col("centroid_id").asc()
-    )
+    top = F.slice(F.sort_array(sims, asc=False), 1, nprobe)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= nprobe)
-        .drop("__csim")
+        vectors.select(F.col(id_col), F.col(vec_col), F.posexplode(top))
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("col.ncid")).alias("centroid_id"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )
 
 
