@@ -299,3 +299,49 @@ def test_post_events_http_batches(spark, tmp_path):
     assert all(len(b) <= 100 for b in batches), "batch size cap violated"
     ids = [json.loads(e)["messageId"] for b in batches for e in b]
     assert len(ids) == 257 and len(set(ids)) == 257
+
+
+# ------------------------------------------------- custom stateful operator
+
+def test_running_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState running totals: after the stream drains, the
+    last update per key equals the batch groupBy — an incrementally
+    maintained aggregate (A10's LTV, kept live)."""
+    from automotive_data_pipeline_demo_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    rows = [
+        Row(custkey=1, amount=10.0), Row(custkey=2, amount=5.0),
+        Row(custkey=1, amount=2.5),
+    ]
+    later = [Row(custkey=1, amount=7.5), Row(custkey=3, amount=1.0)]
+    src = tmp_path / "orders_stream"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(later).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("custkey long, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    updates: list = []
+
+    def sink(batch_df, batch_id):
+        updates.extend(batch_df.collect())
+
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {}
+    for r in updates:  # later updates overwrite earlier ones per key
+        final[r["custkey"]] = (r["n_orders"], r["lifetime_value"])
+    assert final == {1: (3, 20.0), 2: (1, 5.0), 3: (1, 1.0)}
