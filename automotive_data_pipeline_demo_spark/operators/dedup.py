@@ -78,20 +78,28 @@ def primary_relationship(
     entity_key: str,
     group_key: str,
     order_agg: dict[str, Column] | None = None,
+    single_shuffle: bool = True,
 ) -> DataFrame:
     """Pick each entity's "primary" group: most rows, then most recent (A4+W4).
 
     Returns one row per entity with ``group_key``, ``transaction_count`` and
-    any extra aggregates from ``order_agg`` (name -> agg Column). The rank
-    runs over the *aggregated* rows (tiny vs the input), so the expensive
-    shuffle is the partial-aggregated groupBy, not the window.
+    any extra aggregates from ``order_agg`` (name -> agg Column).
+
+    With ``single_shuffle`` (default) the input is pre-partitioned on
+    ``entity_key`` alone: hashpartitioning(entity) satisfies both the
+    two-key groupBy's clustering AND the window's partitioning, so the whole
+    operator runs in ONE exchange of raw rows. Set it False when rows per
+    (entity, group) are huge — then the classic plan (partial-aggregated
+    groupBy shuffle + window re-shuffle of the tiny aggregate) moves fewer
+    bytes despite the second exchange.
     """
     aggs = [F.count(F.lit(1)).alias("transaction_count")]
     extra_names: list[str] = []
     for name, col in (order_agg or {}).items():
         aggs.append(col.alias(name))
         extra_names.append(name)
-    grouped = df.groupBy(entity_key, group_key).agg(*aggs)
+    src = df.repartition(entity_key) if single_shuffle else df
+    grouped = src.groupBy(entity_key, group_key).agg(*aggs)
     order = [F.col("transaction_count").desc()]
     order += [F.col(n).desc() for n in extra_names]
     order += [F.col(group_key).asc()]  # deterministic tiebreak
