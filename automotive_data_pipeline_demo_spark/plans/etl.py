@@ -58,6 +58,12 @@ VEHICLE_SALES_CAST: Mapping[str, str] = {
     "trade1year": "string",
     "trade1makename": "string",
     "trade1modelname": "string",
+    "leasetype": "string",
+    "leasepayment": "decimal(18,2)",
+    "leasemileageallowance": "decimal(18,2)",
+    "leaseendvalue": "decimal(18,2)",
+    "warrantyfee": "decimal(18,2)",
+    "weowesaletotal": "decimal(18,2)",
     "crmsalesmgrname": "string",
     "crmsp1name": "string",
     "contractdate": "timestamp",
