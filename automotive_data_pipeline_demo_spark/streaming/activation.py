@@ -81,14 +81,23 @@ def emit_new_events(
     if end_date:
         windowed = windowed.filter(F.col(date_col) <= F.lit(end_date))
     events = build_track_events(windowed, date_col=date_col)
-    try:
+    if _state_exists(spark, state_path):
         processed = spark.read.parquet(state_path).select("message_id")
         events = events.join(processed, "message_id", "left_anti")
-    except Exception:
-        pass  # no state yet -> everything is new
+    # no state yet -> everything is new
     if limit:
         events = events.orderBy(F.col("deal_number").asc()).limit(limit)
     return events
+
+
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local, HDFS, and object stores;
+    avoids the try/read/except pattern that logs a Java stack trace on every
+    cold start)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def mark_processed(spark: SparkSession, events: DataFrame, state_path: str) -> None:
