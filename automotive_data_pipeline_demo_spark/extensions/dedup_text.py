@@ -216,6 +216,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     position j. Token hash = first 8 md5 hex chars -> 32-bit int (conv is a
     JVM builtin). Near-dups then cluster by Hamming distance on the
     fingerprint (compare via xor + bit_count downstream).
+
+    All ``bits`` majority votes run in ONE groupBy(id): each token row
+    carries its 32 bit-votes as columns with map-side partial sums, so the
+    shuffle moves token rows once — not bits× exploded copies (the same
+    k-fold shuffle cut as minhash_signatures).
     """
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -225,22 +230,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         "id",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    bit = hashed.select(
-        "id",
-        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
-        F.col("h"),
-    ).select(
-        "id",
-        "bit",
-        # shiftright's python signature wants a literal shift; the SQL form
-        # takes any expression
-        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"__v{j}")
+            for j in range(bits)
+        ]
     )
-    votes = bit.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))
