@@ -75,6 +75,13 @@ EVENTS_AS_OF = "2024-02-01"   # events span 2024-01
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller may hand us any session (the driver builds its own); pin the
+    # runtime-settable confs the catalog's semantics depend on. Spark 4
+    # defaults ANSI on; the reference's contract is permissive casts
+    # (bad string -> NULL, glue ApplyMapping behavior), and the DuckDB
+    # oracle compares naive-UTC timestamps.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as long and convert to micros.
