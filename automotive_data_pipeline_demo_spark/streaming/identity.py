@@ -84,20 +84,29 @@ def resolve_identities_batch(
         "session_first_seen",
     )
 
-    # tier 2: contact fallback for leads tier 1 missed (email OR phone equal,
-    # within the window)
+    # tier 2: contact fallback for leads tier 1 missed. The reference's
+    # "email OR phone" predicate is deliberately split into TWO equi-joins
+    # united afterwards: an OR of equalities has no single join key, so
+    # Spark would plan a CartesianProduct — a non-starter at scale. Each
+    # branch hash/sort-merge-joins on its key; _best_match_per_lead then
+    # collapses multi-branch hits to the nearest session, which is exactly
+    # the OR-join's semantics.
     unmatched = l.join(t1_best.select("lead_id"), "lead_id", "left_anti")
-    contact_cond = (
-        (F.col("l_email").isNotNull() & (F.col("l_email") == F.col("v_email")))
-        | (F.col("l_phone").isNotNull() & (F.col("l_phone") == F.col("v_phone")))
+    time_ok = (
+        F.abs(F.unix_micros("lead_submitted_at") - F.unix_micros("session_first_seen"))
+        <= win_us
     )
-    t2 = unmatched.join(
-        v,
-        contact_cond
-        & (F.abs(F.unix_micros("lead_submitted_at") - F.unix_micros("session_first_seen"))
-           <= win_us),
+    t2_email = unmatched.filter(F.col("l_email").isNotNull()).join(
+        v.filter(F.col("v_email").isNotNull()),
+        (F.col("l_email") == F.col("v_email")) & time_ok,
         "inner",
     )
+    t2_phone = unmatched.filter(F.col("l_phone").isNotNull()).join(
+        v.filter(F.col("v_phone").isNotNull()),
+        (F.col("l_phone") == F.col("v_phone")) & time_ok,
+        "inner",
+    )
+    t2 = t2_email.unionByName(t2_phone)
     t2_best = _best_match_per_lead(t2).select(
         "lead_id", "visitor_id",
         F.lit("email_phone").alias("match_method"),
