@@ -137,6 +137,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
 
@@ -144,11 +145,28 @@ def ngram_jaccard_pairs(
     the 100 TB path (LSH candidates in, verified pairs out). Without, the
     pair space comes from co-occurring shingles (still no full cross join:
     docs sharing zero shingles never pair).
+
+    ``max_doc_freq`` caps the self-join fan-out: a shingle present in d
+    docs yields d(d-1)/2 pairs, so one boilerplate shingle in a million
+    docs is 5e11 pairs. Dropping shingles with document frequency above
+    the cap bounds the worst case; Jaccard is then computed over the capped
+    shingle universe (intersections AND set sizes both exclude dropped
+    shingles, so the ratio stays meaningful). Pairs sharing ONLY
+    ultra-common boilerplate stop pairing — which near-dup thresholds
+    would reject anyway. None = exact (the oracle-checked default;
+    mandatory knob at 100 TB).
     """
     shingles = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).distinct()
+    if max_doc_freq is not None:
+        df_w = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("__df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
 
     if candidates is not None:
         # sparse verification path: intersect only candidate pairs, then

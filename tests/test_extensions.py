@@ -189,3 +189,34 @@ def test_embedding_near_dup_pairs_ordering(spark, embeddings):
         assert (r.a_id, r.b_id) not in seen
         seen.add((r.a_id, r.b_id))
         assert r.score >= 0.30
+
+
+def test_jaccard_doc_freq_cap(spark):
+    """max_doc_freq drops boilerplate shingles: pairs sharing only an
+    ultra-common shingle disappear, genuinely-similar pairs survive."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "click here to unsubscribe from"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),   # true near-dup of 1
+        (3, f"totally different words entirely here {boiler}"),
+        (4, f"another unrelated document body text {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_doc_freq=2)
+
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in capped_pairs               # real near-dup survives
+    assert (3, 4) in exact_pairs                # boilerplate-only pair, uncapped
+    assert (3, 4) not in capped_pairs           # dropped by the cap
+    # capped scores for surviving pairs are computed over the capped universe
+    s = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert s[(1, 2)] == 1.0
