@@ -261,3 +261,72 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("id", fingerprint.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair graph: (id, component) with
+    component = the smallest id reachable through pairs.
+
+    Min-label propagation: each round every vertex takes the min of its own
+    and its neighbors' labels — one equi-join + one groupBy per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow; boilerplate megaclusters should be capped upstream via
+    max_doc_freq / banding). Convergence is detected from sum(label), which
+    strictly decreases until fixpoint — one scalar action per round, no
+    row-level diff. Labels are localCheckpointed each round to stop lineage
+    growth; on a cluster, prefer a checkpoint dir for fault tolerance.
+
+    Output covers every id that appears in ``pairs`` (singletons never enter
+    a pair and are their own implicit component).
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        cand = labels.unionByName(
+            edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "label"
+            )
+        )
+        labels = cand.groupBy("id").agg(F.min("label").alias("label")).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Drop all but one document per duplicate cluster (the smallest id —
+    deterministic, re-runnable). Documents in no pair survive untouched.
+    """
+    comps = connected_components(pairs, a_col, b_col)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
+    )

@@ -41,6 +41,7 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
     url_query_param,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    connected_components,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
@@ -2103,6 +2104,44 @@ _register(QuerySpec(
         WHERE score >= 0.30
     """,
     tags=("dedup", "embedding"),
+))
+
+
+def q_x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation) over
+    the embedding near-dup pair graph. The oracle re-derives the same
+    components with a recursive CTE (transitive min-reachability), so the
+    iterative Spark algorithm is checked end-to-end against declarative SQL.
+    """
+    emb = _t(spark, sf, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.30, block_col="label")
+    return connected_components(pairs)
+
+
+_register(QuerySpec(
+    name="x_dedup_clusters",
+    survey="north-star: duplicate clustering (connected components)",
+    build=q_x_dedup_clusters,
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a_id, b_id FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE score >= 0.30
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+    """,
+    tags=("dedup", "clustering"),
 ))
 
 

@@ -220,3 +220,25 @@ def test_jaccard_doc_freq_cap(spark):
     # capped scores for surviving pairs are computed over the capped universe
     s = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert s[(1, 2)] == 1.0
+
+
+def test_connected_components_and_dedup_corpus(spark):
+    """Min-label propagation finds transitive duplicate clusters; dedup
+    keeps exactly one doc (smallest id) per cluster plus all singletons."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        connected_components,
+        dedup_corpus,
+    )
+
+    # chain 1-2-3 (transitive: 1~2, 2~3 but never 1~3), pair 7-9, singleton 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 7)], "a_id long, b_id long"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs, "doc_id").collect())
+    assert kept == [1, 5, 7]  # cluster reps 1 and 7, singleton 5
