@@ -330,3 +330,37 @@ def dedup_corpus(
     return df.join(
         losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
     )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The full near-dup pipeline in one call: MinHash-LSH candidates ->
+    exact Jaccard verification -> connected-components clustering -> drop
+    all but the smallest id per cluster.
+
+    This is the 100 TB shape end to end: candidate generation is a band
+    bucket join (no pair blowup), verification touches only candidates,
+    clustering is O(diameter) rounds over the (small) verified-pair graph,
+    and the final drop is one anti-join against the loser set.
+    """
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, band_size, shingle_n
+    )
+    verified = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        candidates=candidates,
+        max_doc_freq=max_doc_freq,
+    )
+    return dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b")

@@ -242,3 +242,28 @@ def test_connected_components_and_dedup_corpus(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs, "doc_id").collect())
     assert kept == [1, 5, 7]  # cluster reps 1 and 7, singleton 5
+
+
+def test_near_dup_dedup_pipeline(spark):
+    """One-call pipeline: LSH candidates -> Jaccard verify -> cluster ->
+    drop. Exact copies and light edits collapse; distinct docs survive."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        near_dup_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact copy of 1
+        (3, base + " today"),                        # light edit of 1
+        (4, "completely different content about spark catalyst planning"),
+        (5, "yet another unrelated document mentioning parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in near_dup_dedup(df, "doc_id", "text", threshold=0.5).collect())
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept            # exact dup always collapses
+    assert kept == [1, 4, 5] or kept == [1, 3, 4, 5]  # 3 depends on banding luck
+    # deterministic: same result on re-run
+    kept2 = sorted(r["doc_id"] for r in near_dup_dedup(df, "doc_id", "text", threshold=0.5).collect())
+    assert kept == kept2

@@ -1,0 +1,87 @@
+"""Plan-shape regression guards. Value tests can't catch a silent
+CartesianProduct or a doubled shuffle — these assert the physical plans the
+scale design depends on (the identity-fallback cartesian was exactly this
+class of bug)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+_SPECS = {s.name: s for s in CATALOG}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("flagship_segments", 1),
+        ("j2_w4_primary_priority", 1),
+        ("x_sim_ivf", 1),
+        ("x_dedup_simhash", 1),
+        ("x_dedup_minhash", 2),
+        ("x_dedup_jaccard", 4),
+    ],
+)
+def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    plan = _plan(_SPECS[name].build(spark, sf_dir))
+    assert _shuffles(plan) <= max_shuffles, plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """No catalog plan may contain a cartesian product; nested-loop joins
+    only where designed (brute-force ANN broadcasts the tiny query side)."""
+    allowed_bnlj = {"x_sim_bruteforce"}
+    for spec in CATALOG:
+        plan = _plan(spec.build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, spec.name
+        if spec.name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, spec.name
+
+
+def test_identity_fallback_not_cartesian(spark):
+    from automotive_data_pipeline_demo_spark.streaming.identity import (
+        resolve_identities_batch,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = spark.createDataFrame(
+            [(1, "s1", "a@b.co", "555", datetime(2025, 1, 1, 10))],
+            "visitor_id long, session_id string, email string, phone string,"
+            " first_seen timestamp",
+        )
+        l = spark.createDataFrame(
+            [(10, None, "a@b.co", None, datetime(2025, 1, 1, 11))],
+            "lead_id long, session_id string, email string, phone string,"
+            " lead_submitted_at timestamp",
+        )
+        plan = _plan(resolve_identities_batch(v, l))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_scan_pruning_reaches_parquet(spark, sf_dir):
+    """p2's filter+projection must reach the scan: pruned ReadSchema and
+    pushed filters, not a read-everything-then-filter plan."""
+    plan = _plan(_SPECS["p2_quality_filter"].build(spark, sf_dir))
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull" in scan.split("PushedFilters:")[1][:200]
+    read_schema = scan.split("ReadSchema:")[1][:400]
+    assert "l_comment" not in read_schema  # untouched wide column pruned
