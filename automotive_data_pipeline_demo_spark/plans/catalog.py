@@ -44,6 +44,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     connected_components,
     exact_dedup,
     minhash_candidate_pairs,
+    near_dup_dedup,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -2142,6 +2143,29 @@ _register(QuerySpec(
         SELECT id, MIN(lab) AS component FROM reach GROUP BY id
     """,
     tags=("dedup", "clustering"),
+))
+
+
+def q_x_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed near-dup pipeline (LSH candidates -> Jaccard verify ->
+    cluster -> drop losers) over documents. Banding recall makes the kept
+    set algorithm-defined rather than SQL-derivable, so this is a rows-only
+    check; every stage inside it is oracle-checked individually
+    (x_dedup_minhash, x_dedup_jaccard, x_dedup_clusters) and the pipeline's
+    idempotence is asserted in tests.
+    """
+    docs = _t(spark, sf, "documents")
+    return near_dup_dedup(docs, "doc_id", "text", threshold=0.8).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_pipeline",
+    survey="north-star: end-to-end near-dup dedup pipeline",
+    build=q_x_dedup_pipeline,
+    oracle=None,
+    tags=("dedup", "pipeline"),
 ))
 
 
