@@ -122,3 +122,22 @@ def doc_fingerprint(text: Column | str) -> Column:
     """
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text))))
     return F.md5(canon)
+
+
+def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Rabin-Karp rolling hash over the printable-ASCII characters of a doc.
+
+    A polynomial content fingerprint (h = h*base + code mod p) — the
+    incremental-update form used for chunk-level dedup and content-defined
+    chunking. Pure JVM fold (aggregate over the char array), no UDF.
+    Non-printable/ASCII-external chars are stripped first so the hash is
+    stable across encodings; empty docs hash to 0.
+    """
+    c = _c(text)
+    clean = F.regexp_replace(c, r"[^ -~]", "")
+    chars = F.filter(F.split(clean, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

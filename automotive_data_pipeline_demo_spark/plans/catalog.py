@@ -67,6 +67,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
     quality_score,
+    rolling_fingerprint,
     token_count_bpe,
     token_count_ws,
     tokenize,
@@ -2143,6 +2144,35 @@ _register(QuerySpec(
         SELECT id, MIN(lab) AS component FROM reach GROUP BY id
     """,
     tags=("dedup", "clustering"),
+))
+
+
+def q_x_text_rollhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (polynomial content
+    hash, the chunk-dedup primitive) — a pure JVM fold, no UDF; the oracle
+    re-computes the identical fold with DuckDB list_reduce.
+    """
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("rollhash"))
+
+
+_register(QuerySpec(
+    name="x_text_rollhash",
+    survey="north-star: rolling-hash document fingerprinting",
+    build=q_x_text_rollhash,
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     list_filter(
+                       string_split_regex(regexp_replace(text, '[^ -~]', '', 'g'), ''),
+                       ch -> ch <> ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS rollhash
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
 ))
 
 
