@@ -110,6 +110,14 @@ def sign_lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def _flip_bit(bucket: Column, pos: int) -> Column:
+    """Bucket string with the bit at ``pos`` flipped (multi-probe neighbor)."""
+    flipped = F.when(F.substring(bucket, pos + 1, 1) == "1", "0").otherwise("1")
+    return F.concat(
+        F.substring(bucket, 1, pos), flipped, F.substring(bucket, pos + 2, 32767)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,6 +126,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: score only pairs sharing a sign-LSH bucket.
 
@@ -125,22 +134,40 @@ def lsh_bucketed_topk(
     The equi-join on bucket replaces the cross product — at scale this is
     the difference between a broadcast-everything scan and a co-partitioned
     join on a 2^n_planes-way key.
+
+    ``multi_probe`` > 0 additionally probes, per query, every bucket at
+    Hamming distance 1 over the first ``multi_probe`` planes (vectors near a
+    hyperplane land on either side — flipping low-confidence bits recovers
+    them). Probing multiplies only the broadcast QUERY side by
+    (1 + multi_probe); the corpus is still hashed once. Recall rises
+    monotonically with multi_probe at proportional scoring cost.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    base_bucket = sign_lsh_bucket(F.col(vec_col), n_planes)
+    probe_buckets = F.array_distinct(
+        F.array(
+            base_bucket,
+            *[_flip_bit(base_bucket, p) for p in range(min(multi_probe, n_planes))],
+        )
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        F.explode(probe_buckets).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
         F.round(cosine_similarity_col(F.col("c_vec"), F.col("q_vec")), 4).alias("score"),
     )
+    if multi_probe > 0:
+        # a pair can co-occur in several probed buckets; dedup before
+        # ranking (extra shuffle only on the probing path)
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))

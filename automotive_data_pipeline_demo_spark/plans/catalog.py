@@ -34,6 +34,7 @@ from automotive_data_pipeline_demo_spark.operators import (
     sequence_number,
 )
 from automotive_data_pipeline_demo_spark.operators.classify import recency_bucket
+from automotive_data_pipeline_demo_spark.operators.scale import salted_groupby_sum
 from automotive_data_pipeline_demo_spark.functions.scalars import (
     iso8601_noon,
     message_id,
@@ -534,17 +535,15 @@ def q_a3_ordered_distinct(spark: SparkSession, sf: str) -> DataFrame:
     engines hash the same value.
     """
     o = _t(spark, sf, "orders")
-    arr = ordered_distinct_array(
-        F.col("o_orderpriority"), F.max(F.to_date("o_orderdate")).alias("latest")
-    )
-    # aggregate per (custkey, priority) first for exact first-occurrence
-    # semantics: each value ordered by ITS latest date
-    per_val = o.groupBy("o_custkey", "o_orderpriority").agg(
-        F.max(F.to_date("o_orderdate")).alias("latest")
-    )
-    return per_val.groupBy("o_custkey").agg(
+    # ONE shuffle: ordered_distinct_array over raw rows keeps each value at
+    # its max date (first occurrence after the sort), identical to the
+    # per-value-max two-stage formulation but without the extra exchange.
+    return o.groupBy("o_custkey").agg(
         F.array_join(
-            ordered_distinct_array(F.col("o_orderpriority"), F.col("latest")), ","
+            ordered_distinct_array(
+                F.col("o_orderpriority"), F.to_date("o_orderdate")
+            ),
+            ",",
         ).alias("priorities")
     )
 
@@ -2144,6 +2143,34 @@ _register(QuerySpec(
         SELECT id, MIN(lab) AS component FROM reach GROUP BY id
     """,
     tags=("dedup", "clustering"),
+))
+
+
+def q_scale_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: hot group keys fan out over a
+    deterministic hash salt, partials re-aggregate by key. Result must be
+    exactly the plain GROUP BY (sums are algebraic) — which is what the
+    oracle checks.
+    """
+    li = _t(spark, sf, "lineitem").withColumn(
+        "l_quantity", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_groupby_sum(li, ["l_returnflag"], ["l_quantity"], n_salts=16)
+    return out.select(
+        "l_returnflag", F.col("sum_l_quantity").cast("double").alias("sum_qty")
+    )
+
+
+_register(QuerySpec(
+    name="scale_salted_agg",
+    survey="scale: deterministic skew salting",
+    build=q_scale_salted_agg,
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("scale", "skew"),
 ))
 
 

@@ -29,6 +29,7 @@ def _shuffles(plan: str) -> int:
     "name,max_shuffles",
     [
         ("flagship_segments", 1),
+        ("a3_ordered_distinct", 1),
         ("j2_w4_primary_priority", 1),
         ("x_sim_ivf", 1),
         ("x_dedup_simhash", 1),

@@ -345,3 +345,54 @@ def test_running_totals_stateful_stream(spark, tmp_path):
     for r in updates:  # later updates overwrite earlier ones per key
         final[r["custkey"]] = (r["n_orders"], r["lifetime_value"])
     assert final == {1: (3, 20.0), 2: (1, 5.0), 3: (1, 1.0)}
+
+
+# --------------------------------------- EP3 streaming twin (foreachBatch)
+
+def test_streaming_activation_exactly_once_across_batches(spark, tmp_path):
+    """ST2 as a stream: foreachBatch emits track events per micro-batch,
+    anti-joining the shared state table — a deal re-delivered in a later
+    batch (same message id) is not emitted twice."""
+    from automotive_data_pipeline_demo_spark.streaming.activation import (
+        emit_new_events,
+        mark_processed,
+    )
+
+    src = tmp_path / "sales_stream"
+    src.mkdir()
+    schema = (
+        "deal_number string, custno string, vin string, total_price double,"
+        " sale_date timestamp"
+    )
+    b1 = [("D1", "C1", "V1", 100.0, ts("2025-01-02T10:00")),
+          ("D2", "C2", "V2", 200.0, ts("2025-01-03T10:00"))]
+    # D2 re-delivered (same identity -> same message id) + one new deal
+    b2 = [("D2", "C2", "V2", 200.0, ts("2025-01-03T10:00")),
+          ("D3", "C3", "V3", 300.0, ts("2025-01-04T10:00"))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "state")
+    delivered: list = []
+
+    def activate(batch_df, batch_id):
+        ev = emit_new_events(batch_df.sparkSession, batch_df, state)
+        rows = ev.collect()
+        delivered.extend(rows)
+        if rows:
+            mark_processed(batch_df.sparkSession, ev, state)
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(activate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ids = [r["message_id"] for r in delivered]
+    assert len(ids) == 3 and len(set(ids)) == 3  # D2 delivered exactly once
+    deals = sorted(r["deal_number"] for r in delivered)
+    assert deals == ["D1", "D2", "D3"]
