@@ -2146,6 +2146,99 @@ _register(QuerySpec(
 ))
 
 
+def q_w_extended(spark: SparkSession, sf: str) -> DataFrame:
+    """Window surface beyond the reference's ROW_NUMBER-only usage (SURVEY
+    §2.5): rank, dense_rank, lag/lead, and a running-sum frame
+    (rowsBetween unbounded->current) — all free in Spark, exposed so a
+    reference user gains them without custom SQL.
+    """
+    o = _t(spark, sf, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.lag(F.to_date("o_orderdate"), 1).over(w_order).alias("prev_order_date"),
+        F.lead(F.to_date("o_orderdate"), 1).over(w_order).alias("next_order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+_register(QuerySpec(
+    name="w_extended",
+    survey="extension: rank/dense_rank/lag/lead/frames (beyond reference W1-W4)",
+    build=q_w_extended,
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               RANK() OVER w_price AS price_rank,
+               DENSE_RANK() OVER w_price AS price_dense_rank,
+               LAG(CAST(o_orderdate AS DATE), 1) OVER w_order AS prev_order_date,
+               LEAD(CAST(o_orderdate AS DATE), 1) OVER w_order AS next_order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM orders
+        WINDOW
+          w_price AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC),
+          w_order AS (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+    """,
+    tags=("window",),
+))
+
+
+def q_a_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-grain aggregate as a real ROLLUP (the reference's
+    match_analytics dual daily/hourly grain, database-schema.sql:196-229,
+    generalized): per (status, priority), per status, and grand total in one
+    pass, with GROUPING() flags distinguishing the grains.
+    """
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "g_status", "g_priority", "n_orders", "sum_price",
+        )
+    )
+
+
+_register(QuerySpec(
+    name="a_rollup",
+    survey="A9 (generalized): ROLLUP multi-grain with GROUPING flags",
+    build=q_a_rollup,
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+))
+
+
 def q_scale_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe two-stage aggregation: hot group keys fan out over a
     deterministic hash salt, partials re-aggregate by key. Result must be
