@@ -1,0 +1,88 @@
+"""As-of (point-in-time) join — the classic operator Spark lacks natively.
+
+Reference parity: J5's fallback contact match is an equi+time-proximity
+hybrid (identity-resolution/api-server.js:254-260); the general form — for
+every left row, the single latest right row with right_ts <= left_ts on the
+same key — is also the backbone of price/point-in-time lookups in any
+warehouse workload.
+
+Implementation is the scalable union trick, NOT a range join: tag both
+sides, union them, and run ONE window over (key, ts) taking the last
+non-null right payload at or before each left row. One shuffle on the key,
+O(n log n) per partition for the sort, zero pair blowup — a naive
+range-join (left x right WHERE r.ts <= l.ts) is quadratic per key and a
+QUALIFY/dedup afterwards; this never materializes the pairs at all.
+
+Ties on right_ts are broken by ``tiebreak`` (ascending; the LAST — i.e.
+greatest — tied row wins) so results are deterministic and oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right_ts <= left_ts`` sharing the ``on`` keys (NULLs when none).
+
+    ``right_cols`` are emitted with a ``matched_`` prefix (plus
+    ``matched_<right_ts>``). ``tiebreak`` orders tied right timestamps
+    (greatest wins); omit only when (on, right_ts) is unique.
+    """
+    on = list(on)
+    keep_right = [right_ts, *[c for c in right_cols if c != right_ts]]
+    payload = F.struct(*[F.col(c).alias(c) for c in keep_right])
+
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in keep_right) + ">"
+        ).alias("__payload"),
+    )
+    rt_tb = (
+        F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    )
+    rt = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        rt_tb.alias("__tb"),
+        payload.alias("__payload"),
+    )
+    unioned = lt.unionByName(rt)
+
+    # right rows (is_left=0) sort before left rows at equal ts => <= is
+    # inclusive; among tied right rows the greatest tiebreak sorts last and
+    # wins the last() below
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"matched_{c}") for c in keep_right
+    ]
+    return matched.select(*out_cols)

@@ -34,6 +34,7 @@ from automotive_data_pipeline_demo_spark.operators import (
     sequence_number,
 )
 from automotive_data_pipeline_demo_spark.operators.classify import recency_bucket
+from automotive_data_pipeline_demo_spark.operators.asof import asof_join
 from automotive_data_pipeline_demo_spark.operators.scale import salted_groupby_sum
 from automotive_data_pipeline_demo_spark.functions.scalars import (
     iso8601_noon,
@@ -2143,6 +2144,66 @@ _register(QuerySpec(
         SELECT id, MIN(lab) AS component FROM reach GROUP BY id
     """,
     tags=("dedup", "clustering"),
+))
+
+
+def q_j5_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 generalized: as-of join — each event matched to the user's latest
+    order at or before the event time (union + one-window implementation;
+    no range-join pair blowup). Aggregated per event_type so the result is
+    compact; the oracle re-derives the same match with a windowed
+    formulation.
+    """
+    e = _t(spark, sf, "events")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_totalprice", "o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("matched_o_orderkey").alias("n_matched"),
+        _dec_sum("matched_o_totalprice", "sum_matched_price"),
+        F.max("matched_o_orderdate").alias("latest_matched_order"),
+    )
+
+
+_register(QuerySpec(
+    name="j5_asof_join",
+    survey="J5 (generalized): as-of / point-in-time join",
+    build=q_j5_asof_join,
+    oracle="""
+        WITH best AS (
+          SELECT e.event_id, e.event_type, o.o_totalprice, o.o_orderkey,
+                 o.o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ), m AS (
+          SELECT * FROM best WHERE rn = 1
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               COUNT(m.o_orderkey) AS n_matched,
+               CAST(SUM(CAST(m.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_matched_price,
+               MAX(m.o_orderdate) AS latest_matched_order
+        FROM events e LEFT JOIN m ON e.event_id = m.event_id
+        GROUP BY e.event_type
+    """,
+    tags=("join", "asof"),
 ))
 
 

@@ -301,3 +301,38 @@ def test_lsh_multi_probe_improves_recall(spark, embeddings):
     # improvement with probes and no regression below the 1-bucket floor
     assert r4 >= r0, f"multi-probe lowered recall: {r0} -> {r4}"
     assert r4 >= 0.15
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right row at-or-before each left ts per key; ties on
+    right_ts broken by greatest tiebreak; no prior right row -> NULLs."""
+    from datetime import datetime
+
+    from automotive_data_pipeline_demo_spark.operators.asof import asof_join
+
+    ts = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, "k1", ts("2025-01-10T00:00")),   # after both k1 quotes
+         (2, "k1", ts("2025-01-02T12:00")),   # between quotes; inclusive <=
+         (3, "k1", ts("2024-12-01T00:00")),   # before any quote -> NULL
+         (4, "k2", ts("2025-01-10T00:00"))],  # tied quotes -> greatest qid
+        "row_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k1", ts("2025-01-01T00:00"), 10.0, 100),
+         ("k1", ts("2025-01-02T12:00"), 20.0, 101),   # equal ts: inclusive
+         ("k2", ts("2025-01-05T00:00"), 30.0, 200),
+         ("k2", ts("2025-01-05T00:00"), 40.0, 201)],  # tie on ts
+        "key string, qts timestamp, price double, qid long",
+    )
+    out = {
+        r["row_id"]: (r["matched_price"], r["matched_qid"])
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="qts",
+            right_cols=["price", "qid"], tiebreak="qid",
+        ).collect()
+    }
+    assert out[1] == (20.0, 101)
+    assert out[2] == (20.0, 101)      # <= is inclusive
+    assert out[3] == (None, None)     # nothing at or before
+    assert out[4] == (40.0, 201)      # tie -> greatest qid wins
