@@ -34,7 +34,7 @@ from automotive_data_pipeline_demo_spark.operators import (
     sequence_number,
 )
 from automotive_data_pipeline_demo_spark.operators.classify import recency_bucket
-from automotive_data_pipeline_demo_spark.operators.asof import asof_join
+from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
 from automotive_data_pipeline_demo_spark.operators.scale import salted_groupby_sum
 from automotive_data_pipeline_demo_spark.functions.scalars import (
     iso8601_noon,
@@ -2204,6 +2204,48 @@ _register(QuerySpec(
         GROUP BY e.event_type
     """,
     tags=("join", "asof"),
+))
+
+
+def q_j5_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join (binned, no cross product): for each event, the other
+    events of the same user in the following hour — the follow-up-activity
+    correlation behind ST5's session gap. Aggregated per event_type pair.
+    """
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+    followed = range_join(
+        e,
+        e.select(
+            F.col("event_id").alias("event_id2"),
+            "user_id",
+            F.col("ts").alias("ts2"),
+            F.col("event_type").alias("event_type2"),
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts2",
+        lower_s=1,
+        upper_s=3600,
+    )
+    return followed.groupBy("event_type", F.col("r_event_type2").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_followups")
+    )
+
+
+_register(QuerySpec(
+    name="j5_range_join",
+    survey="J5 (generalized): interval/range join (binned)",
+    build=q_j5_range_join,
+    oracle="""
+        SELECT a.event_type, b.event_type AS next_type,
+               COUNT(*) AS n_followups
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts + INTERVAL 1 SECOND
+         AND b.ts <= a.ts + INTERVAL 3600 SECOND
+        GROUP BY 1, 2
+    """,
+    tags=("join", "range"),
 ))
 
 

@@ -336,3 +336,32 @@ def test_asof_join_semantics(spark):
     assert out[2] == (20.0, 101)      # <= is inclusive
     assert out[3] == (None, None)     # nothing at or before
     assert out[4] == (40.0, 201)      # tie -> greatest qid wins
+
+
+def test_range_join_bins_cover_boundaries(spark):
+    """Binned interval join equals the naive range predicate, including
+    pairs that straddle a bin boundary and exact window edges."""
+    from datetime import datetime, timedelta
+
+    from automotive_data_pipeline_demo_spark.operators.asof import range_join
+
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    # window [+1s, +60s]; bin width 59s — craft pairs at edges and across bins
+    lefts = [(i, "k", t0 + timedelta(seconds=s)) for i, s in
+             enumerate([0, 30, 58, 59, 120])]
+    rights = [(100 + i, "k", t0 + timedelta(seconds=s)) for i, s in
+              enumerate([1, 59, 60, 61, 118, 121, 180, 240])]
+    L = spark.createDataFrame(lefts, "lid long, key string, ts timestamp")
+    R = spark.createDataFrame(rights, "rid long, key string, rts timestamp")
+
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in range_join(L, R, ["key"], "ts", "rts", 1, 60).collect()
+    }
+    expect = {
+        (lid, rid)
+        for lid, _, lts in lefts
+        for rid, _, rts in rights
+        if timedelta(seconds=1) <= rts - lts <= timedelta(seconds=60)
+    }
+    assert got == expect and expect, (got, expect)
