@@ -1687,6 +1687,35 @@ def _scratch(sf: str, leaf: str) -> str:
     return f"/tmp/spark_graft_lake/{os.path.basename(sf.rstrip('/'))}/{leaf}"
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers.
+
+    Pandas-UDF closures are cloudpickled BY REFERENCE to this module, so
+    executors must be able to import it — true on a cluster via --py-files,
+    but not guaranteed when the driver process imported us off an arbitrary
+    sys.path entry. Zip the package once and addPyFile it (idempotent per
+    session; harmless no-op cost otherwise).
+    """
+    flag = "__spark_graft_pkg_shipped__"
+    jconf = spark.sparkContext.getConf()
+    if jconf.get(flag, None) == "1":
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = f"/tmp/spark_graft_pkg_{os.getpid()}.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    jconf.set(flag, "1")
+
+
 def q_p1_sql_over_frames(spark: SparkSession, sf: str) -> DataFrame:
     """P1/UD5: the sql-over-frames surface — frames in, SQL text, frame out.
 
@@ -1969,6 +1998,7 @@ def q_f24_adf_parse(spark: SparkSession, sf: str) -> DataFrame:
     generating columns, so the parser is checked against ground truth rather
     than against another XML library.
     """
+    _ship_package(spark)  # pandas UDF: workers must import this package
     c = _t(spark, sf, "customer")
     ck = F.col("c_custkey").cast("string")
     xml = F.concat(
