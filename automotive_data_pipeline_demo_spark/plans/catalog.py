@@ -2372,6 +2372,77 @@ _register(QuerySpec(
 ))
 
 
+def q_a_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (crosstab) aggregate: order counts per status spread across
+    priority columns — groupBy().pivot() with explicit values so the output
+    schema is static (required both for oracle hashing and for sane plans
+    at scale: dynamic pivot needs an extra distinct-values job).
+    """
+    o = _t(spark, sf, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")]
+    for p in prios:
+        alias = "n_" + p.split("-")[0]
+        cols.append(F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(alias))
+    return pivoted.select(*cols)
+
+
+_register(QuerySpec(
+    name="a_pivot",
+    survey="extension: pivot/crosstab aggregate",
+    build=q_a_pivot,
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+               COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+))
+
+
+def q_a_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style time_bucket rollup: events floored to 6-hour buckets
+    (arbitrary width — not limited to calendar units), per-type counts and
+    value sums. Spark has no time_bucket builtin; the floor-division on
+    unix micros is codegen'd and matches DuckDB's time_bucket exactly.
+    """
+    e = _t(spark, sf, "events")
+    width_us = 6 * 3600 * 1_000_000
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / width_us) * width_us).cast("long")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket_6h"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", "sum_value"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="a_time_bucket",
+    survey="extension: hypertable time_bucket rollup",
+    build=q_a_time_bucket,
+    oracle="""
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "time_bucket"),
+))
+
+
 def q_scale_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe two-stage aggregation: hot group keys fan out over a
     deterministic hash salt, partials re-aggregate by key. Result must be
