@@ -86,3 +86,32 @@ def test_scan_pruning_reaches_parquet(spark, sf_dir):
     assert "IsNotNull" in scan.split("PushedFilters:")[1][:200]
     read_schema = scan.split("ReadSchema:")[1][:400]
     assert "l_comment" not in read_schema  # untouched wide column pruned
+
+
+def test_view_dag_no_cartesian(spark, tmp_path):
+    """The six-view DAG (EP2) must plan without cartesian products even when
+    broadcast is unavailable, and within per-view shuffle budgets (one
+    exchange per key change)."""
+    from automotive_data_pipeline_demo_spark.plans.views import build_view_dag
+    from tests.fixtures import write_fixtures
+
+    paths = write_fixtures(str(tmp_path))
+    cm = spark.read.parquet(paths["customer_master"])
+    vs = spark.read.parquet(paths["vehicle_sales"])
+    budgets = {
+        "customer_profiles": 1,
+        "customer_vehicle_history": 2,
+        "customer_segments": 4,
+        "dealership_customer_profiles": 3,
+        "validated_vehicle_sales": 4,
+        "data_privacy_status": 1,
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in build_view_dag(cm, vs, "2025-06-01").items():
+            plan = _plan(df)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert _shuffles(plan) <= budgets[name], (name, _shuffles(plan))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
