@@ -50,6 +50,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     ngram_jaccard_pairs,
     simhash,
 )
+from automotive_data_pipeline_demo_spark.extensions.multimodal import frame_sample_plan
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -2369,6 +2370,77 @@ _register(QuerySpec(
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "rollup"),
+))
+
+
+def q_a_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 at 100 TB: sketch-based aggregates. Exact COUNT(DISTINCT) is the
+    oracle-checked default (j6_a8_attribution); at scale the HLL/quantile
+    sketches trade bounded error for one-pass mergeability. Rows-only here
+    (sketch values are engine-specific); accuracy vs exact is asserted in
+    tests within the declared rsd.
+    """
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_register(QuerySpec(
+    name="a_approx",
+    survey="A6 (scale variant): HLL approx_count_distinct + approx percentile",
+    build=q_a_approx,
+    oracle=None,
+    tags=("agg", "sketch"),
+))
+
+
+def q_x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame-sampling PLAN (metadata-only, no decode): synthesize
+    per-media durations deterministically from events, explode the sampled
+    frame offsets (every 500 ms), and count planned frames. The explode is a
+    JVM sequence — the decode pass later touches only sampled frames.
+    """
+    e = _t(spark, sf, "events")
+    media = e.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("event_id") % 7) * 1000 + 500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ms").cast("long").alias("last_frame_ms"),
+    )
+
+
+_register(QuerySpec(
+    name="x_multimodal_frames",
+    survey="north-star: multimodal frame-sample planning",
+    build=q_x_multimodal_frames,
+    oracle="""
+        WITH media AS (
+          SELECT event_id AS media_id,
+                 CAST((event_id % 7) * 1000 + 500 AS INT) AS duration_ms
+          FROM events
+        )
+        SELECT m.media_id,
+               COUNT(*) AS n_frames,
+               CAST(MAX(f.frame_ms) AS BIGINT) AS last_frame_ms
+        FROM media m,
+             LATERAL (SELECT unnest(generate_series(0,
+                        greatest(m.duration_ms - 1, 0), 500)) AS frame_ms) f
+        GROUP BY m.media_id
+    """,
+    tags=("multimodal", "frames"),
 ))
 
 

@@ -365,3 +365,27 @@ def test_range_join_bins_cover_boundaries(spark):
         if timedelta(seconds=1) <= rts - lts <= timedelta(seconds=60)
     }
     assert got == expect and expect, (got, expect)
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """Sketch aggregates must land within their declared error of exact."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+    spec = next(s for s in CATALOG if s.name == "a_approx")
+    approx = {r["l_returnflag"]: r for r in spec.build(spark, sf_dir).collect()}
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_quantity, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        rel = abs(a["approx_orders"] - e["n"]) / e["n"]
+        assert rel <= 0.06, f"{flag}: HLL rel err {rel} beyond 3x rsd"
+        assert abs(a["approx_median_qty"] - e["med"]) <= 1.0, flag
