@@ -1366,8 +1366,9 @@ _register(QuerySpec(
 
 def q_x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash fingerprints (32-bit majority-vote over token hashes).
-    Verified against a pure-Python reference in tests; the driver records a
-    rows-only check (bit-twiddling SQL differs too much across dialects).
+    Also verified against a pure-Python reference in tests; the SQL oracle
+    re-derives every bit vote (md5 is the shared deterministic hash, hex ->
+    int via DuckDB's '0x' cast, shifts/masks are portable).
     """
     docs = _t(spark, sf, "documents")
     return simhash(docs, "doc_id", "text", bits=32)
@@ -1377,7 +1378,24 @@ _register(QuerySpec(
     name="x_dedup_simhash",
     survey="north-star: simhash dedup",
     build=q_x_dedup_simhash,
-    oracle=None,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+        ), votes AS (
+          SELECT id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+          FROM hashed, UNNEST(range(0, 32)) AS u(j)
+          GROUP BY 1, 2
+        )
+        SELECT id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY id
+    """,
     tags=("dedup", "simhash"),
 ))
 
@@ -2574,11 +2592,10 @@ _register(QuerySpec(
 
 def q_x_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed near-dup pipeline (LSH candidates -> Jaccard verify ->
-    cluster -> drop losers) over documents. Banding recall makes the kept
-    set algorithm-defined rather than SQL-derivable, so this is a rows-only
-    check; every stage inside it is oracle-checked individually
-    (x_dedup_minhash, x_dedup_jaccard, x_dedup_clusters) and the pipeline's
-    idempotence is asserted in tests.
+    cluster -> drop losers) over documents. The oracle re-derives the whole
+    chain declaratively: shingle -> salted-min-hash bands -> bucket join ->
+    Jaccard over candidates -> recursive-CTE connected components ->
+    anti-join of cluster losers. Pipeline idempotence is asserted in tests.
     """
     docs = _t(spark, sf, "documents")
     return near_dup_dedup(docs, "doc_id", "text", threshold=0.8).select(
@@ -2590,7 +2607,61 @@ _register(QuerySpec(
     name="x_dedup_pipeline",
     survey="north-star: end-to-end near-dup dedup pipeline",
     build=q_x_dedup_pipeline,
-    oracle=None,
+    oracle="""
+        WITH RECURSIVE tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx, md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN shingles sa ON sa.id = c.id_a
+          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes za ON za.id = i.id_a
+          JOIN sizes zb ON zb.id = i.id_b
+          WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.8
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), losers AS (
+          SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+          WHERE id <> component
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS BIGINT) = l.id
+        WHERE l.id IS NULL
+    """,
     tags=("dedup", "pipeline"),
 ))
 
