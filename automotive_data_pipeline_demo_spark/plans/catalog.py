@@ -1249,6 +1249,18 @@ _register(QuerySpec(
 # Training-data extensions (BASELINE.json north star)
 # --------------------------------------------------------------------------
 
+_COS_SQL = """
+    list_aggregate(list_transform(list_zip(
+        list_transform({a}, x -> CAST(x AS DOUBLE)),
+        list_transform({b}, x -> CAST(x AS DOUBLE))),
+      p -> p[1] * p[2]), 'sum')
+    / (sqrt(list_aggregate(list_transform({a},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform({b},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
 def q_x_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup: content-digest groupBy; shuffle carries 32-byte hashes,
     not documents.
@@ -1445,8 +1457,10 @@ _register(QuerySpec(
 
 
 def q_x_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the 100 TB scale path; recall < 1 by design,
-    so no SQL oracle — tests assert recall against brute force instead).
+    """Sign-LSH bucketed ANN (the 100 TB scale path; recall < 1 by design —
+    tests assert recall against brute force). The hyperplanes are md5-derived
+    pseudo-random components, so the bucketing itself is deterministic and
+    the oracle re-derives the exact same buckets + per-bucket top-k in SQL.
     """
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1459,7 +1473,39 @@ _register(QuerySpec(
     name="x_sim_lsh",
     survey="north-star: ANN sign-LSH",
     build=q_x_sim_lsh,
-    oracle=None,
+    oracle=f"""
+        WITH proj AS (
+          SELECT vec_id, p,
+                 list_aggregate(list_transform(range(0, len(embedding)),
+                   d -> CAST(embedding[d + 1] AS DOUBLE) *
+                        (CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+                                                 CAST(d AS VARCHAR)), 1, 8)
+                              AS BIGINT) / 4294967296.0 - 0.5)),
+                   'sum') AS proj
+          FROM embeddings, UNNEST(range(0, 8)) AS u(p)
+        ), buckets AS (
+          SELECT vec_id,
+                 string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY p) AS bucket
+          FROM proj GROUP BY vec_id
+        ), c AS (
+          SELECT e.vec_id, e.embedding AS c_vec, b.bucket
+          FROM embeddings e JOIN buckets b USING (vec_id)
+        ), q AS (
+          SELECT e.vec_id AS query_id, e.embedding AS q_vec, b.bucket
+          FROM embeddings e JOIN buckets b USING (vec_id)
+          WHERE e.vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, c.vec_id,
+                 ROUND({_COS_SQL.format(a="c.c_vec", b="q.q_vec")}, 4) AS score
+          FROM c JOIN q USING (bucket)
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+    """,
     tags=("similarity", "lsh"),
 ))
 
@@ -2116,18 +2162,6 @@ _register(QuerySpec(
 # --------------------------------------------------------------------------
 # Training-data extensions: embedding near-dup + IVF ANN
 # --------------------------------------------------------------------------
-
-_COS_SQL = """
-    list_aggregate(list_transform(list_zip(
-        list_transform({a}, x -> CAST(x AS DOUBLE)),
-        list_transform({b}, x -> CAST(x AS DOUBLE))),
-      p -> p[1] * p[2]), 'sum')
-    / (sqrt(list_aggregate(list_transform({a},
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-     * sqrt(list_aggregate(list_transform({b},
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
-"""
-
 
 def q_x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label.
