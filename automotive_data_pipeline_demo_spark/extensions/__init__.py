@@ -11,6 +11,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
     quality_score,
+    tfidf_top_terms,
     token_count_bpe,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
@@ -30,6 +31,7 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_score",
+    "tfidf_top_terms",
     "token_count_bpe",
     "exact_dedup",
     "minhash_candidate_pairs",

@@ -13,7 +13,7 @@ shuffle at all unless the caller aggregates afterwards.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"[^a-zA-Z0-9]+"
@@ -122,6 +122,54 @@ def doc_fingerprint(text: Column | str) -> Column:
     """
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text))))
     return F.md5(canon)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tfidf).
+
+    tfidf = tf * ln(N / df) with raw term frequency and unsmoothed idf
+    (single-doc-exclusive terms score highest; corpus-wide terms score 0).
+    Ties break by term asc; rounded to 4 dp for cross-engine determinism.
+
+    Three-shuffle shape, each on a different key — the minimum for exact
+    global document frequencies: groupBy(id, term) builds tf with map-side
+    partial counts (the only pass over raw tokens), a window over term
+    attaches df without materializing a separate dfreq table or join, and
+    the top-k window repartitions by id. N is one count() action (or pass
+    ``n_docs`` to stay fully lazy); docs whose token set is empty are
+    counted in N but emit no terms — identical on the oracle side.
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    tf = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:

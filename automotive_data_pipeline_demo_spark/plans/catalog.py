@@ -71,6 +71,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     language_id,
     quality_score,
     rolling_fingerprint,
+    tfidf_top_terms,
     token_count_bpe,
     token_count_ws,
     tokenize,
@@ -2592,6 +2593,43 @@ _register(QuerySpec(
         FROM lineitem GROUP BY l_returnflag
     """,
     tags=("scale", "skew"),
+))
+
+
+def q_x_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — raw tf, unsmoothed ln(N/df) idf,
+    three-shuffle shape (tf groupBy, df window over term, top-k window
+    over id).
+    """
+    docs = _t(spark, sf, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+_register(QuerySpec(
+    name="x_text_tfidf",
+    survey="north-star: TF-IDF term scoring",
+    build=q_x_text_tfidf,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), scored AS (
+          SELECT id, term,
+                 ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                               / COUNT(*) OVER (PARTITION BY term)), 4) AS tfidf
+          FROM tf
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored
+        )
+        SELECT id, term, tfidf FROM ranked WHERE rn <= 5
+    """,
+    tags=("text", "tfidf"),
 ))
 
 
