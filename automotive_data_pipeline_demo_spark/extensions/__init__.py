@@ -14,6 +14,12 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tfidf_top_terms,
     token_count_bpe,
 )
+from automotive_data_pipeline_demo_spark.extensions.sampling import (
+    hash_bucket,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -33,6 +39,10 @@ __all__ = [
     "quality_score",
     "tfidf_top_terms",
     "token_count_bpe",
+    "hash_bucket",
+    "hash_split",
+    "pack_sequences",
+    "stratified_sample",
     "exact_dedup",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -1,0 +1,139 @@
+"""Deterministic sampling, splitting, and sequence packing for training data.
+
+Beyond-reference extension (BASELINE.json north star): the reference engine
+(automotive-data-pipeline-demo) has no sampling surface; a training-data
+pipeline at 100 TB needs one, and it must be *deterministic*. All assignment
+here is content-addressed — an md5 over (salt, row id), never ``rand()`` — so
+re-running the job yields the same split, appending new documents never
+reassigns existing ones, and any engine (the DuckDB oracle included) can
+re-derive every bucket bit-for-bit.
+
+Scale notes:
+- ``hash_split`` and ``stratified_sample`` are pure narrow projections /
+  filters — zero shuffles; Catalyst fuses them into the scan stage and the
+  filter prunes rows before anything else runs. Sampling 100 TB costs one
+  read pass and no exchange.
+- ``pack_sequences`` packs within (group, shard) windows: the shard key
+  bounds every window partition, so the within-window sort is many small
+  task-local sorts, never a single-task global sort. Scale ``n_shards`` with
+  the corpus to keep partitions executor-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-bucket resolution: fractions are expressed in 1/10000ths.
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(salt|id).
+
+    First 8 hex digits -> uint32 -> mod BUCKETS. Both operands are
+    non-negative, so ``%`` and ``pmod`` agree across engines.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/... ) by deterministic hash.
+
+    ``weights`` maps split name -> fraction; fractions are cut at cumulative
+    bucket thresholds (resolution 1/10000). Iteration order of ``weights``
+    fixes the threshold order, so pass an ordered dict. Zero-shuffle: the
+    whole operator is one projected expression.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", last)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sample: keep ``fractions[stratum]`` of rows.
+
+    Per-stratum keep thresholds over the same hash-bucket space as
+    ``hash_split``; strata missing from ``fractions`` keep
+    ``default_fraction``. Zero-shuffle — a single filter the optimizer
+    pushes to the scan.
+    """
+    thresh: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        cut = int(round(frac * BUCKETS))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    if expr is not None:
+        thresh = expr.otherwise(thresh)
+    return df.filter(hash_bucket(id_col, salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count: Column,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget sequences (context windows).
+
+    Contiguous offset packing: within each (group, shard), documents are laid
+    end-to-end in id order and a document belongs to the sequence bin where
+    its span *starts* — ``floor((cumsum(tokens) - tokens) / budget)``. This
+    is the streaming-concat packing LLM pipelines use (documents straddling a
+    boundary are split at tokenization time; the bin id says which window the
+    document starts in). Exactly one shuffle: the hash exchange feeding the
+    (group, shard) window; shard = id % n_shards bounds every partition so no
+    single task ever sorts the whole group.
+
+    Returns (id, group, shard, n_tokens, seq_bin).
+    """
+    w = Window.partitionBy(group_col, "shard").orderBy("id")
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(group_col).alias(group_col),
+            F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int").alias("shard"),
+            token_count.cast("long").alias("n_tokens"),
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            "id",
+            group_col,
+            "shard",
+            "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+            .cast("long")
+            .alias("seq_bin"),
+        )
+    )

@@ -66,6 +66,11 @@ from automotive_data_pipeline_demo_spark.sources.readers import (
     write_partitioned_lake,
 )
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
+from automotive_data_pipeline_demo_spark.extensions.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
@@ -2630,6 +2635,102 @@ _register(QuerySpec(
         SELECT id, term, tfidf FROM ranked WHERE rn <= 5
     """,
     tags=("text", "tfidf"),
+))
+
+
+def q_x_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 hash bucket —
+    content-addressed (re-runs and appends never reassign existing docs),
+    zero-shuffle (one projected expression fused into the scan).
+    """
+    docs = _t(spark, sf, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+_register(QuerySpec(
+    name="x_sample_split",
+    survey="north-star: deterministic train/val/test splitting",
+    build=q_x_sample_split,
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE
+                 WHEN b < 8000 THEN 'train'
+                 WHEN b < 9000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 10000 AS b
+          FROM documents
+        )
+    """,
+    tags=("sampling",),
+))
+
+
+def q_x_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample over documents: keep 50% of 'en',
+    20% of every other language — a single hash-bucket filter pushed to the
+    scan, zero shuffles.
+    """
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.2
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_register(QuerySpec(
+    name="x_sample_stratified",
+    survey="north-star: stratified corpus sampling",
+    build=q_x_sample_stratified,
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 10000 AS b
+          FROM documents
+        )
+        WHERE b < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
+    """,
+    tags=("sampling",),
+))
+
+
+def q_x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (context-window assembly): contiguous
+    offset packing within (lang, shard) windows, budget 256 whitespace
+    tokens, 4 shards. One shuffle — the hash exchange feeding the window;
+    shard = id % n bounds every sort partition.
+    """
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(
+        docs, "doc_id", "lang", token_count_ws("text"), budget=256, n_shards=4
+    )
+
+
+_register(QuerySpec(
+    name="x_pack_sequences",
+    survey="north-star: sequence packing for training batches",
+    build=q_x_pack_sequences,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                 CAST(CAST(doc_id AS BIGINT) % 4 AS INT) AS shard,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT id, lang, shard, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                               ORDER BY id) - n_tokens)
+                          / 256.0) AS BIGINT) AS seq_bin
+        FROM toks
+    """,
+    tags=("sampling", "packing"),
 ))
 
 
