@@ -13,6 +13,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     quality_score,
     tfidf_top_terms,
     token_count_bpe,
+    unigram_entropy,
 )
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_bucket,
@@ -39,6 +40,7 @@ __all__ = [
     "quality_score",
     "tfidf_top_terms",
     "token_count_bpe",
+    "unigram_entropy",
     "hash_bucket",
     "hash_split",
     "pack_sequences",

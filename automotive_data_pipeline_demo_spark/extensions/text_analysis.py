@@ -172,6 +172,29 @@ def tfidf_top_terms(
     )
 
 
+def unigram_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits) of the document's unigram distribution.
+
+    A repetition / boilerplate signal: near-zero for degenerate docs, close
+    to log2(n_distinct) for flat distributions. Computed row-locally with
+    higher-order array functions — zero shuffles, no UDF; the fold runs over
+    the *sorted* distinct-term list so the floating-point summation order is
+    identical in any engine re-deriving it. Per-row cost is
+    O(distinct x tokens); for very long documents prefer the explode +
+    two-level groupBy shape instead (same result, shuffled).
+    """
+    toks = tokenize(_c(text))
+    n = F.size(toks).cast("double")
+    terms = F.array_sort(F.array_distinct(toks))
+    counts = F.transform(terms, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc - (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(ent)
+
+
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Rabin-Karp rolling hash over the printable-ASCII characters of a doc.
 

@@ -77,6 +77,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     quality_score,
     rolling_fingerprint,
     tfidf_top_terms,
+    unigram_entropy,
     token_count_bpe,
     token_count_ws,
     tokenize,
@@ -2635,6 +2636,53 @@ _register(QuerySpec(
         SELECT id, term, tfidf FROM ranked WHERE rn <= 5
     """,
     tags=("text", "tfidf"),
+))
+
+
+def q_x_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy plus token/type counts — a
+    repetition/boilerplate quality signal, computed row-locally (zero
+    shuffles; the fold order is pinned by sorting the distinct terms).
+    """
+    docs = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_types"),
+        F.round(unigram_entropy("text"), 4).alias("entropy_bits"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_entropy",
+    survey="north-star: text quality scoring (entropy)",
+    build=q_x_text_entropy,
+    oracle="""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_transform(list_sort(list_distinct(toks)),
+                                tt -> len(list_filter(toks, x -> x = tt))) AS counts
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS INT) AS n_tokens,
+               CAST(len(counts) AS INT) AS n_types,
+               CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+                 list_reduce(
+                   list_prepend(0.0,
+                     list_transform(counts,
+                       cc -> -(cc / CAST(n AS DOUBLE))
+                             * log2(cc / CAST(n AS DOUBLE)))),
+                   (a, b) -> a + b), 4) END AS entropy_bits
+        FROM c
+    """,
+    tags=("text", "quality"),
 ))
 
 

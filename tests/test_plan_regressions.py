@@ -36,6 +36,7 @@ def _shuffles(plan: str) -> int:
         ("x_dedup_minhash", 2),
         ("x_dedup_jaccard", 4),
         ("x_text_tfidf", 3),
+        ("x_text_entropy", 0),
         ("x_sample_split", 0),
         ("x_sample_stratified", 0),
         ("x_pack_sequences", 1),
