@@ -389,3 +389,78 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         rel = abs(a["approx_orders"] - e["n"]) / e["n"]
         assert rel <= 0.06, f"{flag}: HLL rel err {rel} beyond 3x rsd"
         assert abs(a["approx_median_qty"] - e["med"]) <= 1.0, flag
+
+
+def test_hash_split_deterministic_and_append_stable(spark, sf_dir):
+    """Split assignment is a pure function of the id: re-running gives the
+    same rows, and shrinking the corpus never reassigns survivors (the
+    append-stability property random splits lack)."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", weights).collect()}
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", weights).collect()}
+    assert full == again
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter("doc_id < 250"), "doc_id", weights).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    n = len(full)
+    train_frac = sum(1 for v in full.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9
+    assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_fractions_and_subset(spark, sf_dir):
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.2)
+    rows = got.select("doc_id", "lang").collect()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in rows} <= all_ids
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    en_frac = len(by_lang.get("en", ())) / totals["en"]
+    assert 0.35 < en_frac < 0.65
+    for lang, total in totals.items():
+        if lang != "en" and total >= 50:
+            assert 0.05 < len(by_lang.get(lang, ())) / total < 0.35
+
+
+def test_pack_sequences_matches_python_reference(spark, sf_dir):
+    """Offset packing parity with a pure-Python greedy-concat reference, and
+    the structural invariant: a doc's start offset lies inside its bin."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget, shards = 256, 4
+    got = pack_sequences(
+        docs, "doc_id", "lang",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))),
+        budget=budget, n_shards=shards,
+    ).collect()
+    toks = {
+        r["doc_id"]: len(r["text"].split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    expected = {}
+    groups = {}
+    for did in sorted(toks):
+        groups.setdefault((langs[did], did % shards), []).append(did)
+    for key, ids in groups.items():
+        offset = 0
+        for did in ids:
+            expected[did] = offset // budget
+            offset += toks[did]
+    assert {r["id"]: r["seq_bin"] for r in got} == expected
+    for r in got:
+        assert r["shard"] == r["id"] % shards
+        assert r["n_tokens"] == toks[r["id"]]
