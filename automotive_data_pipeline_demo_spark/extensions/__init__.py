@@ -20,6 +20,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     exact_dedup,
@@ -45,6 +46,7 @@ __all__ = [
     "hash_split",
     "pack_sequences",
     "stratified_sample",
+    "uniform_sample_k",
     "exact_dedup",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -97,6 +97,22 @@ def stratified_sample(
     return df.filter(hash_bucket(id_col, salt) < thresh)
 
 
+def uniform_sample_k(
+    df: DataFrame, id_col: str, k: int, salt: str = "uk"
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement, deterministically.
+
+    Orders by md5(salt|id) and takes k — the hash order is a deterministic
+    corpus shuffle, so this is simultaneously a fixed-size sample and a
+    reproducible training-order permutation. Spark plans it as
+    TakeOrderedAndProject: per-partition top-k heaps + a driver merge of k
+    rows per partition — no global sort is ever materialized, so it scales
+    to any corpus size for reasonable k.
+    """
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    return df.orderBy(key.asc()).limit(k)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -70,6 +70,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
@@ -2743,6 +2744,31 @@ _register(QuerySpec(
           FROM documents
         )
         WHERE b < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
+    """,
+    tags=("sampling",),
+))
+
+
+def q_x_sample_uniform_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-100 deterministic uniform sample: order by md5(salt|id), take
+    k. Plans as TakeOrderedAndProject (per-partition top-k heaps, k-row
+    driver merge) — no global sort, no full shuffle.
+    """
+    docs = _t(spark, sf, "documents")
+    return uniform_sample_k(docs, "doc_id", 100).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+_register(QuerySpec(
+    name="x_sample_uniform_k",
+    survey="north-star: fixed-size uniform sampling / deterministic corpus shuffle",
+    build=q_x_sample_uniform_k,
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents
+        ORDER BY md5('uk|' || CAST(doc_id AS VARCHAR)) ASC
+        LIMIT 100
     """,
     tags=("sampling",),
 ))
