@@ -2749,6 +2749,82 @@ _register(QuerySpec(
 ))
 
 
+def q_x_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language dataset-card rollup: doc/source counts, token and char
+    totals, mean quality. Two exchanges — the unavoidable pair for an exact
+    COUNT(DISTINCT) alongside plain aggregates (partial agg keyed by
+    (lang, source), final by lang); every input is a row-local expression
+    fused into the scan stage, so both exchanges carry only aggregated
+    rows, never documents. At 100 TB swap in approx_count_distinct to drop
+    back to one exchange.
+    """
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            token_count_ws("text").cast("long").alias("n_tok"),
+            F.length("text").cast("long").alias("n_chars"),
+            quality_score("text").cast("double").alias("q"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="x_corpus_stats",
+    survey="north-star: dataset-card corpus statistics",
+    build=q_x_corpus_stats,
+    oracle="""
+        WITH t AS (
+          SELECT lang, source,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(
+                   (CASE WHEN len(list_filter(string_split_regex(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '')) >= 20
+                         THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+                          / greatest(length(text), 1) < 0.2
+                         THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN len(list_filter(
+                           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> ''),
+                           x -> list_contains(['the','and','of','to','a','in',
+                                               'is','it','that','for'], x)))
+                          / greatest(len(list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.05
+                         THEN 0.25 ELSE 0.0 END) +
+                   (CASE WHEN CAST(len(list_distinct(list_filter(
+                              string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> ''))) AS DOUBLE)
+                          / greatest(len(list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.3
+                         THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS q
+          FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               SUM(n_tok) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens,
+               ROUND(AVG(q), 4) AS avg_quality
+        FROM t GROUP BY lang
+    """,
+    tags=("text", "stats"),
+))
+
+
 def q_x_sample_uniform_k(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample: order by md5(salt|id), take
     k. Plans as TakeOrderedAndProject (per-partition top-k heaps, k-row
