@@ -10,6 +10,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tokenize,
     doc_fingerprint,
     language_id,
+    lm_cross_entropy,
     quality_score,
     tfidf_top_terms,
     token_count_bpe,
@@ -39,6 +40,7 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_score",
+    "lm_cross_entropy",
     "tfidf_top_terms",
     "token_count_bpe",
     "unigram_entropy",

@@ -195,6 +195,52 @@ def unigram_entropy(text: Column | str) -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(ent)
 
 
+def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus unigram LM.
+
+    The CCNet-style LM quality filter: documents whose tokens are improbable
+    under the corpus distribution (high bits/token) are outliers/noise;
+    degenerate repetitive documents score low. Returns (id, n_tokens,
+    bits_per_token).
+
+    Scale shape: token frequencies aggregate twice (per-doc tf, corpus
+    vocab) with map-side partial counts, the corpus total is one
+    driver-collected scalar folded back in as a literal, and the vocab side
+    of the term join is broadcast-hinted — vocabularies are tiny next to
+    corpora, so the three exchanges carry aggregated (term, count) rows,
+    never raw tokens twice.
+    Per-term weights are quantized to integer micro-bits before the final
+    sum, making the aggregate order-independent — bit-identical across
+    partitionings and engines (float += is not associative; integer += is).
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # One driver-collected scalar (the corpus token count) folded back in as
+    # a literal — the dataframe-only alternative (agg + one-row cross join)
+    # re-plans the vocab subtree and adds two single-partition exchanges.
+    total = float(toks.count())
+    weighted = vocab.select(
+        "term",
+        F.round(-F.log2(F.col("cnt") / F.lit(total)) * 1_000_000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return (
+        tf.join(F.broadcast(weighted), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                (F.sum(F.col("tf") * F.col("w_micro")) / F.sum("tf")) / 1e6, 4
+            ).alias("bits_per_token"),
+        )
+    )
+
+
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Rabin-Karp rolling hash over the printable-ASCII characters of a doc.
 

@@ -76,6 +76,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
     quality_score,
+    lm_cross_entropy,
     rolling_fingerprint,
     tfidf_top_terms,
     unigram_entropy,
@@ -2746,6 +2747,48 @@ _register(QuerySpec(
         WHERE b < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
     """,
     tags=("sampling",),
+))
+
+
+def q_x_text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality score: bits/token under the corpus unigram
+    LM, broadcast-vocab join, integer-micro-bit weights for an
+    order-independent (engine-deterministic) aggregate.
+    """
+    docs = _t(spark, sf, "documents")
+    return lm_cross_entropy(docs, "doc_id", "text")
+
+
+_register(QuerySpec(
+    name="x_text_lm_score",
+    survey="north-star: LM-based quality filtering (unigram cross-entropy)",
+    build=q_x_text_lm_score,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), vocab AS (
+          SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ), weighted AS (
+          SELECT term,
+                 CAST(round(-log2(cnt / CAST((SELECT SUM(cnt) FROM vocab)
+                                             AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS w_micro
+          FROM vocab
+        )
+        SELECT tf.id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND((CAST(SUM(tf.tf * w.w_micro) AS BIGINT)
+                      / CAST(SUM(tf.tf) AS BIGINT)) / 1e6, 4)
+                 AS bits_per_token
+        FROM tf JOIN weighted w USING (term)
+        GROUP BY tf.id
+    """,
+    tags=("text", "quality", "lm"),
 ))
 
 

@@ -41,6 +41,7 @@ def _shuffles(plan: str) -> int:
         ("x_sample_stratified", 0),
         ("x_sample_uniform_k", 0),
         ("x_corpus_stats", 2),
+        ("x_text_lm_score", 3),
         ("x_pack_sequences", 1),
     ],
 )
