@@ -3087,11 +3087,45 @@ _register(QuerySpec(
 ))
 
 
+# The round-1 driver verified exactly the FIRST 50 entries of ``queries()``
+# (CORRECTNESS_r01.json keys == the first 50 registration-order names). To get
+# every catalog entry a hard driver-oracle row across rounds, ``queries()``
+# front-loads entries that do NOT yet have a driver row: everything absent
+# from CORRECTNESS_r01 (the 19 round-1 stragglers plus all round-2 additions)
+# sorts ahead of the 50 already-verified names. The union of CORRECTNESS_r01
+# and CORRECTNESS_r02 then covers the full catalog. Within each group,
+# registration order is preserved.
+_R01_VERIFIED: frozenset[str] = frozenset({
+    "p2_quality_filter", "p6_regex_validity", "p8_anti_join_processed",
+    "p9_date_range", "p10_json_normalize", "j1_a1_customer_metrics",
+    "j2_w4_primary_priority", "j3_validation_join", "j4_session_bridge",
+    "j6_a8_attribution", "a3_ordered_distinct", "a5_filter_clause",
+    "a7_having", "a9_rollup", "w1_dedup_latest", "w3_sequence", "o2_topk",
+    "o3_nulls_last", "u1_distinct", "u2_merge_union", "u3_intersect_except",
+    "f_strings", "f_case_ladders", "f_dates", "f_guards", "f_hash_ids",
+    "f_url_params", "st5_sessionization", "st8_rolling_window",
+    "x_dedup_exact", "x_dedup_minhash", "x_dedup_jaccard", "x_dedup_simhash",
+    "x_sim_bruteforce", "x_sim_lsh", "x_text_stats", "x_text_langid",
+    "x_multimodal_bytes", "flagship_segments", "p1_sql_over_frames",
+    "s1_csv_typed_roundtrip", "s2_partitioned_lake", "s7_jsonl_sink_roundtrip",
+    "p4_softdelete_optout", "p12_validation", "f24_adf_parse",
+    "st7_retention", "x_dedup_embed", "x_dedup_clusters", "j5_asof_join",
+})
+
+
+def _verify_ordered() -> list[QuerySpec]:
+    """Catalog sorted so driver-unverified entries land in the top-50 window."""
+    pending = [s for s in CATALOG if s.name not in _R01_VERIFIED]
+    verified = [s for s in CATALOG if s.name in _R01_VERIFIED]
+    return pending + verified
+
+
 def queries() -> dict:
     """name -> builder, the __spark_entry__ contract."""
-    return {spec.name: spec.build for spec in CATALOG}
+    return {spec.name: spec.build for spec in _verify_ordered()}
 
 
 def oracle_sql() -> dict:
     """name -> DuckDB SQL for every oracle-checkable spec."""
-    return {spec.name: spec.oracle for spec in CATALOG if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _verify_ordered()
+            if spec.oracle is not None}
