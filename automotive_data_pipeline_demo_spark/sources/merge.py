@@ -19,12 +19,20 @@ idempotent (ST1).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automotive_data_pipeline_demo_spark.operators.dedup import dedup_latest
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
 
 
 def merge_upsert_frames(
@@ -56,6 +64,23 @@ def merge_upsert(
     With ``partition_cols``, only partitions present in ``updates`` are read
     and rewritten (dynamic overwrite); without, the whole table is rewritten
     (fine for dims, wrong for facts — pass partitions for facts).
+
+    Write protocol: the merged result is always materialized to a staging
+    path first, so no write ever depends on lineage over the files it is
+    replacing (a cache() barrier is not a guarantee — cached blocks are
+    evictable and executor loss triggers recompute against deleted files).
+    Unpartitioned targets are then swapped in with an atomic filesystem
+    rename; partitioned targets are re-read FROM STAGING and dynamically
+    overwritten, so the final write's lineage points at staging files only.
+    This mirrors the reference's stage-to-temp-table-then-swap protocol
+    (``scripts/glue_vehicle_sales_etl.py:289-392``).
+
+    INVARIANT (partitioned merges): partition-column values must be
+    immutable per merge key. Touched partitions are derived from ``updates``;
+    a redelivered row whose partition columns changed (e.g. a corrected
+    salesdate moving sale_year/sale_month) leaves the stale row in the old,
+    untouched partition. If partition columns can move, merge without
+    ``partition_cols`` (full rewrite) or pre-delete the old partitions.
     """
     if order_by:
         updates = dedup_latest(updates, keys, order_by)
@@ -89,13 +114,41 @@ def merge_upsert(
         target = target.filter(pred)
 
     merged = merge_upsert_frames(target, updates, keys)  # updates already deduped
-    # materialize before overwriting the files we read from
-    merged_rows = merged.cache()
-    merged_rows.count()
-    writer = merged_rows.write.mode("overwrite")
+
+    # Stage 1: fully materialize the merge to a sibling staging path. After
+    # this completes, nothing downstream reads the target's current files.
+    staging_path = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+    stage_writer = merged.write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols).option(
-            "partitionOverwriteMode", "dynamic"
-        )
-    writer.parquet(target_path)
-    merged_rows.unpersist()
+        stage_writer = stage_writer.partitionBy(*partition_cols)
+    stage_writer.parquet(staging_path)
+
+    fs, target_jpath = _hadoop_fs(spark, target_path)
+    _, staging_jpath = _hadoop_fs(spark, staging_path)
+    try:
+        if partition_cols:
+            # Stage 2 (partitioned): re-read from staging — fresh lineage over
+            # staging files only — and dynamically overwrite the touched
+            # partitions. A failure here re-runs from intact staging data.
+            (
+                spark.read.parquet(staging_path)
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(target_path)
+            )
+        else:
+            # Stage 2 (unpartitioned): atomic swap. Rename is atomic on
+            # HDFS/local FS; the target is never in a half-written state.
+            trash_jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{target_path.rstrip('/')}__trash_{uuid.uuid4().hex}"
+            )
+            if not fs.rename(target_jpath, trash_jpath):
+                raise IOError(f"could not move {target_path} aside for swap")
+            if not fs.rename(staging_jpath, target_jpath):
+                # roll back: put the original table back
+                fs.rename(trash_jpath, target_jpath)
+                raise IOError(f"could not swap staging into {target_path}")
+            fs.delete(trash_jpath, True)
+    finally:
+        fs.delete(staging_jpath, True)
