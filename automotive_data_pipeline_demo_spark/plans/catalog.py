@@ -2437,15 +2437,40 @@ _register(QuerySpec(
 def q_a_approx(spark: SparkSession, sf: str) -> DataFrame:
     """A6 at 100 TB: sketch-based aggregates. Exact COUNT(DISTINCT) is the
     oracle-checked default (j6_a8_attribution); at scale the HLL/quantile
-    sketches trade bounded error for one-pass mergeability. Rows-only here
-    (sketch values are engine-specific); accuracy vs exact is asserted in
-    tests within the declared rsd.
+    sketches trade bounded error for one-pass mergeability.
+
+    Sketch values are engine-specific, so the query emits the exact
+    aggregates plus in-query error-bound FLAGS: |HLL − exact|/exact ≤ 0.1
+    (5× the declared rsd=0.02) and approx-median within the exact p45–p55
+    band. The DuckDB oracle asserts the flags are 1 — the driver hash goes
+    red the moment a sketch drifts out of tolerance, making accuracy a hard
+    driver-checked property instead of a pytest-only one.
     """
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median_qty"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hll_orders"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("apx_median"),
+        F.expr("percentile(l_quantity, 0.45)").alias("p45"),
+        F.expr("percentile(l_quantity, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        F.when(
+            F.abs(F.col("hll_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.1,
+            1,
+        ).otherwise(0).cast("int").alias("hll_ok"),
+        F.when(
+            F.col("apx_median").cast("double").between(
+                F.col("p45"), F.col("p55")
+            ),
+            1,
+        ).otherwise(0).cast("int").alias("median_ok"),
     )
 
 
@@ -2453,7 +2478,14 @@ _register(QuerySpec(
     name="a_approx",
     survey="A6 (scale variant): HLL approx_count_distinct + approx percentile",
     build=q_a_approx,
-    oracle=None,
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               COUNT(*) AS n_rows,
+               CAST(1 AS INT) AS hll_ok,
+               CAST(1 AS INT) AS median_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "sketch"),
 ))
 
@@ -2800,6 +2832,11 @@ def q_x_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     fused into the scan stage, so both exchanges carry only aggregated
     rows, never documents. At 100 TB swap in approx_count_distinct to drop
     back to one exchange.
+
+    Averages are exact-integer-sum / count divisions (quality quantized to
+    quarter units first): float AVG is partial-agg-fold-order dependent and
+    diverges between engines at the last rounded digit, while one double
+    division of exact integers is bit-identical everywhere.
     """
     docs = _t(spark, sf, "documents")
     return (
@@ -2808,7 +2845,8 @@ def q_x_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
             "source",
             token_count_ws("text").cast("long").alias("n_tok"),
             F.length("text").cast("long").alias("n_chars"),
-            quality_score("text").cast("double").alias("q"),
+            # quality_score is a sum of 0.25 indicators: *4 is an exact int
+            (quality_score("text") * 4).cast("long").alias("q4"),
         )
         .groupBy("lang")
         .agg(
@@ -2816,8 +2854,10 @@ def q_x_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
             F.sum("n_tok").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1)))
+            .alias("avg_tokens"),
+            (F.sum("q4").cast("double") / (F.count(F.lit(1)) * 4))
+            .alias("avg_quality"),
         )
     )
 
@@ -2835,10 +2875,10 @@ _register(QuerySpec(
                  CAST(
                    (CASE WHEN len(list_filter(string_split_regex(lower(text),
                           '[^a-z0-9]+'), x -> x <> '')) >= 20
-                         THEN 0.25 ELSE 0.0 END) +
+                         THEN 1 ELSE 0 END) +
                    (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
                           / greatest(length(text), 1) < 0.2
-                         THEN 0.25 ELSE 0.0 END) +
+                         THEN 1 ELSE 0 END) +
                    (CASE WHEN len(list_filter(
                            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                        x -> x <> ''),
@@ -2846,13 +2886,13 @@ _register(QuerySpec(
                                                'is','it','that','for'], x)))
                           / greatest(len(list_filter(string_split_regex(lower(text),
                               '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.05
-                         THEN 0.25 ELSE 0.0 END) +
+                         THEN 1 ELSE 0 END) +
                    (CASE WHEN CAST(len(list_distinct(list_filter(
                               string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> x <> ''))) AS DOUBLE)
                           / greatest(len(list_filter(string_split_regex(lower(text),
                               '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.3
-                         THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS q4
           FROM documents
         )
         SELECT lang,
@@ -2860,8 +2900,8 @@ _register(QuerySpec(
                COUNT(DISTINCT source) AS n_sources,
                SUM(n_tok) AS total_tokens,
                SUM(n_chars) AS total_chars,
-               ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens,
-               ROUND(AVG(q), 4) AS avg_quality
+               CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               CAST(SUM(q4) AS DOUBLE) / (COUNT(*) * 4) AS avg_quality
         FROM t GROUP BY lang
     """,
     tags=("text", "stats"),
@@ -3087,37 +3127,49 @@ _register(QuerySpec(
 ))
 
 
-# The round-1 driver verified exactly the FIRST 50 entries of ``queries()``
-# (CORRECTNESS_r01.json keys == the first 50 registration-order names). To get
-# every catalog entry a hard driver-oracle row across rounds, ``queries()``
-# front-loads entries that do NOT yet have a driver row: everything absent
-# from CORRECTNESS_r01 (the 19 round-1 stragglers plus all round-2 additions)
-# sorts ahead of the 50 already-verified names. The union of CORRECTNESS_r01
-# and CORRECTNESS_r02 then covers the full catalog. Within each group,
-# registration order is preserved.
-_R01_VERIFIED: frozenset[str] = frozenset({
-    "p2_quality_filter", "p6_regex_validity", "p8_anti_join_processed",
-    "p9_date_range", "p10_json_normalize", "j1_a1_customer_metrics",
-    "j2_w4_primary_priority", "j3_validation_join", "j4_session_bridge",
-    "j6_a8_attribution", "a3_ordered_distinct", "a5_filter_clause",
-    "a7_having", "a9_rollup", "w1_dedup_latest", "w3_sequence", "o2_topk",
-    "o3_nulls_last", "u1_distinct", "u2_merge_union", "u3_intersect_except",
-    "f_strings", "f_case_ladders", "f_dates", "f_guards", "f_hash_ids",
-    "f_url_params", "st5_sessionization", "st8_rolling_window",
-    "x_dedup_exact", "x_dedup_minhash", "x_dedup_jaccard", "x_dedup_simhash",
-    "x_sim_bruteforce", "x_sim_lsh", "x_text_stats", "x_text_langid",
-    "x_multimodal_bytes", "flagship_segments", "p1_sql_over_frames",
-    "s1_csv_typed_roundtrip", "s2_partitioned_lake", "s7_jsonl_sink_roundtrip",
-    "p4_softdelete_optout", "p12_validation", "f24_adf_parse",
-    "st7_retention", "x_dedup_embed", "x_dedup_clusters", "j5_asof_join",
-})
+# The driver verifies the FIRST 50 entries of ``queries()`` each round. To
+# keep every catalog entry driver-verified over time, ``queries()`` orders by
+# LEAST-RECENTLY-GREEN: entries with no fully hash-green driver row ever
+# (new entries, changed/red entries, no-oracle rows) come first, then entries
+# ordered by the round of their most recent hash_match=true row (oldest
+# first), registration order as the tiebreak. The round history is read from
+# the repo-root CORRECTNESS_r*.json files at import time, so the window
+# rotates automatically every round and no entry goes unverified for long.
+def _last_green_round() -> dict:
+    """name -> latest round number with a hash_match=true driver row."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out: dict = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _verify_ordered() -> list[QuerySpec]:
-    """Catalog sorted so driver-unverified entries land in the top-50 window."""
-    pending = [s for s in CATALOG if s.name not in _R01_VERIFIED]
-    verified = [s for s in CATALOG if s.name in _R01_VERIFIED]
-    return pending + verified
+    """Catalog sorted least-recently-green-first for the driver's window."""
+    last = _last_green_round()
+    order = {spec.name: i for i, spec in enumerate(CATALOG)}
+    return sorted(
+        CATALOG, key=lambda s: (last.get(s.name, -1), order[s.name])
+    )
 
 
 def queries() -> dict:
