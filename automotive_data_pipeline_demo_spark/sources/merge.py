@@ -88,7 +88,11 @@ def merge_upsert(
         updates = updates.dropDuplicates(list(keys))
 
     try:
-        target = spark.read.parquet(target_path)
+        # Pin the read schema (target schema == updates schema is the merge
+        # contract): partition directory names must not be type-re-inferred —
+        # a string partition value like '07' would silently round-trip as
+        # the int 7 under partitionColumnTypeInference.
+        target = spark.read.schema(updates.schema).parquet(target_path)
         exists = True
     except Exception:
         exists = False
@@ -105,6 +109,11 @@ def merge_upsert(
         touched = [
             r.asDict() for r in updates.select(*partition_cols).distinct().collect()
         ]
+        if not touched:
+            # Empty batch (streaming_upsert's foreachBatch delivers them):
+            # nothing to merge, and staging a zero-row partitioned frame
+            # writes no part files, which would fail the staging re-read.
+            return
         pred: Column = F.lit(False)
         for part in touched:
             clause = F.lit(True)
@@ -112,6 +121,8 @@ def merge_upsert(
                 clause = clause & (F.col(c) == F.lit(v))
             pred = pred | clause
         target = target.filter(pred)
+    elif updates.isEmpty():
+        return  # empty batch: the merge is the identity, skip the rewrite
 
     merged = merge_upsert_frames(target, updates, keys)  # updates already deduped
 
@@ -128,10 +139,13 @@ def merge_upsert(
     try:
         if partition_cols:
             # Stage 2 (partitioned): re-read from staging — fresh lineage over
-            # staging files only — and dynamically overwrite the touched
-            # partitions. A failure here re-runs from intact staging data.
+            # staging files only, with the EXPLICIT merged schema so partition
+            # directory names are not type-re-inferred (a string partition
+            # value like '07' must not round-trip as the int 7) — and
+            # dynamically overwrite the touched partitions.
             (
-                spark.read.parquet(staging_path)
+                spark.read.schema(merged.schema)
+                .parquet(staging_path)
                 .write.mode("overwrite")
                 .partitionBy(*partition_cols)
                 .option("partitionOverwriteMode", "dynamic")
@@ -150,5 +164,15 @@ def merge_upsert(
                 fs.rename(trash_jpath, target_jpath)
                 raise IOError(f"could not swap staging into {target_path}")
             fs.delete(trash_jpath, True)
-    finally:
-        fs.delete(staging_jpath, True)
+    except BaseException as exc:
+        # Stage 2 failed mid-commit: the staging copy may be the only intact
+        # version of touched partitions, so KEEP it and point at it — the
+        # merge can be completed by re-running the overwrite from staging.
+        raise IOError(
+            f"merge commit into {target_path} failed; staging data preserved "
+            f"at {staging_path} — complete the merge by re-running the "
+            f"overwrite from there"
+        ) from exc
+    # Success only: staging is no longer needed (for the unpartitioned swap
+    # it was already renamed away, making this a no-op).
+    fs.delete(staging_jpath, True)

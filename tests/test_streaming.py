@@ -66,6 +66,90 @@ def test_merge_upsert_takes_latest_within_batch(spark, tmp_path):
     assert row["price"] == 9.0
 
 
+def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
+    """foreachBatch delivers empty micro-batches; the merge must skip the
+    rewrite entirely (a zero-row partitioned staging write has no part files
+    and would fail the staging re-read)."""
+    target = str(tmp_path / "sales3")
+    batch = spark.createDataFrame(
+        [Row(dealno="D1", price=1.0, sale_year=2025,
+             updated=ts("2025-01-01T00:00"))]
+    )
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"],
+                 partition_cols=["sale_year"])
+    empty = batch.limit(0)
+    merge_upsert(spark, target, empty, keys=["dealno"], order_by=["updated"],
+                 partition_cols=["sale_year"])  # partitioned no-op
+    merge_upsert(spark, target, empty, keys=["dealno"], order_by=["updated"])
+    out = spark.read.parquet(target)
+    assert out.count() == 1
+
+
+def test_merge_upsert_preserves_string_partition_values(spark, tmp_path):
+    """Partition dir names must not be type-re-inferred: a string month '07'
+    has to survive two merges as '07', not become the int 7 / string '7'."""
+    target = str(tmp_path / "sales4")
+    batch = spark.createDataFrame(
+        [Row(dealno="D1", price=1.0, month="07", updated=ts("2025-01-01T00:00"))]
+    )
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"],
+                 partition_cols=["month"])
+    update = spark.createDataFrame(
+        [Row(dealno="D2", price=2.0, month="07", updated=ts("2025-01-02T00:00"))]
+    )
+    merge_upsert(spark, target, update, keys=["dealno"], order_by=["updated"],
+                 partition_cols=["month"])
+    out = spark.read.schema(batch.schema).parquet(target)
+    assert out.schema["month"].dataType.simpleString() == "string"
+    assert {r["month"] for r in out.collect()} == {"07"}
+
+
+def test_merge_upsert_stage2_failure_preserves_staging(spark, tmp_path, monkeypatch):
+    """If the stage-2 commit fails, the staging copy may hold the only intact
+    version of touched partitions — it must survive, and the error must say
+    where it is."""
+    import glob
+
+    import pyspark.sql.session as _sess
+
+    target = str(tmp_path / "sales5")
+    batch = spark.createDataFrame(
+        [Row(dealno="D1", price=1.0, sale_year=2025,
+             updated=ts("2025-01-01T00:00"))]
+    )
+    merge_upsert(spark, target, batch, keys=["dealno"], order_by=["updated"],
+                 partition_cols=["sale_year"])
+
+    # Fail the stage-2 staging re-read (first `spark.read` after staging is
+    # written): target read + staging write already happened via the real
+    # property, so patching `read` to raise hits exactly the commit step.
+    real_read = _sess.SparkSession.read
+    calls = {"n": 0}
+
+    def flaky_read(self):
+        calls["n"] += 1
+        if calls["n"] > 1:  # 1st read = target probe; 2nd = staging re-read
+            raise RuntimeError("injected stage-2 failure")
+        return real_read.fget(self)
+
+    update = spark.createDataFrame(
+        [Row(dealno="D1", price=9.0, sale_year=2025,
+             updated=ts("2025-01-02T00:00"))]
+    )
+    monkeypatch.setattr(_sess.SparkSession, "read", property(flaky_read))
+    try:
+        with pytest.raises(IOError, match="staging data preserved"):
+            merge_upsert(spark, target, update, keys=["dealno"],
+                         order_by=["updated"], partition_cols=["sale_year"])
+    finally:
+        monkeypatch.setattr(_sess.SparkSession, "read", real_read)
+
+    staged = glob.glob(f"{target}__staging_*")
+    assert staged, "staging path must survive a failed commit"
+    recovered = spark.read.schema(update.schema).parquet(staged[0])
+    assert [r["price"] for r in recovered.collect()] == [9.0]
+
+
 # ----------------------------------------------------------- ST2 exactly-once
 
 def test_exactly_once_emission(spark, tmp_path):
