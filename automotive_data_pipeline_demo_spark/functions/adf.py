@@ -55,7 +55,14 @@ def _parse_one(xml: str | None) -> dict:
         return out
     try:
         root = ET.fromstring(xml)
-        prospect = root.find(".//prospect") or root
+    except ET.ParseError as exc:
+        out["parse_error"] = f"xml: {exc}"
+        return out
+    try:
+        found = root.find(".//prospect")
+        # explicit None test: a childless <prospect/> Element is FALSY, so
+        # `found or root` would silently fall back to parsing the root
+        prospect = root if found is None else found
         out["lead_id"] = _text(prospect, ".//id")
         names = prospect.findall(".//customer//name")
         for n in names:
@@ -75,8 +82,10 @@ def _parse_one(xml: str | None) -> dict:
         m = _SESSION_RE.search(comments)
         if m:
             out["session_id"] = m.group(1)
-    except ET.ParseError as exc:
-        out["parse_error"] = f"xml: {exc}"
+    except Exception as exc:  # pragma: no cover - defensive
+        # one malformed-but-parseable record must not kill the whole Arrow
+        # batch (and with it the stage) on a 100 TB feed
+        out["parse_error"] = f"extract: {type(exc).__name__}: {exc}"
     return out
 
 

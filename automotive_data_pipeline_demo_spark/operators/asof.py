@@ -109,10 +109,27 @@ def range_join(
     bounded at 2x the left side regardless of data — the standard
     interval-join strategy (cf. Flink's interval join / bucketed range
     partitioning).
+
+    ``how`` is ``'inner'`` or ``'left'``. Because the left side is exploded
+    into up to two bin copies, a naive outer join over the exploded frame
+    would emit one null-extended row PER COPY; ``'left'`` therefore runs the
+    inner join and anti-joins the un-exploded left for the null-extended
+    remainder (each zero-match left row appears exactly once). ``'right'`` /
+    ``'full'`` are rejected — flip the sides for right semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner' or 'left', got {how!r} "
+            "(the exploded left side would duplicate null-extended rows "
+            "under right/full semantics)"
+        )
     width = max(upper_s - lower_s, 1)
     on = list(on)
     us = 1_000_000
+
+    if how == "left":
+        # row identity for the anti-join; partition-deterministic, no shuffle
+        left = left.withColumn("__lid", F.monotonically_increasing_id())
 
     l_us = F.unix_micros(F.col(left_ts))
     lo_bin = F.floor((l_us + lower_s * us) / (width * us))
@@ -133,5 +150,19 @@ def range_join(
     exact = (F.col("__r_us") >= F.col("__l_us") + lower_s * us) & (
         F.col("__r_us") <= F.col("__l_us") + upper_s * us
     )
-    joined = lt.join(rt, cond & exact, how)
-    return joined.drop("__lbin", "__rbin", "__l_us", "__r_us", *[f"r_{k}" for k in on])
+    joined = lt.join(rt, cond & exact, "inner")
+    matched = joined.drop(
+        "__lbin", "__rbin", "__l_us", "__r_us", *[f"r_{k}" for k in on]
+    )
+    if how == "inner":
+        return matched
+
+    payload_cols = [c for c in right.columns if c not in on]
+    unmatched = left.join(joined.select("__lid"), "__lid", "left_anti").select(
+        "*",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}")
+            for c in payload_cols
+        ],
+    )
+    return matched.unionByName(unmatched).drop("__lid")

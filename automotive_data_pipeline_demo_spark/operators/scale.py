@@ -98,7 +98,17 @@ def salted_join(
     Prefer ``broadcast(small)`` when the small side fits the broadcast
     threshold — salting is for the band where the small side is too big to
     broadcast but the big side's keys are too hot for sort-merge.
+
+    ``how`` is ``'inner'`` or ``'left'`` only: the small side is replicated
+    once per salt, so right/full semantics would keep each unmatched
+    small-side row ``n_salts`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r} "
+            "(the small side is replicated per salt; right/full would emit "
+            "unmatched small-side rows once per salt)"
+        )
     salted_big = skewed.withColumn(
         "__salt",
         F.pmod(

@@ -123,6 +123,17 @@ def test_adf_parsing(spark):
     assert out[2]["parse_error"] == "empty"
 
 
+def test_adf_childless_prospect_not_falsy(spark):
+    """A childless <prospect/> Element is falsy; the parser must still scope
+    extraction to it rather than silently falling back to the root (which
+    here carries a decoy <id> that must NOT be picked up)."""
+    xml = "<adf><id>DECOY</id><prospect/></adf>"
+    df = spark.createDataFrame([(xml,)], schema="raw_adf_xml string")
+    [row] = df.select(parsed_lead("raw_adf_xml").alias("l")).select("l.*").collect()
+    assert row["lead_id"] is None
+    assert row["parse_error"] is None
+
+
 def test_csv_typed_corrupt_capture(spark, tmp_path):
     """S1 PERMISSIVE mode: malformed rows land in _corrupt_record instead of
     being dropped (the reference's optimizePerformance=False 'quality over

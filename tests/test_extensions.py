@@ -367,6 +367,34 @@ def test_range_join_bins_cover_boundaries(spark):
     assert got == expect and expect, (got, expect)
 
 
+def test_range_join_left_and_rejected_modes(spark):
+    """how='left' must emit each zero-match left row exactly ONCE (the
+    exploded bin copies must not each null-extend), and right/full are
+    rejected outright."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from automotive_data_pipeline_demo_spark.operators.asof import range_join
+
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    lefts = [(0, "k", t0), (1, "k", t0 + timedelta(seconds=300)),
+             (2, "other", t0)]
+    rights = [(100, "k", t0 + timedelta(seconds=30))]
+    L = spark.createDataFrame(lefts, "lid long, key string, ts timestamp")
+    R = spark.createDataFrame(rights, "rid long, key string, rts timestamp")
+
+    out = range_join(L, R, ["key"], "ts", "rts", 1, 60, how="left").collect()
+    by_lid: dict = {}
+    for r in out:
+        by_lid.setdefault(r["lid"], []).append(r["r_rid"])
+    assert by_lid == {0: [100], 1: [None], 2: [None]}
+
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="range_join supports"):
+            range_join(L, R, ["key"], "ts", "rts", 1, 60, how=bad)
+
+
 def test_approx_aggregates_within_tolerance(spark, sf_dir):
     """Sketch aggregates must land within their declared error of exact."""
     from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG

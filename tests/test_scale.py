@@ -80,3 +80,19 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted.count() == plain
     # the join key includes the salt: hot custkeys spread over 4 partitions
     assert "__salt" not in salted.columns
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    """The small side is replicated per salt: right/full would keep each
+    unmatched small-side row n_salts times, so those modes must raise."""
+    import pytest
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, customer, "custkey", n_salts=4, how=bad)
