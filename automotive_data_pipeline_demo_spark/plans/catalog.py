@@ -60,6 +60,9 @@ from automotive_data_pipeline_demo_spark.extensions.similarity import (
 from automotive_data_pipeline_demo_spark.functions.adf import parsed_lead
 from automotive_data_pipeline_demo_spark.functions.scalars import track_event_struct
 from automotive_data_pipeline_demo_spark.plans.etl import sql_over_frames
+from automotive_data_pipeline_demo_spark.streaming.identity import (
+    resolve_identities_batch,
+)
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
     read_lake,
@@ -493,6 +496,129 @@ _register(QuerySpec(
     """,
     bench=True,
     tags=("join", "range"),
+))
+
+
+def q_j5_identity_two_tier(spark: SparkSession, sf: str) -> DataFrame:
+    """J5/ST4/ST9 headline: the reference's TWO-TIER identity resolution
+    (identity-resolution/api-server.js:247-260) — session-id match first,
+    normalized email/phone fallback ONLY for leads tier 1 missed, unmatched
+    leads retained with is_matched=false (database-schema.sql:344-357).
+
+    Visitors/leads are synthesized deterministically from events (views ->
+    visitor sessions, signups -> CRM leads) with contact noise (case,
+    whitespace, phone punctuation) that clean_email/clean_phone must
+    normalize for tier 2 to hit. Every tier is an equi-join (session id;
+    lower(email); digits(phone)) with the ±24 h window evaluated inside the
+    join and the email-OR-phone predicate split into two equi-joins united
+    afterwards — an OR of equalities would plan as a CartesianProduct.
+    """
+    ev = _t(spark, sf, "events")
+    uid = F.col("user_id").cast("string")
+    visitors = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("visitor_id"),
+        F.when(F.col("event_id") % 2 == 0, F.concat(F.lit("S"), uid))
+        .alias("session_id"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit(" User"), uid, F.lit("@Example.COM ")),
+        ).alias("email"),
+        F.when(
+            F.col("user_id") % 5 == 0,
+            F.concat(F.lit("(555) 01-"), uid),
+        ).alias("phone"),
+        F.col("ts").alias("first_seen"),
+    )
+    leads = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("lead_id"),
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("S"), uid))
+        .alias("session_id"),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("user"), uid, F.lit("@example.com")),
+        ).alias("email"),
+        F.when(
+            F.col("user_id") % 7 == 0,
+            F.concat(F.lit("555-01-"), uid),
+        ).alias("phone"),
+        F.col("ts").alias("lead_submitted_at"),
+    )
+    return resolve_identities_batch(visitors, leads)
+
+
+_register(QuerySpec(
+    name="j5_identity_two_tier",
+    survey="J5,ST4,ST9: two-tier identity resolution (session, then contact)",
+    build=q_j5_identity_two_tier,
+    oracle="""
+        WITH v AS (
+          SELECT event_id AS visitor_id,
+                 CASE WHEN event_id % 2 = 0
+                      THEN 'S' || CAST(user_id AS VARCHAR) END AS v_session,
+                 CASE WHEN user_id % 3 = 0
+                      THEN lower(trim(' User' || CAST(user_id AS VARCHAR)
+                                      || '@Example.COM ')) END AS v_email,
+                 CASE WHEN user_id % 5 = 0
+                      THEN nullif(regexp_replace('(555) 01-'
+                             || CAST(user_id AS VARCHAR), '[^0-9]', '', 'g'),
+                           '') END AS v_phone,
+                 ts AS first_seen
+          FROM events WHERE event_type = 'view'
+        ), l AS (
+          SELECT event_id AS lead_id,
+                 CASE WHEN event_id % 3 = 0
+                      THEN 'S' || CAST(user_id AS VARCHAR) END AS l_session,
+                 CASE WHEN user_id % 2 = 0
+                      THEN lower(trim('user' || CAST(user_id AS VARCHAR)
+                                      || '@example.com')) END AS l_email,
+                 CASE WHEN user_id % 7 = 0
+                      THEN nullif(regexp_replace('555-01-'
+                             || CAST(user_id AS VARCHAR), '[^0-9]', '', 'g'),
+                           '') END AS l_phone,
+                 ts AS lead_submitted_at
+          FROM events WHERE event_type = 'signup'
+        ), t1 AS (
+          SELECT l.lead_id, v.visitor_id, l.lead_submitted_at,
+                 ROW_NUMBER() OVER (PARTITION BY l.lead_id ORDER BY
+                   abs(epoch_us(l.lead_submitted_at) - epoch_us(v.first_seen)),
+                   v.visitor_id) AS rn
+          FROM l JOIN v ON l.l_session = v.v_session
+           AND epoch_us(l.lead_submitted_at) - epoch_us(v.first_seen)
+               BETWEEN -86400000000 AND 86400000000
+        ), t1b AS (
+          SELECT lead_id, visitor_id, 'session_id' AS match_method
+          FROM t1 WHERE rn = 1
+        ), t2cand AS (
+          SELECT l.lead_id, v.visitor_id, l.lead_submitted_at, v.first_seen
+          FROM l JOIN v ON l.l_email = v.v_email
+           AND abs(epoch_us(l.lead_submitted_at) - epoch_us(v.first_seen))
+               <= 86400000000
+          WHERE l.lead_id NOT IN (SELECT lead_id FROM t1b)
+          UNION ALL
+          SELECT l.lead_id, v.visitor_id, l.lead_submitted_at, v.first_seen
+          FROM l JOIN v ON l.l_phone = v.v_phone
+           AND abs(epoch_us(l.lead_submitted_at) - epoch_us(v.first_seen))
+               <= 86400000000
+          WHERE l.lead_id NOT IN (SELECT lead_id FROM t1b)
+        ), t2 AS (
+          SELECT lead_id, visitor_id,
+                 ROW_NUMBER() OVER (PARTITION BY lead_id ORDER BY
+                   abs(epoch_us(lead_submitted_at) - epoch_us(first_seen)),
+                   visitor_id) AS rn
+          FROM t2cand
+        ), t2b AS (
+          SELECT lead_id, visitor_id, 'email_phone' AS match_method
+          FROM t2 WHERE rn = 1
+        ), m AS (
+          SELECT * FROM t1b UNION ALL SELECT * FROM t2b
+        )
+        SELECT l.lead_id, m.visitor_id, m.match_method,
+               m.match_method IS NOT NULL AS is_matched,
+               CASE WHEN m.match_method IS NOT NULL
+                    THEN l.lead_submitted_at END AS matched_at
+        FROM l LEFT JOIN m ON l.lead_id = m.lead_id
+    """,
+    tags=("identity", "join", "two_tier"),
 ))
 
 
