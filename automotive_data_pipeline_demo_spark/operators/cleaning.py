@@ -71,6 +71,44 @@ def is_marketable_contact(
     return n.isNotNull() & (is_valid_email(email_col) | has_valid_phone(phone_col))
 
 
+# Scan (non-anchored) forms of the reference's email/phone shapes
+# (sql/customer_360_views.sql:93-107) for free-text PII redaction. Kept to
+# the Java-regex/RE2 common subset so the DuckDB oracle runs them verbatim.
+EMAIL_SCAN_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_SCAN_RE = r"\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+
+
+def count_emails(col: Column | str) -> Column:
+    """Number of email-shaped substrings in free text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_SCAN_RE), F.lit(0)))
+
+
+def count_phones(col: Column | str) -> Column:
+    """Number of phone-shaped substrings in free text (emails pre-masked so
+    digit runs inside addresses are not double-counted)."""
+    c = F.col(col) if isinstance(col, str) else col
+    masked = F.regexp_replace(c, EMAIL_SCAN_RE, "")
+    return F.size(F.regexp_extract_all(masked, F.lit(PHONE_SCAN_RE), F.lit(0)))
+
+
+def redact_pii(
+    col: Column | str,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+) -> Column:
+    """Replace email- then phone-shaped substrings with fixed tokens.
+
+    Training-corpus PII scrub as pure JVM regexp_replace (no UDF, stays in
+    whole-stage codegen). Email pass runs first so the phone pass can never
+    fire on digit runs inside an address; the operation is idempotent —
+    the tokens contain no digits or '@', so a second pass is a no-op.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_SCAN_RE, email_token)
+    return F.regexp_replace(no_email, PHONE_SCAN_RE, phone_token)
+
+
 def not_soft_deleted(is_deleted: Column | str, delete_flag: Column | str) -> Column:
     """P4 soft-delete / GDPR filter (sql/customer_360_views.sql:77-80):
     (isdeleted IS NULL OR NOT isdeleted) AND (deletedataflag IS NULL OR NOT deletedataflag).

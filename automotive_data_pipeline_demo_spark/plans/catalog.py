@@ -34,6 +34,11 @@ from automotive_data_pipeline_demo_spark.operators import (
     sequence_number,
 )
 from automotive_data_pipeline_demo_spark.operators.classify import recency_bucket
+from automotive_data_pipeline_demo_spark.operators.cleaning import (
+    count_emails,
+    count_phones,
+    redact_pii,
+)
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
 from automotive_data_pipeline_demo_spark.operators.scale import salted_groupby_sum
 from automotive_data_pipeline_demo_spark.functions.scalars import (
@@ -310,6 +315,77 @@ _register(QuerySpec(
         GROUP BY event_type
     """,
     tags=("json",),
+))
+
+
+def q_p_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over free text — the training-corpus scrub pass. The
+    documents fixture is lowercase-words-only, so a PII-bearing column is
+    synthesized deterministically in-query (emails with case/whitespace
+    noise for 1-in-3 docs, punctuated phones for 1-in-4) and then redacted
+    with the reference's email/phone shapes (sql/customer_360_views.sql:
+    93-107) generalized to scan form. Pure regexp_replace/extract_all —
+    whole-stage codegen, zero shuffles before the scan output.
+    """
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach me at User"), did, F.lit("@Example.COM now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       pii_text.alias("pii_text"))
+    return base.select(
+        "doc_id",
+        count_emails("pii_text").cast("int").alias("n_emails"),
+        count_phones("pii_text").cast("int").alias("n_phones"),
+        redact_pii("pii_text").alias("redacted"),
+    )
+
+
+_register(QuerySpec(
+    name="p_pii_redaction",
+    survey="north-star: PII redaction / text normalization (P5/P6 regex family)",
+    build=q_p_pii_redaction,
+    oracle="""
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 substr(text, 1, 40)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN ' reach me at User' || CAST(doc_id AS VARCHAR)
+                               || '@Example.COM now' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0
+                          THEN ' call (555) 010-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END) AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'),
+                 '\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}')) AS INT)
+                 AS n_phones,
+               regexp_replace(regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
+                 '[PHONE]', 'g') AS redacted
+        FROM base
+    """,
+    tags=("pii", "text"),
 ))
 
 

@@ -134,6 +134,43 @@ def test_adf_childless_prospect_not_falsy(spark):
     assert row["parse_error"] is None
 
 
+def test_pii_redaction_idempotent_and_counts(spark):
+    """Redaction masks every email/phone shape, counts agree, and a second
+    pass is a no-op (tokens carry no digits or '@')."""
+    from pyspark.sql import functions as F
+
+    from automotive_data_pipeline_demo_spark.operators.cleaning import (
+        count_emails,
+        count_phones,
+        redact_pii,
+    )
+
+    rows = [
+        ("a", "mail Jane.Doe+x@Corp.Example.ORG and (555) 010-1234 today"),
+        ("b", "two mails x@y.io z@w.co, phone 555.010.9999"),
+        ("c", "no pii here at all"),
+        ("d", "digits 12345 but not a phone; at sign @ alone"),
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        count_emails("t").alias("ne"),
+        count_phones("t").alias("np"),
+        redact_pii("t").alias("red"),
+    ).collect()}
+    assert (out["a"]["ne"], out["a"]["np"]) == (1, 1)
+    assert "[EMAIL]" in out["a"]["red"] and "[PHONE]" in out["a"]["red"]
+    assert "@" not in out["a"]["red"].replace("[EMAIL]", "")
+    assert (out["b"]["ne"], out["b"]["np"]) == (2, 1)
+    assert (out["c"]["ne"], out["c"]["np"]) == (0, 0)
+    assert out["c"]["red"] == rows[2][1]
+    assert (out["d"]["ne"], out["d"]["np"]) == (0, 0)
+
+    red = df.select("id", redact_pii("t").alias("r1"))
+    twice = red.select("id", "r1", redact_pii("r1").alias("r2"))
+    assert twice.filter(F.col("r1") != F.col("r2")).count() == 0
+
+
 def test_csv_typed_corrupt_capture(spark, tmp_path):
     """S1 PERMISSIVE mode: malformed rows land in _corrupt_record instead of
     being dropped (the reference's optimizePerformance=False 'quality over
