@@ -30,6 +30,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) managed table.
 
@@ -42,6 +43,10 @@ def write_bucketed(
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        # external table: data at an explicit location instead of the
+        # session warehouse dir (which is cwd-relative by default)
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
@@ -51,9 +56,20 @@ def bucketed_join(
     right_table: str,
     on: Sequence[str],
     how: str = "inner",
+    force_sort_merge: bool = False,
 ) -> DataFrame:
-    """Join two same-bucketed tables on their bucket key (exchange-free)."""
-    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+    """Join two same-bucketed tables on their bucket key (exchange-free).
+
+    ``force_sort_merge`` pins the sort-merge strategy via a join hint: at
+    toy scale the optimizer would rather broadcast the smaller table (a
+    BroadcastExchange), which hides the zero-exchange co-location this
+    operator exists to demonstrate; at 100 TB neither side is
+    broadcastable and sort-merge over co-bucketed scans is the plan anyway.
+    """
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), list(on), how)
 
 
 def salted_groupby_sum(

@@ -40,7 +40,11 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
     redact_pii,
 )
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
-from automotive_data_pipeline_demo_spark.operators.scale import salted_groupby_sum
+from automotive_data_pipeline_demo_spark.operators.scale import (
+    bucketed_join,
+    salted_groupby_sum,
+    write_bucketed,
+)
 from automotive_data_pipeline_demo_spark.functions.scalars import (
     iso8601_noon,
     message_id,
@@ -2835,6 +2839,60 @@ _register(QuerySpec(
         FROM lineitem GROUP BY l_returnflag
     """,
     tags=("scale", "skew"),
+))
+
+
+def q_scale_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join — Spark's answer to the reference's
+    DISTSTYLE/SORTKEY physical layout (sql/redshift_table_schemas.sql:
+    114-115, 314-325): pay the shuffle ONCE at write time, then every join
+    and aggregation on the bucket key runs with zero exchanges.
+
+    Orders and customers are bucket-written on custkey, sort-merge-joined
+    (broadcast pinned off — at 100 TB neither side broadcasts), and
+    aggregated per custkey. The zero-exchange property is DRIVER-CHECKED,
+    not just pytest-asserted: the physical plan's Exchange count rides in
+    the output as ``plan_exchanges`` and the oracle asserts it is 0.
+    """
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    t_o, t_c = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed(o, t_o, ["custkey"], n_buckets=8, sort_cols=["custkey"],
+                   path=_scratch(sf, t_o))
+    write_bucketed(c, t_c, ["custkey"], n_buckets=8, sort_cols=["custkey"],
+                   path=_scratch(sf, t_c))
+    joined = bucketed_join(spark, t_o, t_c, ["custkey"], force_sort_merge=True)
+    agg = joined.groupBy("custkey").agg(
+        F.max("c_mktsegment").alias("mktsegment"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice", "sum_price"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    return agg.withColumn(
+        "plan_exchanges", F.lit(plan.count("Exchange")).cast("int")
+    )
+
+
+_register(QuerySpec(
+    name="scale_bucketed_join",
+    survey="scale: bucketed co-located join (DISTSTYLE/SORTKEY parity)",
+    build=q_scale_bucketed_join,
+    oracle="""
+        SELECT o.o_custkey AS custkey,
+               MAX(c.c_mktsegment) AS mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               CAST(0 AS INT) AS plan_exchanges
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey
+    """,
+    tags=("scale", "bucketing"),
 ))
 
 
