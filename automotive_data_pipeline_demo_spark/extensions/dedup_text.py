@@ -156,17 +156,27 @@ def ngram_jaccard_pairs(
     would reject anyway. None = exact (the oracle-checked default;
     mandatory knob at 100 TB).
     """
-    shingles = df.select(
+    shingle_rows = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).distinct()
+    )
     if max_doc_freq is not None:
+        # ONE exchange on shingle serves three operators: the (id, shingle)
+        # dedup (HashPartitioning(shingle) satisfies the distinct's
+        # clustering requirement — shingle is a subset of its keys), the
+        # doc-frequency window, and nothing re-shuffles until the per-id
+        # size window. Keeps the capped plan at the same 4-exchange budget
+        # as the uncapped one.
         df_w = Window.partitionBy("shingle")
         shingles = (
-            shingles.withColumn("__df", F.count(F.lit(1)).over(df_w))
+            shingle_rows.repartition("shingle")
+            .distinct()
+            .withColumn("__df", F.count(F.lit(1)).over(df_w))
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
+    else:
+        shingles = shingle_rows.distinct()
 
     if candidates is not None:
         # sparse verification path: intersect only candidate pairs, then

@@ -35,6 +35,7 @@ def _shuffles(plan: str) -> int:
         ("x_dedup_simhash", 1),
         ("x_dedup_minhash", 2),
         ("x_dedup_jaccard", 4),
+        ("x_dedup_jaccard_capped", 4),
         ("x_text_tfidf", 3),
         ("x_text_entropy", 0),
         ("x_sample_split", 0),
