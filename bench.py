@@ -4,15 +4,25 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
-   "sf": ...}
+   "sf": ..., "sf1": {"queries": {...}, "total_sec": ...}}
 
 Each query executes fully via the noop sink (no driver collect, no sink
 I/O in the measurement). Session build time is excluded; a warmup query
 primes the JVM/codegen so numbers reflect steady-state plan execution.
+
+sf1 pass: at sf0.1 each query carries ~1 s of fixed JVM/scheduler overhead,
+which swamps real work and makes round-over-round deltas unfalsifiable. When
+the primary dir is sf0.1 (the driver's default), the bench also synthesizes
+a deterministic sf1 under /tmp — ten key-shifted copies of every fact table,
+joins staying consistent because every foreign key shifts by the same
+per-copy offset — and re-runs the suite there, where per-query time is real
+work. Generation happens once and is reused via a marker file. Disable with
+SPARK_GRAFT_SF1=0.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -21,8 +31,76 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
 from automotive_data_pipeline_demo_spark.session import get_spark
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF1_COPIES = 10
+_OFFSET = 1_000_000_000  # per-copy id shift, far above any source key
+
+# id-bearing columns per table; every foreign key shifts with its parent so
+# the ×10 corpus keeps exactly the source's join structure and cardinality
+# ratios (region/nation are dimensions and stay shared, like TPC-H).
+_SHIFT_COLS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def ensure_sf1(spark: SparkSession, src_dir: str) -> str:
+    """Materialize the synthetic sf1 mirror of ``src_dir`` (idempotent)."""
+    marker = os.path.join(SF1_DIR, "_SPARK_GRAFT_SF1_OK")
+    if os.path.exists(marker):
+        return SF1_DIR
+    # events stores TIMESTAMP(NANOS); read it as long (same convention the
+    # catalog reader uses) so the copy round-trips bit-identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for table, shift_cols in _SHIFT_COLS.items():
+        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        if shift_cols:
+            copies = []
+            for k in range(SF1_COPIES):
+                off = k * _OFFSET
+                copies.append(
+                    src.select(
+                        *[
+                            (F.col(c) + F.lit(off)).alias(c)
+                            if c in shift_cols
+                            else F.col(c)
+                            for c in src.columns
+                        ]
+                    )
+                )
+            out = functools.reduce(DataFrame.union, copies)
+        else:
+            out = src
+        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{table}.parquet")
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("ok\n")
+    return SF1_DIR
+
+
+def run_suite(spark: SparkSession, sf_dir: str, bench_specs) -> dict[str, float]:
+    # warmup: run the flagship once to JIT codegen paths
+    warm = next(s for s in bench_specs if s.name == "flagship_segments")
+    warm.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    return timings
 
 
 def main() -> None:
@@ -31,31 +109,34 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark(app_name="bench")
-
     bench_specs = [s for s in CATALOG if s.bench]
 
-    # warmup: run the flagship once to JIT codegen paths
-    warm = next(s for s in bench_specs if s.name == "flagship_segments")
-    warm.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings = run_suite(spark, sf_dir, bench_specs)
+    result = {
+        "metric": "catalog_headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
 
-    timings: dict[str, float] = {}
-    for spec in bench_specs:
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    want_sf1 = os.environ.get("SPARK_GRAFT_SF1")
+    run_sf1 = want_sf1 == "1" or (want_sf1 != "0" and sf == 0.1)
+    if run_sf1:
+        try:
+            t_gen = time.perf_counter()
+            sf1_dir = ensure_sf1(spark, sf_dir)
+            gen_sec = round(time.perf_counter() - t_gen, 3)
+            t1 = run_suite(spark, sf1_dir, bench_specs)
+            result["sf1"] = {
+                "queries": t1,
+                "total_sec": round(sum(t1.values()), 3),
+                "gen_sec": gen_sec,
             }
-        )
-    )
+        except Exception as exc:  # the primary line must survive an sf1 fault
+            result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    print(json.dumps(result))
     spark.stop()
 
 
