@@ -95,11 +95,18 @@ def run_suite(spark: SparkSession, sf_dir: str, bench_specs) -> dict[str, float]
     # warmup: run the flagship once to JIT codegen paths
     warm = next(s for s in bench_specs if s.name == "flagship_segments")
     warm.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # best-of-2 per query: the first execution after a dataset write/generation
+    # pays one-off page-cache and codegen costs that can inflate a single-shot
+    # number 3-5x; the min of two runs is the steady-state plan cost, which is
+    # what round-over-round comparisons need to be falsifiable.
     timings: dict[str, float] = {}
     for spec in bench_specs:
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
     return timings
 
 
@@ -118,6 +125,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "policy": "min_of_2",
     }
 
     want_sf1 = os.environ.get("SPARK_GRAFT_SF1")
