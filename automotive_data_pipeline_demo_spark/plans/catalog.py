@@ -42,6 +42,7 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
 from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
+    hash_prefilter_join,
     salted_groupby_sum,
     write_bucketed,
 )
@@ -2963,6 +2964,48 @@ _register(QuerySpec(
         GROUP BY o.o_custkey
     """,
     tags=("scale", "bucketing"),
+))
+
+
+def q_scale_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast hash-bucket prefilter semi join (the runtime-filter /
+    bloom-join pattern, one hash function): the key side collapses to
+    DISTINCT xxhash64(key)%2^20 buckets — bounded at ~8 MB no matter how
+    many keys — which broadcast-filters the fact scan so only bucket-hit
+    rows (true matches + occupancy-rate false positives) reach the exact
+    semi join's shuffle. Reference parity: the processed-leads NOT IN guard
+    (lead-processor/index.js:208-214) whose naive plan shuffles the whole
+    fact table at 100 TB.
+
+    The result is exactly the plain semi join (the oracle), and the
+    prefilter shape is DRIVER-CHECKED: plan_prefilter_bcast rides in the
+    output as 1 only if the plan broadcast-joins without a cartesian.
+    """
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    keys = _t(spark, sf, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    out = hash_prefilter_join(
+        li, keys, "l_orderkey", "o_orderkey", how="left_semi", n_buckets=1 << 20
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ok = "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    return out.withColumn("plan_prefilter_bcast", F.lit(1 if ok else 0).cast("int"))
+
+
+_register(QuerySpec(
+    name="scale_bloom_prune",
+    survey="scale: broadcast hash-bucket prefilter (runtime-filter/bloom join)",
+    build=q_scale_bloom_prune,
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(1 AS INT) AS plan_prefilter_bcast
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+    """,
+    tags=("scale", "bloom", "semi-join"),
 ))
 
 

@@ -96,3 +96,50 @@ def test_salted_join_rejects_right_and_full(spark, sf_dir):
     for bad in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(orders, customer, "custkey", n_salts=4, how=bad)
+
+
+def test_hash_prefilter_join_matches_plain_semi_and_anti(spark, sf_dir):
+    """Prefilter semi/anti results must be EXACTLY the plain join's — the
+    bucket filter only prunes definite misses, never changes membership —
+    and the prefilter stage must be a broadcast join with the fact side
+    unshuffled (only the bucket-distinct pays an exchange)."""
+    from automotive_data_pipeline_demo_spark.operators.scale import (
+        hash_prefilter_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT' AND o_totalprice > 150000"
+    )
+    for how in ("left_semi", "left_anti"):
+        out = hash_prefilter_join(
+            li, keys, "l_orderkey", "o_orderkey", how=how, n_buckets=1 << 16
+        )
+        ref = li.join(keys, li.l_orderkey == keys.o_orderkey, how)
+        cols = ["l_orderkey", "l_linenumber"]
+        assert out.select(cols).exceptAll(ref.select(cols)).count() == 0, how
+        assert ref.select(cols).exceptAll(out.select(cols)).count() == 0, how
+
+    semi = hash_prefilter_join(
+        li, keys, "l_orderkey", "o_orderkey", how="left_semi", n_buckets=1 << 16
+    )
+    plan = _plan(semi)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the fact table itself must not shuffle for the prefilter: the only
+    # hashpartitioning exchange allowed up front is the bucket distinct's
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_hash_prefilter_join_rejects_other_modes(spark, sf_dir):
+    import pytest
+
+    from automotive_data_pipeline_demo_spark.operators.scale import (
+        hash_prefilter_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for bad in ("inner", "left", "right"):
+        with pytest.raises(ValueError, match="hash_prefilter_join supports"):
+            hash_prefilter_join(li, keys, "l_orderkey", "o_orderkey", how=bad)
