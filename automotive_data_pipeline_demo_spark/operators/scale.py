@@ -97,6 +97,33 @@ def salted_groupby_sum(
     )
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned AND sorted on ``sort_cols`` — the
+    Spark-side equivalent of a Redshift compound SORTKEY
+    (``sql/redshift_table_schemas.sql:314-325``).
+
+    ``repartitionByRange`` gives each output file a disjoint key range and
+    ``sortWithinPartitions`` orders rows inside it, so every parquet
+    row-group's min/max statistics are tight on the sort column: a range
+    predicate on it skips whole files and row groups at the scan instead of
+    reading 100 TB to filter. Bucketing (``write_bucketed``) co-locates
+    equi-JOIN keys; this co-locates RANGE-scan keys — the two layouts
+    together cover the reference's DISTSTYLE + SORTKEY posture.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def hash_prefilter_join(
     fact: DataFrame,
     keys: DataFrame,

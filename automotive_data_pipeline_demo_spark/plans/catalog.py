@@ -45,6 +45,7 @@ from automotive_data_pipeline_demo_spark.operators.scale import (
     hash_prefilter_join,
     salted_groupby_sum,
     write_bucketed,
+    write_range_sorted,
 )
 from automotive_data_pipeline_demo_spark.functions.scalars import (
     iso8601_noon,
@@ -3006,6 +3007,47 @@ _register(QuerySpec(
           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
     """,
     tags=("scale", "bloom", "semi-join"),
+))
+
+
+def q_scale_sorted_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-sorted lake layout (Redshift compound-SORTKEY parity,
+    sql/redshift_table_schemas.sql:314-325): orders written
+    repartitionByRange+sortWithinPartitions on o_orderdate, then scanned
+    with a one-year range predicate. Because each file/row-group covers a
+    disjoint date range, the pushed-down predicate skips most of the table
+    at the scan — the 100 TB win this layout exists for.
+
+    Both properties are DRIVER-CHECKED: the rows equal filtering the
+    original table (the oracle), and plan_pushdown rides as 1 only if the
+    range predicate reached the parquet scan (PushedFilters non-empty).
+    """
+    out_path = _scratch(sf, "orders_sorted")
+    orders = _t(spark, sf, "orders")
+    write_range_sorted(orders, out_path, ["o_orderdate"], n_files=8)
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    scan = spark.read.parquet(out_path).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    sel = scan.select("o_orderkey", "o_custkey", "o_totalprice")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    pushed = "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    return sel.withColumn("plan_pushdown", F.lit(1 if pushed else 0).cast("int"))
+
+
+_register(QuerySpec(
+    name="scale_sorted_layout",
+    survey="scale: range-sorted lake layout (compound SORTKEY parity)",
+    build=q_scale_sorted_layout,
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(1 AS INT) AS plan_pushdown
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+    """,
+    tags=("scale", "layout", "pushdown"),
 ))
 
 

@@ -143,3 +143,32 @@ def test_hash_prefilter_join_rejects_other_modes(spark, sf_dir):
     for bad in ("inner", "left", "right"):
         with pytest.raises(ValueError, match="hash_prefilter_join supports"):
             hash_prefilter_join(li, keys, "l_orderkey", "o_orderkey", how=bad)
+
+
+def test_write_range_sorted_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Each output file must cover a disjoint sort-key range — that is the
+    property that makes row-group min/max stats skip data at the scan."""
+    import glob
+
+    from automotive_data_pipeline_demo_spark.operators.scale import (
+        write_range_sorted,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_orderdate"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((r["lo"], r["hi"]))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)
+    # and the layout loses no rows
+    assert spark.read.parquet(out).count() == orders.count()
