@@ -114,6 +114,31 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def ngram_repetition(text: Column | str, n: int = 3) -> tuple[Column, Column, Column]:
+    """Gopher-style duplicate n-gram signal, computed per row with zero
+    shuffle: (n_grams, n_distinct, rep_ratio) where rep_ratio is the
+    fraction of n-grams that are repeats of an earlier one.
+
+    Built entirely from JVM higher-order functions (sequence → transform →
+    slice → array_distinct), so it runs inside whole-stage codegen on the
+    scan — no explode, no groupBy, no Python. rep_ratio is a single IEEE
+    division of two exact ints ((n_grams − n_distinct) / n_grams), so it is
+    bit-identical across engines.
+    """
+    toks = tokenize(text)
+    cnt = F.size(toks) - n + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_grams = F.when(cnt > 0, cnt).otherwise(0)
+    n_distinct = F.when(cnt > 0, F.size(F.array_distinct(grams))).otherwise(0)
+    ratio = F.when(
+        cnt > 0, (n_grams - n_distinct).cast("double") / cnt
+    ).otherwise(F.lit(0.0))
+    return n_grams, n_distinct, ratio
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of sorted distinct tokens.
 

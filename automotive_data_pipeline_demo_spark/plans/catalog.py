@@ -89,6 +89,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     doc_fingerprint,
     language_id,
+    ngram_repetition,
     quality_score,
     lm_cross_entropy,
     rolling_fingerprint,
@@ -3085,6 +3086,54 @@ _register(QuerySpec(
         SELECT id, term, tfidf FROM ranked WHERE rn <= 5
     """,
     tags=("text", "tfidf"),
+))
+
+
+def q_x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style duplicate-trigram repetition signal per document —
+    the standard pretraining filter for boilerplate/spam (fraction of
+    n-grams that repeat an earlier one). Zero shuffles: n-grams are built
+    with JVM higher-order functions inside the scan stage; rep_ratio is
+    one IEEE division of exact ints, so it hashes identically in DuckDB.
+    """
+    docs = _t(spark, sf, "documents")
+    n_grams, n_distinct, ratio = ngram_repetition(F.col("text"), n=3)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_repetition",
+    survey="north-star: text quality scoring (duplicate n-gram repetition)",
+    build=q_x_text_repetition,
+    oracle="""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, len(toks) - 2 AS cnt,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN cnt > 0 THEN cnt ELSE 0 END AS INT) AS n_grams,
+               CAST(CASE WHEN cnt > 0 THEN len(list_distinct(grams))
+                    ELSE 0 END AS INT) AS n_distinct,
+               CASE WHEN cnt > 0 THEN
+                 CAST(cnt - len(list_distinct(grams)) AS DOUBLE) / cnt
+               ELSE 0.0 END AS rep_ratio
+        FROM g
+    """,
+    tags=("text", "quality", "repetition"),
 ))
 
 

@@ -499,3 +499,28 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
     for r in got:
         assert r["shard"] == r["id"] % shards
         assert r["n_tokens"] == toks[r["id"]]
+
+
+def test_ngram_repetition_known_values(spark):
+    """Hand-computed trigram repetition: 'a b a b a b' has grams
+    [aba, bab, aba, bab] -> 4 grams, 2 distinct, ratio 0.5; short docs
+    (< n tokens) report zeros rather than nulls."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        ngram_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "a b"), (4, "")],
+        "id long, text string",
+    )
+    g, d, r = ngram_repetition(F.col("text"), n=3)
+    rows = {
+        row["id"]: row
+        for row in df.select(
+            "id", g.alias("g"), d.alias("d"), r.alias("r")
+        ).collect()
+    }
+    assert (rows[1]["g"], rows[1]["d"], rows[1]["r"]) == (4, 2, 0.5)
+    assert (rows[2]["g"], rows[2]["d"], rows[2]["r"]) == (2, 2, 0.0)
+    assert (rows[3]["g"], rows[3]["d"], rows[3]["r"]) == (0, 0, 0.0)
+    assert (rows[4]["g"], rows[4]["d"], rows[4]["r"]) == (0, 0, 0.0)
