@@ -15,6 +15,8 @@ without shipping a random state.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -295,3 +297,89 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= F.lit(threshold))
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_vec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding corpus (cosine assignment) —
+    the clustering step of SemDeDup-style semantic dedup and of
+    diversity-balanced corpus curation.
+
+    Per iteration: a ZERO-SHUFFLE assignment (centroids inlined as driver
+    literals, scored per row inside codegen — the ivf_assign pattern), then
+    ONE shuffle to sum member vectors per cell; the tiny (cells × dims)
+    partial-sum table is collected back to the driver. At 100 TB each
+    iteration is one pass over the corpus plus one bounded aggregation —
+    no N×k join ever materializes. Empty cells keep their previous
+    centroid.
+
+    All arithmetic that feeds a comparison is EXACT so results are
+    bit-identical across engines (the property the driver oracle hashes):
+    vectors are projected to integer micro-units (``round(x*scale)`` as
+    long), centroids are kept as unnormalized integer member-vector sums
+    (the mean's count divisor cancels under cosine), and the per-centroid
+    score is ``double(dot)/sqrt(double(sum·sum))`` — IEEE ops on identical
+    exact integers in any engine. Long dot products bound the corpus:
+    per-cell member sums must stay under ~2^62/(scale·dims), fine through
+    billions of rows at 64 dims. Ties break on centroid id ascending.
+
+    Returns the final assignment: (id_col, centroid_id).
+    """
+    mv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    corpus = vectors.select(F.col(id_col), mv.alias("__mv"))
+    def _half_away(v: float) -> int:
+        # match Spark/DuckDB ROUND (half away from zero); python round() is
+        # banker's and would diverge on exact .5 products
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    cents: dict[int, list[int]] = {
+        int(r["cid"]): [_half_away(float(x) * scale) for x in r["cv"]]
+        for r in seeds.select(
+            F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cv")
+        ).collect()
+    }
+
+    def assign_df() -> DataFrame:
+        structs = []
+        for cid, svec in sorted(cents.items()):
+            norm = float(sum(v * v for v in svec))  # exact python int -> double
+            dot = F.aggregate(
+                F.zip_with(F.col("__mv"), F.lit(svec), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            score = dot.cast("double") / F.sqrt(F.lit(norm))
+            # negative id: struct sort desc then yields centroid-id-ASC tiebreak
+            structs.append(F.struct(score.alias("sim"), F.lit(-cid).alias("ncid")))
+        best = F.sort_array(F.array(*structs), asc=False)[0]
+        return corpus.select(F.col(id_col), (-best["ncid"]).alias("centroid_id"))
+
+    for _ in range(n_iter):
+        sums = (
+            assign_df().join(corpus, id_col)
+            .select("centroid_id", F.posexplode("__mv").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = int(r["s"])
+        dims = len(next(iter(cents.values())))
+        cents = {
+            cid: (
+                [by_cid[cid][p] for p in range(dims)] if cid in by_cid else svec
+            )
+            for cid, svec in cents.items()
+        }
+    return assign_df()

@@ -66,6 +66,7 @@ from automotive_data_pipeline_demo_spark.extensions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_lloyd,
     lsh_bucketed_topk,
 )
 from automotive_data_pipeline_demo_spark.functions.adf import parsed_lead
@@ -3588,6 +3589,78 @@ _register(QuerySpec(
         SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
     """,
     tags=("similarity", "ivf"),
+))
+
+
+def q_x_sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embedding corpus (SemDeDup-style
+    semantic clustering): assign to 8 self-seeded cells, recompute centroids,
+    re-assign. Per iteration: zero-shuffle literal-centroid assignment + one
+    bounded (cells × dims) aggregation — no N×k join.
+
+    Exactness contract (see kmeans_lloyd): micro-unit integer vectors,
+    integer centroid sums, score = double(dot)/sqrt(double(norm)) — every
+    comparison runs on bit-identical values in Spark and DuckDB, so the
+    int-only output hashes exactly.
+    """
+    emb = _t(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    out = kmeans_lloyd(emb, seeds, n_iter=1)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+
+
+_register(QuerySpec(
+    name="x_sim_kmeans",
+    survey="north-star: k-means corpus clustering (SemDeDup cell step)",
+    build=q_x_sim_kmeans,
+    oracle="""
+        WITH m AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8
+        ), s0 AS (
+          SELECT m.vec_id, c0.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c0
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
+          WHERE rn = 1
+        ), sums AS (
+          SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
+          FROM a0 JOIN m USING (vec_id),
+               UNNEST(generate_series(1, len(m.mv))) AS p(pos)
+          GROUP BY a0.cid, p.pos
+        ), c1 AS (
+          SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
+          FROM sums GROUP BY cid
+        ), s1 AS (
+          SELECT m.vec_id, c1.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c1
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS INT) AS centroid_id
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY score DESC, cid ASC) AS rn FROM s1)
+        WHERE rn = 1
+    """,
+    tags=("similarity", "kmeans", "clustering"),
 ))
 
 

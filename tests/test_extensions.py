@@ -524,3 +524,43 @@ def test_ngram_repetition_known_values(spark):
     assert (rows[2]["g"], rows[2]["d"], rows[2]["r"]) == (2, 2, 0.0)
     assert (rows[3]["g"], rows[3]["d"], rows[3]["r"]) == (0, 0, 0.0)
     assert (rows[4]["g"], rows[4]["d"], rows[4]["r"]) == (0, 0, 0.0)
+
+
+def test_kmeans_lloyd_iterates_and_keeps_empty_cells(spark, embeddings):
+    """Iterating must (a) be deterministic, (b) actually move assignments as
+    centroids update, and (c) survive an empty cell by keeping its previous
+    centroid rather than crashing or dropping the cell id."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    seeds = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    one = kmeans_lloyd(embeddings, seeds, n_iter=1)
+    one_again = kmeans_lloyd(embeddings, seeds, n_iter=1)
+    a = {r["vec_id"]: r["centroid_id"] for r in one.collect()}
+    assert a == {r["vec_id"]: r["centroid_id"] for r in one_again.collect()}
+    assert len(a) == embeddings.count()
+
+    three = {r["vec_id"]: r["centroid_id"] for r in
+             kmeans_lloyd(embeddings, seeds, n_iter=3).collect()}
+    assert any(a[v] != three[v] for v in a), "3 iterations changed nothing"
+
+    # empty-cell rule on a controlled 2-D corpus: every vector points into
+    # the positive quadrant, so the (-1,-1)-direction seed gets no members
+    # (cosine is direction-only) — its cell must persist without crashing
+    # and still attract nothing after its centroid "update"
+    corpus2d = spark.createDataFrame(
+        [(i, [1.0 + (i % 5) * 0.1, 1.0 + (i // 5) * 0.1]) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds2d = spark.createDataFrame(
+        [(0, [1.0, 0.2]), (1, [0.2, 1.0]), (99, [-1.0, -1.0])],
+        "centroid_id int, c_vec array<double>",
+    )
+    out = kmeans_lloyd(corpus2d, seeds2d, n_iter=2)
+    got = {r["centroid_id"] for r in out.select("centroid_id").distinct().collect()}
+    assert 99 not in got
+    assert got <= {0, 1}
+    assert out.count() == 25
