@@ -153,3 +153,57 @@ def pack_sequences(
             .alias("seq_bin"),
         )
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights_ppm: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture-weighted downsample to target group proportions
+    — the "data mixing" step of LLM corpus curation (rebalance languages /
+    domains / sources to a prescribed recipe).
+
+    ``weights_ppm`` maps group -> target share in parts-per-million (exact
+    ints summing to 1_000_000). The output is the largest hash-deterministic
+    subset whose expected proportions match the recipe: with group sizes
+    n_g, the achievable budget is N = min_g floor(n_g·1e6/w_g) (the
+    scarcest group binds), and each group keeps rows whose
+    ``hash_bucket(id) < floor(N·w_g·BUCKETS / (1e6·n_g))``. Groups not in
+    the recipe are dropped.
+
+    Scale shape: ONE tiny group-count aggregate collected to the driver
+    (groups are languages/domains — dozens), thresholds computed exactly in
+    arbitrary-precision ints, then a single literal CASE filter the
+    optimizer pushes into the scan — the corpus itself never shuffles.
+    Content-addressed hashing keeps the selection stable under re-runs and
+    appends, and any engine re-derives the same rows bit-for-bit.
+    """
+    if sum(weights_ppm.values()) != 1_000_000:
+        raise ValueError(
+            f"mixture weights must sum to 1_000_000 ppm, got {sum(weights_ppm.values())}"
+        )
+    counts = {
+        r["g"]: int(r["n"])
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        if r["g"] in weights_ppm
+    }
+    present = {g: w for g, w in weights_ppm.items() if counts.get(g, 0) > 0}
+    if not present:
+        return df.filter(F.lit(False))
+    budget = min(counts[g] * 1_000_000 // w for g, w in present.items())
+    cuts = {
+        g: budget * w * BUCKETS // (1_000_000 * counts[g])
+        for g, w in present.items()
+    }
+    thresh: Column | None = None
+    for g in sorted(cuts):
+        cond = F.col(group_col) == g
+        thresh = (
+            F.when(cond, cuts[g]) if thresh is None else thresh.when(cond, cuts[g])
+        )
+    return df.filter(hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))

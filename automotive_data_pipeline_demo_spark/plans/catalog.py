@@ -83,6 +83,7 @@ from automotive_data_pipeline_demo_spark.sources.readers import (
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
+    mixture_resample,
     pack_sequences,
     stratified_sample,
     uniform_sample_k,
@@ -3244,6 +3245,50 @@ _register(QuerySpec(
         WHERE b < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
     """,
     tags=("sampling",),
+))
+
+
+def q_x_sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing resample: rebalance the corpus to a prescribed language
+    recipe (en 40% / zh 20% / es 20% / fr 20%; de dropped). The scarcest
+    group binds the budget; thresholds are exact arbitrary-precision ints
+    from one tiny group-count aggregate, then a single pushed-down CASE
+    filter — the corpus never shuffles (see mixture_resample).
+    """
+    docs = _t(spark, sf, "documents")
+    out = mixture_resample(
+        docs, "doc_id", "lang",
+        {"en": 400_000, "zh": 200_000, "es": 200_000, "fr": 200_000},
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_register(QuerySpec(
+    name="x_sample_mixture",
+    survey="north-star: mixture-weighted corpus rebalancing (data mixing)",
+    build=q_x_sample_mixture,
+    oracle="""
+        WITH counts AS (
+          SELECT lang AS g, COUNT(*) AS n FROM documents
+          WHERE lang IN ('en','zh','es','fr') GROUP BY 1
+        ), w AS (
+          SELECT * FROM (VALUES ('en', 400000), ('zh', 200000),
+                                ('es', 200000), ('fr', 200000)) AS t(g, wppm)
+        ), j AS (
+          SELECT w.g, w.wppm, c.n FROM w JOIN counts c USING (g)
+        ), b AS (
+          SELECT MIN(n * 1000000 // wppm) AS budget FROM j
+        ), cuts AS (
+          SELECT g, (SELECT budget FROM b) * wppm * 10000
+                    // (1000000 * n) AS cut
+          FROM j
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        FROM documents d JOIN cuts ON d.lang = cuts.g
+        WHERE (CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 10000) < cuts.cut
+    """,
+    tags=("sampling", "mixing"),
 ))
 
 

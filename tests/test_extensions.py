@@ -564,3 +564,35 @@ def test_kmeans_lloyd_iterates_and_keeps_empty_cells(spark, embeddings):
     assert 99 not in got
     assert got <= {0, 1}
     assert out.count() == 25
+
+
+def test_mixture_resample_proportions_and_stability(spark, sf_dir):
+    """The resample must track the recipe within hash-bucket noise, drop
+    unlisted groups, keep all of the binding (scarcest) group, stay stable
+    under re-runs, and reject malformed weights."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        mixture_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recipe = {"en": 400_000, "zh": 200_000, "es": 200_000, "fr": 200_000}
+    out = mixture_resample(docs, "doc_id", "lang", recipe)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "de" not in counts                      # unlisted group dropped
+    total = sum(counts.values())
+    for g, w in recipe.items():
+        assert abs(counts[g] / total - w / 1e6) < 0.05, (g, counts)
+
+    again = mixture_resample(docs, "doc_id", "lang", recipe)
+    ids = lambda d: {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert ids(out) == ids(again)
+
+    # the scarcest group binds: its cut is the full bucket space
+    n_fr = docs.filter("lang = 'fr'").count()
+    assert counts["fr"] == n_fr
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1_000_000"):
+        mixture_resample(docs, "doc_id", "lang", {"en": 500_000})
