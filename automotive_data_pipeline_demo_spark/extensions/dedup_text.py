@@ -94,6 +94,86 @@ def minhash_signatures(
     ).select("id", "__sig.hash_idx", "__sig.min_hash")
 
 
+def build_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH band index: (id, band, band_key).
+
+    This is the artifact a production pipeline stores next to the lake:
+    computing it costs one pass over the text, and every FUTURE dedup of an
+    incoming batch joins against it instead of re-reading / re-signing the
+    corpus (see :func:`near_dup_against_index`). Band keys concatenate
+    ``band_size`` consecutive min-hashes, so two docs share a band key iff
+    that band of their signatures agrees exactly.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return (
+        sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("_", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("hash_idx").cast("string"), F.col("min_hash"))
+        ))).alias("band_key"))
+    )
+
+
+def near_dup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup dedup: flag NEW docs duplicating the EXISTING
+    corpus without re-signing it — the daily-ingestion posture at 100 TB.
+
+    Only the new batch is shingled/signed; candidates come from equi-joining
+    its band keys against the stored ``index`` (:func:`build_band_index`),
+    and exact Jaccard verification reads corpus text ONLY for the candidate
+    docs (a semi-join-pruned scan — sparse by construction). Ids must be
+    disjoint between corpus and batch. Returns (new_id, dup_of, jaccard):
+    the new docs to drop and which corpus doc they duplicate.
+    """
+    new_bands = build_band_index(
+        new_docs, id_col, text_col, num_hashes, band_size, shingle_n
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("c.id").alias("id_a"), F.col("n.id").alias("id_b"))
+        .distinct()
+    )
+    corpus_cand = corpus_docs.join(
+        cand.select(F.col("id_a").alias("__cid")).distinct(),
+        corpus_docs[id_col].cast("long") == F.col("__cid"),
+        "left_semi",
+    )
+    both = corpus_cand.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    verified = ngram_jaccard_pairs(
+        both, id_col, text_col,
+        threshold=threshold, shingle_n=shingle_n, candidates=cand,
+    )
+    return verified.select(
+        F.col("id_b").alias("new_id"),
+        F.col("id_a").alias("dup_of"),
+        "jaccard",
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -108,14 +188,7 @@ def minhash_candidate_pairs(
     bucket key; the candidate join is an equi-join on (band, key). Returns
     distinct (id_a, id_b) with id_a < id_b.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bands = (
-        sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws("_", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("hash_idx").cast("string"), F.col("min_hash"))
-        ))).alias("band_key"))
-    )
+    bands = build_band_index(df, id_col, text_col, num_hashes, band_size, shingle_n)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

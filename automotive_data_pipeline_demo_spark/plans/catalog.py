@@ -54,9 +54,11 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
     url_query_param,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    build_band_index,
     connected_components,
     exact_dedup,
     minhash_candidate_pairs,
+    near_dup_against_index,
     near_dup_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -1566,6 +1568,73 @@ _register(QuerySpec(
           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
     """,
     tags=("dedup", "minhash"),
+))
+
+
+def q_x_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup dedup: docs >= 400 arrive as a new batch and are
+    checked against the stored LSH band index of the existing corpus
+    (doc_id < 400) — the daily-ingestion posture where the corpus is never
+    re-shingled and its text is read only for band-hit candidates (a
+    semi-join-pruned scan). Output: (new_id, dup_of, jaccard) — the batch
+    rows to drop.
+    """
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    index = build_band_index(corpus, "doc_id", "text")
+    return near_dup_against_index(
+        batch, index, corpus, "doc_id", "text", threshold=0.3
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_incremental",
+    survey="north-star: incremental dedup of a new batch vs a stored corpus index",
+    build=q_x_dedup_incremental,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx, md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.id < 400 AND b.id >= 400
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN shingles sa ON sa.id = c.id_a
+          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        )
+        SELECT i.id_b AS new_id, i.id_a AS dup_of,
+               ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.id = i.id_a
+        JOIN sizes zb ON zb.id = i.id_b
+        WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.3
+    """,
+    tags=("dedup", "incremental"),
 ))
 
 

@@ -596,3 +596,43 @@ def test_mixture_resample_proportions_and_stability(spark, sf_dir):
 
     with pytest.raises(ValueError, match="sum to 1_000_000"):
         mixture_resample(docs, "doc_id", "lang", {"en": 500_000})
+
+
+def test_near_dup_against_index_flags_only_batch_vs_corpus(spark):
+    """Incremental dedup must flag batch docs duplicating the corpus (with
+    the right dup_of), ignore novel batch docs, and NOT report corpus-internal
+    or batch-internal duplicates — those belong to other stages."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        build_band_index,
+        near_dup_against_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " tiny corpus variation"),  # corpus-internal near-dup of 0
+            (2, "completely different corpus text about catalyst planning "
+                "and distributed shuffle execution strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " fresh suffix words"),       # near-dup of corpus 0/1
+            (101, base + " fresh suffix words again"), # batch-internal near-dup of 100
+            (102, "entirely novel incoming document discussing streaming "
+                  "watermarks and stateful aggregation semantics"),
+        ],
+        "doc_id long, text string",
+    )
+    index = build_band_index(corpus, "doc_id", "text")
+    out = near_dup_against_index(
+        batch, index, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    flagged = {r["new_id"] for r in out}
+    assert 100 in flagged and 101 in flagged
+    assert 102 not in flagged
+    for r in out:
+        assert r["new_id"] >= 100 and r["dup_of"] < 100  # batch-vs-corpus only
+        assert r["jaccard"] >= 0.5
