@@ -1,0 +1,95 @@
+"""Streaming incremental dedup: foreachBatch near-dup filtering of an
+incoming document stream against the stored corpus LSH band index.
+
+The production shape for continuous ingestion at 100 TB: the corpus is
+never re-shingled — each micro-batch is signed, band-joined against the
+persisted index (extensions/dedup_text.py::build_band_index), Jaccard-
+verified against only the band-hit corpus docs, and the surviving novel
+docs are appended to the corpus lake AND to the index (so later batches
+dedup against earlier ones too). Exactly-once per doc under retries comes
+from the same anti-join-before-append discipline the activation sink uses
+(streaming/activation.py): a re-delivered batch's docs already in the
+corpus are dropped by the index/id check before writing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    build_band_index,
+    near_dup_against_index,
+)
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    checkpoint: str | None = None,
+    query_name: str = "streaming_dedup_ingest",
+):
+    """writeStream.foreachBatch wrapper: drop near-dups, append survivors.
+
+    Per micro-batch: (1) drop docs whose id is already in the corpus (the
+    retry/exactly-once guard), (2) drop docs Jaccard-near-duplicating the
+    indexed corpus, (3) append the survivors to ``corpus_path`` and their
+    band signatures to ``index_path``. Batch-internal duplicates of a
+    surviving doc land in the same batch append; they are caught one batch
+    later at the latest (documented at-least-once-dedup semantics —
+    tighten with an intra-batch near_dup_dedup upstream if needed).
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        corpus_exists = os.path.exists(corpus_path)
+        if corpus_exists:
+            corpus = spark.read.parquet(corpus_path)
+            index = spark.read.parquet(index_path)
+            fresh = batch_df.join(
+                corpus.select(F.col(id_col)),
+                on=id_col,
+                how="left_anti",
+            )
+            dups = near_dup_against_index(
+                fresh, index, corpus, id_col, text_col,
+                threshold=threshold, num_hashes=num_hashes,
+                band_size=band_size, shingle_n=shingle_n,
+            )
+            keep = fresh.join(
+                dups.select(F.col("new_id").alias(id_col)).distinct(),
+                on=id_col,
+                how="left_anti",
+            )
+        else:
+            keep = batch_df
+        # localCheckpoint pins the survivor set: the corpus append below
+        # changes what the index/corpus reads would return, so `keep` must
+        # not be lazily recomputed against the post-append state
+        keep = keep.localCheckpoint(eager=True)
+        if not keep.take(1):
+            return
+        keep.write.mode("append").parquet(corpus_path)
+        build_band_index(
+            keep, id_col, text_col, num_hashes, band_size, shingle_n
+        ).write.mode("append").parquet(index_path)
+
+    writer = (
+        docs_stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

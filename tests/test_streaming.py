@@ -480,3 +480,46 @@ def test_streaming_activation_exactly_once_across_batches(spark, tmp_path):
     assert len(ids) == 3 and len(set(ids)) == 3  # D2 delivered exactly once
     deals = sorted(r["deal_number"] for r in delivered)
     assert deals == ["D1", "D2", "D3"]
+
+
+def test_streaming_dedup_ingest_drops_near_dups_across_batches(spark, tmp_path):
+    """Two micro-batches stream in: batch 1 seeds the corpus, batch 2
+    contains a near-dup of a batch-1 doc (dropped), an exact re-delivery
+    (dropped by the id guard), and a novel doc (kept). The index grows with
+    survivors so later batches dedup against earlier ones."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_dedup_ingest,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    schema = "doc_id long, text string"
+    src = tmp_path / "incoming"
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+
+    b1 = [(1, base),
+          (2, "distinct seed document about watermark semantics and "
+              "stateful streaming aggregation behavior")]
+    b2 = [(3, base + " with a small tail"),   # near-dup of doc 1 -> dropped
+          (1, base),                           # re-delivered id -> dropped
+          (4, "entirely novel text concerning bucketed join layouts and "
+              "exchange-free physical plans")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = streaming_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        corpus_path, index_path,
+        threshold=0.5,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = spark.read.parquet(corpus_path)
+    got = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert got == [1, 2, 4], got
+    # the index covers every surviving doc
+    idx_ids = {r["id"] for r in spark.read.parquet(index_path).select("id").collect()}
+    assert idx_ids == {1, 2, 4}
