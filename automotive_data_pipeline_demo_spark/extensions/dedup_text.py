@@ -94,6 +94,42 @@ def minhash_signatures(
     ).select("id", "__sig.hash_idx", "__sig.min_hash")
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """GPT-3-style benchmark decontamination: corpus docs sharing any EXACT
+    word n-gram with an eval-set doc (train-test overlap must be removed
+    before training, and near-dup thresholds are the wrong tool — a single
+    verbatim quoted answer contaminates).
+
+    Scale shape: the benchmark n-gram set is tiny by construction (eval
+    sets are thousands of docs), so it broadcasts; the corpus n-gram stream
+    is generated inside the scan stage and hash-joined against it — the
+    corpus text is touched once and never shuffled; only the sparse
+    (doc, benchmark) hits pay the one pair-aggregation exchange.
+
+    Returns (id, benchmark_id, n_shared) where n_shared counts distinct
+    shared n-grams. Drop or audit every returned id before training.
+    """
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    b = benchmark.select(
+        F.col(id_col).cast("long").alias("benchmark_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        c.join(F.broadcast(b), "g")
+        .groupBy("id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def build_band_index(
     df: DataFrame,
     id_col: str,

@@ -60,6 +60,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     minhash_candidate_pairs,
     near_dup_against_index,
     near_dup_dedup,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -1635,6 +1636,46 @@ _register(QuerySpec(
         WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.3
     """,
     tags=("dedup", "incremental"),
+))
+
+
+def q_x_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 5 != 0) sharing any
+    exact 8-gram with the held-out eval set (doc_id % 5 == 0). Broadcast
+    the (tiny) benchmark n-gram set; the corpus is scanned once, never
+    shuffled — only sparse hits pay the pair aggregation.
+    """
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    out = ngram_contamination(corpus, bench, "doc_id", "text", n=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "benchmark_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_contamination",
+    survey="north-star: benchmark decontamination (exact n-gram collision)",
+    build=q_x_text_contamination,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), bench AS (SELECT * FROM grams WHERE id % 5 = 0),
+           corp  AS (SELECT * FROM grams WHERE id % 5 <> 0)
+        SELECT corp.id AS doc_id, bench.id AS benchmark_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM corp JOIN bench USING (g)
+        GROUP BY 1, 2
+    """,
+    tags=("text", "decontamination"),
 ))
 
 

@@ -636,3 +636,31 @@ def test_near_dup_against_index_flags_only_batch_vs_corpus(spark):
     for r in out:
         assert r["new_id"] >= 100 and r["dup_of"] < 100  # batch-vs-corpus only
         assert r["jaccard"] >= 0.5
+
+
+def test_ngram_contamination_catches_verbatim_overlap(spark):
+    """A corpus doc quoting 8+ consecutive benchmark words is flagged with
+    the right benchmark id and shared-gram count; paraphrases (no 8-gram in
+    common) and unrelated docs are not."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        ngram_contamination,
+    )
+
+    answer = "the capital of france is paris according to the atlas"
+    bench = spark.createDataFrame(
+        [(1000, answer), (1001, "an unrelated benchmark question entirely")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "some web page text saying " + answer + " and more prose"),
+            (2, "paris is france's capital the atlas says"),  # paraphrase
+            (3, "totally unrelated web document about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id"], r["benchmark_id"]): r["n_shared"]
+           for r in ngram_contamination(corpus, bench, "doc_id", "text", n=8).collect()}
+    assert (1, 1000) in out and out[(1, 1000)] >= 3  # 10-word quote -> 3 8-grams
+    assert all(cid != 2 and cid != 3 for cid, _ in out)
+    assert all(bid != 1001 for _, bid in out)
