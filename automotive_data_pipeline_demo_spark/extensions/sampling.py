@@ -181,6 +181,8 @@ def mixture_resample(
     Content-addressed hashing keeps the selection stable under re-runs and
     appends, and any engine re-derives the same rows bit-for-bit.
     """
+    if any(w <= 0 for w in weights_ppm.values()):
+        raise ValueError("mixture weights must be positive ppm ints")
     if sum(weights_ppm.values()) != 1_000_000:
         raise ValueError(
             f"mixture weights must sum to 1_000_000 ppm, got {sum(weights_ppm.values())}"

@@ -342,11 +342,16 @@ def kmeans_lloyd(
         # banker's and would diverge on exact .5 products
         return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
 
+    seed_rows = seeds.select(
+        F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cv")
+    ).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_lloyd requires at least one seed centroid")
+    if len({int(r["cid"]) for r in seed_rows}) != len(seed_rows):
+        raise ValueError("kmeans_lloyd seed centroid ids must be unique")
     cents: dict[int, list[int]] = {
         int(r["cid"]): [_half_away(float(x) * scale) for x in r["cv"]]
-        for r in seeds.select(
-            F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cv")
-        ).collect()
+        for r in seed_rows
     }
 
     def assign_df() -> DataFrame:

@@ -664,3 +664,25 @@ def test_ngram_contamination_catches_verbatim_overlap(spark):
     assert (1, 1000) in out and out[(1, 1000)] >= 3  # 10-word quote -> 3 8-grams
     assert all(cid != 2 and cid != 3 for cid, _ in out)
     assert all(bid != 1001 for _, bid in out)
+
+
+def test_kmeans_and_mixture_input_validation(spark, sf_dir):
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        mixture_resample,
+    )
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty_seeds = spark.createDataFrame([], "centroid_id int, c_vec array<double>")
+    with pytest.raises(ValueError, match="at least one seed"):
+        kmeans_lloyd(emb, empty_seeds)
+    dup_seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0])], "centroid_id int, c_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="ids must be unique"):
+        kmeans_lloyd(emb, dup_seeds)
+    with pytest.raises(ValueError, match="positive ppm"):
+        mixture_resample(docs, "doc_id", "lang", {"en": 1_000_000, "de": 0})
