@@ -525,7 +525,18 @@ def q_j3_validation_join(spark: SparkSession, sf: str) -> DataFrame:
     valid_orders = o.filter(
         (F.col("o_orderstatus") != "F") & (F.col("o_totalprice") > 1000)
     ).select("o_orderkey")
-    validated = li.join(valid_orders, li.l_orderkey == valid_orders.o_orderkey, "inner")
+    # Existence filter, not enrichment: semi join keeps exactly the fact
+    # rows with a valid parent (o_orderkey is the orders PK, so this equals
+    # the oracle's inner join). The merge hint pins sort-merge: the filter
+    # passes most orders, so at 100 TB this side never broadcasts — and at
+    # toy scale the under-threshold size estimate would otherwise build a
+    # multi-million-row broadcast hash relation per action, which is both
+    # GC-bound locally and the wrong plan shape at target scale.
+    validated = li.join(
+        valid_orders.hint("merge"),
+        li.l_orderkey == valid_orders.o_orderkey,
+        "left_semi",
+    )
     return validated.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         _dec_sum("l_extendedprice", "sum_price"),

@@ -34,6 +34,10 @@ def _shuffles(plan: str) -> int:
         ("x_sim_ivf", 1),
         ("x_dedup_simhash", 1),
         ("x_dedup_minhash", 2),
+        ("j3_validation_join", 3),
+        ("x_text_repetition", 0),
+        ("x_sample_mixture", 0),
+        ("x_text_contamination", 1),
         ("x_dedup_jaccard", 4),
         ("x_dedup_jaccard_capped", 4),
         ("x_text_tfidf", 3),
