@@ -258,7 +258,11 @@ def q_p8_anti_join_processed(spark: SparkSession, sf: str) -> DataFrame:
     """
     orders = _t(spark, sf, "orders")
     processed = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    fresh = orders.join(processed, "o_orderkey", "left_anti")
+    # the processed set is ~half the table — never broadcastable at 100 TB;
+    # the merge hint keeps the toy-scale plan the same sort-merge anti the
+    # real cluster would run (and hash_prefilter_join is the scale path
+    # when the processed set is selective — see scale_bloom_prune)
+    fresh = orders.join(processed.hint("merge"), "o_orderkey", "left_anti")
     return fresh.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_fresh"),
         _dec_sum("o_totalprice", "sum_price"),
@@ -577,8 +581,11 @@ def q_j4_session_bridge(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
         F.col("value").alias("p_value"),
     )
+    # both sides are type-filtered slices of the event stream — they scale
+    # with the data and never broadcast at 100 TB; pin sort-merge so the
+    # local plan is the one the cluster would run
     joined = signups.join(
-        purchases,
+        purchases.hint("merge"),
         (F.col("s_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
