@@ -283,3 +283,56 @@ def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 1_000_000
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def ccnet_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_bands: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity banding: rank documents within each language
+    by LM bits/token and label head / middle / tail — the standard quality
+    gate that keeps the middle band (head is degenerate/boilerplate, tail
+    is noise) and the selection signal for curriculum mixing.
+
+    ``exact=True``: rank-based ``ntile`` over a (lang) window — tie-broken
+    by id, so the banding is engine-exact (driver-oracleable). One sort per
+    language partition; languages are few, so each is a single reducer —
+    right for moderate corpora and for pipelines already sharded by lang.
+    ``exact=False``: the 100 TB path — per-language ``percentile_approx``
+    cut points broadcast back as a stateless filter; no per-lang global
+    sort ever runs, at the cost of approximate band edges.
+
+    Returns (id, lang, bits_per_token, band) with band in
+    {'head', 'middle', 'tail'} for n_bands=3, else 'band_k'.
+    """
+    scored = lm_cross_entropy(df, id_col, text_col)
+    langs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(lang_col).alias("lang")
+    )
+    j = scored.join(langs, "id")
+    if exact:
+        w = Window.partitionBy("lang").orderBy("bits_per_token", "id")
+        idx = F.ntile(n_bands).over(w)
+    else:
+        qs = [i / n_bands for i in range(1, n_bands)]
+        cuts = j.groupBy("lang").agg(
+            F.percentile_approx("bits_per_token", qs, 10000).alias("__cuts")
+        )
+        j = j.join(F.broadcast(cuts), "lang")
+        idx = F.lit(1) + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("bits_per_token") > c, 1).otherwise(0),
+        )
+    if n_bands == 3:
+        band = (
+            F.when(idx == 1, "head").when(idx == 2, "middle").otherwise("tail")
+        )
+    else:
+        band = F.concat(F.lit("band_"), idx.cast("string"))
+    out = j.select("id", "lang", "bits_per_token", band.alias("band"))
+    return out.drop("__cuts") if not exact else out

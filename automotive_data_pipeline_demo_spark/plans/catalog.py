@@ -92,6 +92,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    ccnet_bands,
     doc_fingerprint,
     language_id,
     ngram_repetition,
@@ -3417,6 +3418,61 @@ _register(QuerySpec(
                                    1, 8) AS BIGINT) % 10000) < cuts.cut
     """,
     tags=("sampling", "mixing"),
+))
+
+
+def q_x_text_ccnet_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet perplexity banding: per-language head/middle/tail terciles of
+    LM bits/token (rank-based, id tie-broken — engine-exact). The quality
+    gate keeps 'middle'; bands also drive curriculum mixing. exact=False
+    (percentile_approx cuts, no per-lang sort) is the 100 TB path,
+    pytest-covered.
+    """
+    docs = _t(spark, sf, "documents")
+    return ccnet_bands(docs, "doc_id", "text", "lang", exact=True).select(
+        F.col("id").alias("doc_id"), "lang", "bits_per_token", "band"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_ccnet_bands",
+    survey="north-star: CCNet perplexity banding (quality gate / curriculum)",
+    build=q_x_text_ccnet_bands,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), vocab AS (
+          SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ), weighted AS (
+          SELECT term,
+                 CAST(round(-log2(cnt / CAST((SELECT SUM(cnt) FROM vocab)
+                                             AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS w_micro
+          FROM vocab
+        ), scored AS (
+          SELECT tf.id,
+                 ROUND((CAST(SUM(tf.tf * w.w_micro) AS BIGINT)
+                        / CAST(SUM(tf.tf) AS BIGINT)) / 1e6, 4)
+                   AS bits_per_token
+          FROM tf JOIN weighted w USING (term)
+          GROUP BY tf.id
+        ), banded AS (
+          SELECT s.id AS doc_id, d.lang, s.bits_per_token,
+                 NTILE(3) OVER (PARTITION BY d.lang
+                                ORDER BY s.bits_per_token, s.id) AS b
+          FROM scored s JOIN documents d ON s.id = CAST(d.doc_id AS BIGINT)
+        )
+        SELECT doc_id, lang, bits_per_token,
+               CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS band
+        FROM banded
+    """,
+    tags=("text", "quality", "ccnet"),
 ))
 
 

@@ -686,3 +686,26 @@ def test_kmeans_and_mixture_input_validation(spark, sf_dir):
         kmeans_lloyd(emb, dup_seeds)
     with pytest.raises(ValueError, match="positive ppm"):
         mixture_resample(docs, "doc_id", "lang", {"en": 1_000_000, "de": 0})
+
+
+def test_ccnet_bands_exact_and_approx_paths_agree(spark, sf_dir):
+    """The percentile_approx scale path must label every doc, produce
+    near-balanced bands, and agree with the rank-based exact path for the
+    vast majority of docs (edges may differ by quantile approximation)."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        ccnet_bands,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r["id"]: r["band"] for r in
+             ccnet_bands(docs, "doc_id", "text", "lang", exact=True).collect()}
+    approx = {r["id"]: r["band"] for r in
+              ccnet_bands(docs, "doc_id", "text", "lang", exact=False).collect()}
+    assert set(exact) == set(approx)
+    agree = sum(1 for i in exact if exact[i] == approx[i]) / len(exact)
+    assert agree >= 0.9, f"paths agree on only {agree:.0%}"
+    from collections import Counter
+
+    mix = Counter(exact.values())
+    assert set(mix) == {"head", "middle", "tail"}
+    assert max(mix.values()) - min(mix.values()) <= len(exact) * 0.05
