@@ -479,8 +479,11 @@ def q_j2_w4_primary_priority(spark: SparkSession, sf: str) -> DataFrame:
         o, "o_custkey", "o_orderpriority",
         order_agg={"last_order": F.max(F.to_date("o_orderdate"))},
     )
+    # primary-relationship rows are one per customer — both sides scale, so
+    # sort-merge; primary is already hash-partitioned on the key from its
+    # agg/window repartition, so only the profile side pays a new exchange
     return (
-        c.join(primary, c.c_custkey == primary.o_custkey, "inner")
+        c.join(primary.hint("merge"), c.c_custkey == primary.o_custkey, "inner")
         .select(
             "c_custkey",
             "c_mktsegment",
@@ -751,7 +754,11 @@ def q_j6_a8_attribution(spark: SparkSession, sf: str) -> DataFrame:
     buyers = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("b_user")
     ).distinct()
-    joined = visitors.join(buyers, visitors.user_id == buyers.b_user, "left")
+    # distinct purchasers scale with the user base — never broadcastable at
+    # 100 TB; pin sort-merge so the local plan matches the cluster plan
+    joined = visitors.join(
+        buyers.hint("merge"), visitors.user_id == buyers.b_user, "left"
+    )
     return joined.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_visitors"),
         F.countDistinct("b_user").alias("n_matched"),
@@ -1019,7 +1026,9 @@ def q_o3_nulls_last(spark: SparkSession, sf: str) -> DataFrame:
     rev = o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey").agg(
         _dec_sum("o_totalprice", "open_revenue")
     )
-    joined = c.join(rev, c.c_custkey == rev.o_custkey, "left")
+    # per-customer revenue scales with the customer base — sort-merge, not
+    # the toy-scale broadcast the size estimate would pick
+    joined = c.join(rev.hint("merge"), c.c_custkey == rev.o_custkey, "left")
     return (
         joined.orderBy(F.desc_nulls_last("open_revenue"), F.asc("c_custkey"))
         .limit(500)
@@ -1285,7 +1294,8 @@ def q_f_guards(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(_cents("o_totalprice")).alias("rev_c"),
         F.count(F.lit(1)).alias("n"),
     )
-    j = c.join(rev, c.c_custkey == rev.o_custkey, "left")
+    # per-customer revenue scales with the customer base — pin sort-merge
+    j = c.join(rev.hint("merge"), c.c_custkey == rev.o_custkey, "left")
     return j.select(
         "c_custkey",
         (F.coalesce(F.col("rev_c"), F.lit(0)).cast("double") / 100.0)

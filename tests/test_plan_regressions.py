@@ -30,7 +30,10 @@ def _shuffles(plan: str) -> int:
     [
         ("flagship_segments", 1),
         ("a3_ordered_distinct", 1),
-        ("j2_w4_primary_priority", 1),
+        # 2 = the shared agg/window repartition (reused by the join's
+        # primary side) + the profile side's join exchange; the old budget
+        # of 1 relied on a toy-scale broadcast that misrepresents 100 TB
+        ("j2_w4_primary_priority", 2),
         ("x_sim_ivf", 1),
         ("x_dedup_simhash", 1),
         ("x_dedup_minhash", 2),
