@@ -25,6 +25,28 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
 )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_cols: list[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-id filtering of a stream with BOUNDED state.
+
+    ``dropDuplicates`` on a stream keeps every seen key forever — state
+    grows without bound, the classic streaming scale-killer.
+    ``dropDuplicatesWithinWatermark`` expires per-key state once the
+    watermark passes ``delay`` beyond the key's event time, so state is
+    bounded by the duplicate-arrival window (re-deliveries cluster within
+    minutes, not days). This is the right default for at-least-once
+    sources; pair with the idempotent MERGE sink (streaming/upsert.py) for
+    end-to-end exactly-once.
+    """
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def streaming_dedup_ingest(
     docs_stream: DataFrame,
     corpus_path: str,

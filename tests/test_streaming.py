@@ -523,3 +523,38 @@ def test_streaming_dedup_ingest_drops_near_dups_across_batches(spark, tmp_path):
     # the index covers every surviving doc
     idx_ids = {r["id"] for r in spark.read.parquet(index_path).select("id").collect()}
     assert idx_ids == {1, 2, 4}
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered ids within the watermark window are dropped; distinct
+    ids all pass — with per-key state that EXPIRES (the bounded-state
+    contract dropDuplicates lacks)."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    schema = "id long, ts timestamp"
+    src = tmp_path / "in"
+    t0 = ts("2025-01-01T10:00")
+    b1 = [(1, t0), (2, ts("2025-01-01T10:01"))]
+    b2 = [(1, t0), (3, ts("2025-01-01T10:02"))]  # 1 re-delivered
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream, ["id"], "ts", "10 minutes")
+        .writeStream.format("memory").queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT id FROM wm_dedup").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [1, 2, 3], ids
