@@ -209,3 +209,25 @@ def mixture_resample(
             F.when(cond, cuts[g]) if thresh is None else thresh.when(cond, cuts[g])
         )
     return df.filter(hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
+
+
+def shard_manifest(packed: DataFrame, group_col: str) -> DataFrame:
+    """Delivery manifest for packed training shards: one row per
+    (group, shard, seq_bin) with document count, token total, and a
+    content-addressed digest (md5 over the sorted member ids).
+
+    The digest lets a consumer verify a shard holds exactly the intended
+    documents without reading payloads, and makes the whole export
+    re-run-verifiable: deterministic packing in -> bit-identical manifest
+    out. One exchange — the groupBy on the shard key (which
+    ``pack_sequences`` output is already partitioned by, so Catalyst
+    reuses the window's exchange when composed directly).
+    """
+    ids_sorted = F.array_sort(F.collect_list(F.col("id")))
+    return packed.groupBy(group_col, "shard", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform(ids_sorted, lambda x: x.cast("string")))
+        ).alias("id_digest"),
+    )

@@ -88,6 +88,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
     mixture_resample,
     pack_sequences,
+    shard_manifest,
     stratified_sample,
     uniform_sample_k,
 )
@@ -3668,6 +3669,54 @@ _register(QuerySpec(
         FROM toks
     """,
     tags=("sampling", "packing"),
+))
+
+
+def q_x_pack_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard delivery manifest over the packed sequences: per
+    (lang, shard, seq_bin) doc count, token total, and an md5 digest of
+    the sorted member ids — the artifact a training job verifies before
+    consuming an export. Composed directly over pack_sequences, the
+    manifest groupBy reuses the packing window's exchange.
+    """
+    docs = _t(spark, sf, "documents")
+    packed = pack_sequences(
+        docs, "doc_id", "lang", token_count_ws("text"), budget=256, n_shards=4
+    )
+    return shard_manifest(packed, "lang").select(
+        "lang", "shard", "seq_bin",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "id_digest",
+    )
+
+
+_register(QuerySpec(
+    name="x_pack_manifest",
+    survey="north-star: shard manifest (verifiable training-data delivery)",
+    build=q_x_pack_manifest,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                 CAST(CAST(doc_id AS BIGINT) % 4 AS INT) AS shard,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), packed AS (
+          SELECT id, lang, shard, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                                 ORDER BY id) - n_tokens)
+                            / 256.0) AS BIGINT) AS seq_bin
+          FROM toks
+        )
+        SELECT lang, shard, seq_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS id_digest
+        FROM packed
+        GROUP BY 1, 2, 3
+    """,
+    tags=("sampling", "packing", "manifest"),
 ))
 
 

@@ -709,3 +709,37 @@ def test_ccnet_bands_exact_and_approx_paths_agree(spark, sf_dir):
     mix = Counter(exact.values())
     assert set(mix) == {"head", "middle", "tail"}
     assert max(mix.values()) - min(mix.values()) <= len(exact) * 0.05
+
+
+def test_shard_manifest_detects_membership_changes(spark, sf_dir):
+    """The manifest is re-run-deterministic, and dropping one document
+    changes its shard's digest (and only its shard's) — the property a
+    consumer relies on to verify delivery."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        pack_sequences,
+        shard_manifest,
+    )
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        token_count_ws,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def manifest(d):
+        packed = pack_sequences(d, "doc_id", "lang", token_count_ws("text"),
+                                budget=256, n_shards=4)
+        return {
+            (r["lang"], r["shard"], r["seq_bin"]): (r["n_docs"], r["id_digest"])
+            for r in shard_manifest(packed, "lang").collect()
+        }
+
+    m1 = manifest(docs)
+    assert m1 == manifest(docs)
+
+    victim = docs.select("doc_id", "lang").first()
+    m2 = manifest(docs.filter(F.col("doc_id") != victim["doc_id"]))
+    changed = {k for k in m1 if k in m2 and m1[k] != m2[k]}
+    assert changed, "dropping a doc must perturb at least its own shard"
+    # every changed key is in the victim's (lang, shard) slot
+    vshard = victim["doc_id"] % 4
+    assert all(k[0] == victim["lang"] and k[1] == vshard for k in changed), changed
