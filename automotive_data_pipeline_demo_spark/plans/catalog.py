@@ -434,16 +434,36 @@ def q_j1_a1_customer_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
-    return joined.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
-        F.count("o_orderkey").alias("total_orders"),
-        _dec_sum("o_totalprice", "lifetime_value"),
-        ((F.sum(_cents("o_totalprice")).cast("double") / 100.0)
-         / F.count("o_orderkey")).alias("avg_order_value"),
+    # Partial aggregation BELOW the join (a rewrite Catalyst does not do):
+    # orders collapse to per-customer grain first, so the sort-merge join
+    # moves one row per customer instead of one per order — a ~10x cut in
+    # join input at any scale. Equivalent because the final grain
+    # (c_custkey, c_name, c_mktsegment) is keyed by the customer PK; the
+    # orderless-customer semantics (counts 0, sums/dates NULL) are restored
+    # by the coalesces below, matching the LEFT JOIN + GROUP BY oracle.
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"),
+        F.sum(_cents("o_totalprice")).alias("__rev_c"),
         F.max(F.to_date("o_orderdate")).alias("last_order_date"),
         F.min(F.to_date("o_orderdate")).alias("first_order_date"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
-        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("urgent_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("__fin"),
+        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias("__urg"),
+    )
+    joined = c.join(
+        per_cust.hint("merge"), c.c_custkey == per_cust.o_custkey, "left"
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce("__n", F.lit(0)).alias("total_orders"),
+        (F.col("__rev_c").cast("double") / 100.0).alias("lifetime_value"),
+        ((F.col("__rev_c").cast("double") / 100.0) / F.col("__n"))
+        .alias("avg_order_value"),
+        "last_order_date",
+        "first_order_date",
+        F.coalesce("__fin", F.lit(0)).alias("finished_orders"),
+        F.coalesce("__urg", F.lit(0)).alias("urgent_orders"),
     )
 
 
