@@ -1502,6 +1502,11 @@ def q_st8_rolling_window(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _dec_sum("value", "day_value"),
     )
+    # The unpartitioned window serializes ONLY the daily-grain frame (one
+    # row per calendar day — bounded by the calendar, not the corpus); the
+    # heavy events->daily aggregation above it is fully partitioned. This
+    # is the catalog's single allowed Exchange SinglePartition
+    # (locked by test_single_partition_only_on_calendar_grain).
     w7 = (
         Window.orderBy(F.col("event_day").cast("timestamp").cast("long"))
         .rangeBetween(-6 * 86400, 0)

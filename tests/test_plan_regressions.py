@@ -131,3 +131,15 @@ def test_view_dag_no_cartesian(spark, tmp_path):
             assert _shuffles(plan) <= budgets[name], (name, _shuffles(plan))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_single_partition_only_on_calendar_grain(spark, sf_dir):
+    """Exchange SinglePartition collapses all data onto one task — a scale
+    killer unless the frame is bounded by something other than corpus size.
+    The only allowed instance is st8's day-grain rolling window (one row
+    per calendar day)."""
+    allowed = {"st8_rolling_window"}
+    for spec in CATALOG:
+        plan = _plan(spec.build(spark, sf_dir))
+        if "Exchange SinglePartition" in plan:
+            assert spec.name in allowed, spec.name
