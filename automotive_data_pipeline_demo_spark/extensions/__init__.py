@@ -8,9 +8,11 @@ plumbing — each designed so the heavy lifting is JVM-side column algebra
 
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tokenize,
+    ccnet_bands,
     doc_fingerprint,
     language_id,
     lm_cross_entropy,
+    ngram_repetition,
     quality_score,
     tfidf_top_terms,
     token_count_bpe,
@@ -19,19 +21,25 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_bucket,
     hash_split,
+    mixture_resample,
     pack_sequences,
+    shard_manifest,
     stratified_sample,
     uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+    build_band_index,
     exact_dedup,
     minhash_candidate_pairs,
+    near_dup_against_index,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash,
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     cosine_similarity_col,
     brute_force_topk,
+    kmeans_lloyd,
     lsh_bucketed_topk,
 )
 
@@ -56,4 +64,12 @@ __all__ = [
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "ccnet_bands",
+    "ngram_repetition",
+    "mixture_resample",
+    "shard_manifest",
+    "build_band_index",
+    "near_dup_against_index",
+    "ngram_contamination",
+    "kmeans_lloyd",
 ]

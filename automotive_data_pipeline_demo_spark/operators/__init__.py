@@ -20,6 +20,15 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
 )
 from automotive_data_pipeline_demo_spark.operators.classify import case_ladder, ilike_classify
 from automotive_data_pipeline_demo_spark.operators.arrays import ordered_distinct_array
+from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
+from automotive_data_pipeline_demo_spark.operators.scale import (
+    bucketed_join,
+    hash_prefilter_join,
+    salted_groupby_sum,
+    salted_join,
+    write_bucketed,
+    write_range_sorted,
+)
 
 __all__ = [
     "dedup_latest",
@@ -34,4 +43,12 @@ __all__ = [
     "case_ladder",
     "ilike_classify",
     "ordered_distinct_array",
+    "asof_join",
+    "range_join",
+    "bucketed_join",
+    "hash_prefilter_join",
+    "salted_groupby_sum",
+    "salted_join",
+    "write_bucketed",
+    "write_range_sorted",
 ]

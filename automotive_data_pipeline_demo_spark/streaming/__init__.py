@@ -9,6 +9,10 @@ from automotive_data_pipeline_demo_spark.streaming.identity import (
     streaming_session_match,
 )
 from automotive_data_pipeline_demo_spark.streaming.sessions import session_rollup_stream
+from automotive_data_pipeline_demo_spark.streaming.dedup import (
+    streaming_dedup_ingest,
+    streaming_exact_dedup,
+)
 from automotive_data_pipeline_demo_spark.streaming.upsert import streaming_upsert
 
 __all__ = [
@@ -18,4 +22,6 @@ __all__ = [
     "streaming_session_match",
     "session_rollup_stream",
     "streaming_upsert",
+    "streaming_dedup_ingest",
+    "streaming_exact_dedup",
 ]
