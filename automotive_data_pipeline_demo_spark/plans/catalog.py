@@ -120,11 +120,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert to micros.
+        # events.parquet has shipped as TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read nanos as long, convert) and as
+        # plain micros (read as TIMESTAMP_NTZ). Normalize both to
+        # TimestampType in the UTC session so downstream semantics and the
+        # DuckDB oracle's naive-UTC comparison are identical either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # nanos surfaced as long
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -184,3 +184,29 @@ def test_csv_typed_corrupt_capture(spark, tmp_path):
     assert rows["D1"]["price"] == 100.5
     corrupt = [r for r in df.collect() if r["_corrupt_record"] is not None]
     assert corrupt, "malformed row was silently dropped"
+
+
+def test_events_loader_normalizes_ts_schema_variants(spark, tmp_path, sf_smoke):
+    """The driver has shipped events.parquet both as TIMESTAMP(NANOS)
+    (surfaced as bigint under nanosAsLong) and as plain micros
+    (TIMESTAMP_NTZ). catalog._t must normalize BOTH to TimestampType with
+    identical instants so every downstream query and oracle is
+    schema-variant-agnostic."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import _t
+
+    real = _t(spark, sf_smoke, "events")
+    assert real.schema["ts"].dataType.simpleString() == "timestamp"
+
+    # synthesize the nanos-as-long variant from the same instants and check
+    # the loader lands on the exact same timestamps
+    nanos_dir = str(tmp_path / "nanos_variant")
+    (
+        real.withColumn(
+            "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+        ).write.mode("overwrite").parquet(f"{nanos_dir}/events.parquet")
+    )
+    variant = _t(spark, nanos_dir, "events")
+    assert variant.schema["ts"].dataType.simpleString() == "timestamp"
+    a = real.select("event_id", "ts")
+    b = variant.select("event_id", "ts")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
