@@ -29,6 +29,8 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
+    dedup_corpus_best,
+    duplicated_ngram_fraction,
     exact_dedup,
     minhash_candidate_pairs,
     near_dup_against_index,
@@ -69,6 +71,8 @@ __all__ = [
     "mixture_resample",
     "shard_manifest",
     "build_band_index",
+    "dedup_corpus_best",
+    "duplicated_ngram_fraction",
     "near_dup_against_index",
     "ngram_contamination",
     "kmeans_lloyd",

@@ -483,3 +483,94 @@ def near_dup_dedup(
         max_doc_freq=max_doc_freq,
     )
     return dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b")
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Corpus-internal duplication signal (the scalable approximation of
+    exact-substring dedup, Lee et al. 2022): per document, the fraction of
+    its DISTINCT word n-grams that also occur in at least one OTHER
+    document. High fractions mark boilerplate/templated/mirrored text that
+    near-dup doc-level Jaccard misses (a page that is 60% shared template
+    and 40% unique body scores ~0.6 here but well under a 0.8 doc-level
+    Jaccard threshold). ``ngram_contamination`` is the cross-corpus variant
+    of the same signal; this one needs no reference set.
+
+    Scale shape: n-grams are deduped per-doc inside the scan stage
+    (``array_distinct``), so the exploded stream is bounded by token count;
+    every shuffle carries a 32-char md5 of the gram, never gram text. Doc
+    frequency is one hash aggregation keyed by the digest; the flag join is
+    digest-co-partitioned (reuses the aggregation's partitioning); the
+    per-doc rollup is the single final exchange on id.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction) — one row per doc,
+    including zero-overlap docs.
+    """
+    grams = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).select("id", F.md5("g").alias("gh"))
+    doc_freq = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("doc_freq")  # grams are distinct per doc
+    )
+    return (
+        grams.join(doc_freq, "gh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("doc_freq") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def dedup_corpus_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """``dedup_corpus`` with quality-aware representative selection: keep
+    the HIGHEST-``score_col`` document per duplicate cluster (smallest id
+    tiebreak) instead of the smallest id. This is the production keep rule
+    — when near-dups differ (truncation, boilerplate stripping, OCR noise),
+    min-id keeps an arbitrary version; score-argmax keeps the best one.
+    Deterministic and idempotent: re-running on the survivor set finds no
+    pairs and drops nothing.
+
+    Scale shape: clustering runs on the (small) verified pair graph only;
+    the argmax window partitions by component — cluster sizes, not corpus
+    size, bound each partition — and the final drop is one anti-join
+    against the loser set (broadcastable; losers < pairs).
+    """
+    comps = connected_components(pairs, a_col, b_col)
+    scored = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(score_col).alias("__score"),
+    )
+    ranked = comps.join(scored, "id").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("__score"), F.asc("id")
+            )
+        ),
+    )
+    losers = ranked.filter(F.col("__rn") > 1).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
+    )

@@ -56,6 +56,8 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
     connected_components,
+    dedup_corpus_best,
+    duplicated_ngram_fraction,
     exact_dedup,
     minhash_candidate_pairs,
     near_dup_against_index,
@@ -3849,6 +3851,135 @@ _register(QuerySpec(
         ), losers AS (
           SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
           WHERE id <> component
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS BIGINT) = l.id
+        WHERE l.id IS NULL
+    """,
+    tags=("dedup", "pipeline"),
+))
+
+
+def q_x_text_dup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-internal duplicated-8-gram fraction per document — the
+    scalable stand-in for exact-substring dedup (Lee et al. 2022). Shuffles
+    carry 32-char gram digests, never text; one agg keyed by digest, one
+    digest-co-partitioned flag join, one final per-doc exchange.
+    """
+    docs = _t(spark, sf, "documents")
+    out = duplicated_ngram_fraction(docs, "doc_id", "text", n=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams", "dup_fraction"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_dup_ngrams",
+    survey="north-star: corpus-internal duplicated n-gram signal",
+    build=q_x_text_dup_ngrams,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), freq AS (
+          SELECT g, COUNT(*) AS doc_freq FROM grams GROUP BY g
+        )
+        SELECT grams.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams,
+               CAST(SUM(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS dup_fraction
+        FROM grams JOIN freq USING (g)
+        GROUP BY 1
+    """,
+    tags=("text", "dedup"),
+))
+
+
+def q_x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup dedup with quality-aware representative selection: the same
+    LSH->Jaccard->cluster chain as x_dedup_pipeline, but each cluster keeps
+    its LONGEST member (n_chars desc, id asc tiebreak) instead of the
+    smallest id — the production keep rule when near-dups differ by
+    truncation or boilerplate stripping.
+    """
+    docs = _t(spark, sf, "documents")
+    candidates = minhash_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, shingle_n=3,
+        candidates=candidates,
+    )
+    kept = dedup_corpus_best(docs, verified, "doc_id", "n_chars")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+_register(QuerySpec(
+    name="x_dedup_keep_best",
+    survey="north-star: near-dup dedup, quality-argmax representative",
+    build=q_x_dedup_keep_best,
+    oracle="""
+        WITH RECURSIVE tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx, md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN shingles sa ON sa.id = c.id_a
+          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes za ON za.id = i.id_a
+          JOIN sizes zb ON zb.id = i.id_b
+          WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.8
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), comps AS (
+          SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        ), losers AS (
+          SELECT id FROM (
+            SELECT c.id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.component
+                     ORDER BY d.n_chars DESC, c.id ASC) AS rn
+            FROM comps c JOIN documents d ON CAST(d.doc_id AS BIGINT) = c.id)
+          WHERE rn > 1
         )
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS BIGINT) = l.id

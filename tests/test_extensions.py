@@ -743,3 +743,79 @@ def test_shard_manifest_detects_membership_changes(spark, sf_dir):
     # every changed key is in the victim's (lang, shard) slot
     vshard = victim["doc_id"] % 4
     assert all(k[0] == victim["lang"] and k[1] == vshard for k in changed), changed
+
+
+def test_duplicated_ngram_fraction_planted(spark):
+    """Doc A and B share one 3-gram ('x y z'); C is fully unique; D is a
+    verbatim copy of A (every gram duplicated)."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        duplicated_ngram_fraction,
+    )
+
+    rows = [
+        (1, "x y z p q r"),       # grams: "x y z","y z p","z p q","p q r"
+        (2, "m n x y z"),         # grams: "m n x","n x y","x y z"
+        (3, "a b c d e"),         # no overlap with anyone
+        (4, "x y z p q r"),       # copy of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in duplicated_ngram_fraction(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["n_grams"] == 4 and out[1]["n_dup_grams"] == 4  # copy of 4
+    assert out[4]["n_dup_grams"] == 4
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1  # just "x y z"
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert abs(out[2]["dup_fraction"] - 1 / 3) < 1e-12
+
+
+def test_dedup_corpus_best_keeps_argmax(spark):
+    """Cluster {1,2,3} keeps the highest score (doc 2); tie in {10,11}
+    breaks to the smaller id; unpaired doc 20 survives."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        dedup_corpus_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0), (11, 4.0), (20, 1.0)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_corpus_best(docs, pairs, "doc_id", "score").collect()
+    )
+    assert kept == [2, 10, 20]
+
+
+def test_dedup_corpus_best_idempotent(spark):
+    """Re-running the keep-best pipeline on its own survivor set must drop
+    nothing (the verified-pair graph over survivors is empty)."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        dedup_corpus_best,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail {i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+
+    def run(d):
+        cand = minhash_candidate_pairs(d, "doc_id", "text", 8, 2, 3)
+        ver = ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.8, shingle_n=3, candidates=cand
+        )
+        return dedup_corpus_best(d, ver, "doc_id", "n_chars")
+
+    once = run(docs)
+    twice = run(once)
+    assert once.count() == twice.count()
+    a = {r["doc_id"] for r in once.collect()}
+    b = {r["doc_id"] for r in twice.collect()}
+    assert a == b
