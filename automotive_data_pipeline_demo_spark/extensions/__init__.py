@@ -25,6 +25,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     pack_sequences,
     shard_manifest,
     stratified_sample,
+    top_fraction_per_group,
     uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
@@ -58,6 +59,7 @@ __all__ = [
     "hash_split",
     "pack_sequences",
     "stratified_sample",
+    "top_fraction_per_group",
     "uniform_sample_k",
     "exact_dedup",
     "minhash_candidate_pairs",

@@ -231,3 +231,36 @@ def shard_manifest(packed: DataFrame, group_col: str) -> DataFrame:
             F.concat_ws(",", F.transform(ids_sorted, lambda x: x.cast("string")))
         ).alias("id_digest"),
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Per-domain quality selection (the DCLM/FineWeb curation rule: keep
+    the best ``fraction`` of documents WITHIN each source, so one
+    high-volume low-quality domain cannot crowd out the mixture).
+
+    Implemented as an exact per-group percentile THRESHOLD JOIN, not a
+    per-group window rank: the thresholds table is one row per domain, so
+    it broadcasts, and the corpus side is filtered in the scan stage
+    without ever shuffling — a partition-by-domain window would instead
+    shuffle the full corpus and serialize each hot domain through one
+    task. Ties at the threshold are kept (>=), so the result is
+    deterministic without an id tiebreak. The only shuffle is the
+    threshold aggregation itself, which carries (group, score) pairs; at
+    100 TB swap ``percentile`` for ``approx_percentile`` to make that agg
+    single-pass mergeable with bounded memory.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    thresholds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({score_col}, {1.0 - fraction})").alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -89,6 +89,7 @@ from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
     mixture_resample,
+    top_fraction_per_group,
     pack_sequences,
     shard_manifest,
     stratified_sample,
@@ -3465,6 +3466,148 @@ _register(QuerySpec(
                                    1, 8) AS BIGINT) % 10000) < cuts.cut
     """,
     tags=("sampling", "mixing"),
+))
+
+
+def q_x_sample_top_frac(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quality selection: keep the top quarter of documents per
+    source by length. Exact-percentile threshold join (broadcast, corpus
+    side never shuffles) — not a per-domain window rank.
+    """
+    docs = _t(spark, sf, "documents")
+    kept = top_fraction_per_group(docs, "source", "n_chars", 0.25)
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "n_chars"
+    )
+
+
+_register(QuerySpec(
+    name="x_sample_top_frac",
+    survey="north-star: per-domain top-fraction quality selection",
+    build=q_x_sample_top_frac,
+    oracle="""
+        WITH thr AS (
+          SELECT source, quantile_cont(n_chars, 0.75) AS t
+          FROM documents GROUP BY source
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.n_chars
+        FROM documents d JOIN thr USING (source)
+        WHERE d.n_chars >= thr.t
+    """,
+    tags=("sampling", "curation"),
+))
+
+
+_Q4_SQL = """CAST(
+  (CASE WHEN len(list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')) >= 20
+        THEN 1 ELSE 0 END) +
+  (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+         / greatest(length(text), 1) < 0.2
+        THEN 1 ELSE 0 END) +
+  (CASE WHEN len(list_filter(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''),
+          x -> list_contains(['the','and','of','to','a','in',
+                              'is','it','that','for'], x)))
+         / greatest(len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.05
+        THEN 1 ELSE 0 END) +
+  (CASE WHEN CAST(len(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> ''))) AS DOUBLE)
+         / greatest(len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.3
+        THEN 1 ELSE 0 END) AS BIGINT)"""
+
+
+def q_x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation funnel over the corpus slice (doc_id % 5 != 0):
+    quality gate -> exact dedup (min-id keep) -> benchmark decontamination
+    (8-gram collision vs the held-out slice). Emits one row per stage with
+    the surviving doc count — the dataset-card audit trail every curation
+    run ships with.
+
+    Each stage reuses the engine's first-class operator shape: the quality
+    gate is a scan-stage expression, dedup is one digest-keyed aggregate,
+    decontamination broadcasts the benchmark gram set. Counts are
+    all-integer, so the funnel is exactly reproducible cross-engine.
+    """
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    base = corpus.select(
+        F.col("doc_id").cast("long").alias("id"),
+        "text",
+        F.md5("text").alias("h"),
+        (quality_score("text") * 4).cast("long").alias("q4"),
+    )
+    s2 = base.filter(F.col("q4") >= 3)
+    keep = s2.groupBy("h").agg(F.min("id").alias("id"))
+    s3 = s2.join(keep, ["h", "id"], "semi")
+    hits = ngram_contamination(
+        s3.select(F.col("id").alias("doc_id"), "text"),
+        bench, "doc_id", "text", n=8,
+    ).select("id").distinct()
+    s4 = s3.join(hits, "id", "anti")
+
+    def stage(n: int, label: str, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.lit(n).cast("int").alias("stage_no"),
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "total", base)
+        .unionByName(stage(2, "quality_ok", s2))
+        .unionByName(stage(3, "exact_deduped", s3))
+        .unionByName(stage(4, "decontaminated", s4))
+    )
+
+
+_register(QuerySpec(
+    name="x_curation_funnel",
+    survey="north-star: end-to-end curation funnel (quality -> dedup -> decontamination)",
+    build=q_x_curation_funnel,
+    oracle=f"""
+        WITH corpus AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, text, md5(text) AS h,
+                 {_Q4_SQL} AS q4
+          FROM documents WHERE doc_id % 5 <> 0
+        ), s2 AS (
+          SELECT * FROM corpus WHERE q4 >= 3
+        ), s3 AS (
+          SELECT s2.id, s2.text FROM s2
+          JOIN (SELECT h, MIN(id) AS id FROM s2 GROUP BY h) k
+            ON s2.h = k.h AND s2.id = k.id
+        ), tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), bench_g AS (
+          SELECT DISTINCT g FROM grams WHERE id % 5 = 0
+        ), contaminated AS (
+          SELECT DISTINCT grams.id FROM grams
+          JOIN (SELECT id FROM s3) s USING (id)
+          JOIN bench_g USING (g)
+        ), s4 AS (
+          SELECT id FROM s3
+          WHERE id NOT IN (SELECT id FROM contaminated)
+        )
+        SELECT 1 AS stage_no, 'total' AS stage, COUNT(*) AS n_docs FROM corpus
+        UNION ALL
+        SELECT 2, 'quality_ok', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'exact_deduped', COUNT(*) FROM s3
+        UNION ALL
+        SELECT 4, 'decontaminated', COUNT(*) FROM s4
+    """,
+    tags=("text", "pipeline", "curation"),
 ))
 
 

@@ -819,3 +819,42 @@ def test_dedup_corpus_best_idempotent(spark):
     a = {r["doc_id"] for r in once.collect()}
     b = {r["doc_id"] for r in twice.collect()}
     assert a == b
+
+
+def test_top_fraction_per_group_planted(spark):
+    """Two groups of 4: fraction 0.5 keeps the top-2 by score (ties at the
+    threshold kept); thresholds broadcast, corpus side unshuffled."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40),
+         ("b", 5, 1), ("b", 6, 1), ("b", 7, 1), ("b", 8, 9)],
+        ["grp", "id", "score"],
+    )
+    kept = top_fraction_per_group(df, "grp", "score", 0.5)
+    by_grp = {}
+    for r in kept.collect():
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    assert by_grp["a"] == {3, 4}       # >= interpolated p50 (25.0)
+    # ties at the threshold are kept: p50 of (1,1,1,9) = 1.0 and every
+    # score is >= 1.0, so the whole group survives — documented semantics
+    assert by_grp["b"] == {5, 6, 7, 8}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        top_fraction_per_group(df, "grp", "score", 0.0).collect()
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Stage counts must be a (weakly) decreasing funnel, starting at the
+    corpus-slice size."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import (
+        q_x_curation_funnel,
+    )
+
+    rows = {r["stage_no"]: r["n_docs"]
+            for r in q_x_curation_funnel(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1] >= rows[2] >= rows[3] >= rows[4]
+    assert rows[1] > 0 and rows[4] > 0
