@@ -56,6 +56,7 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
     connected_components,
+    dedup_corpus,
     dedup_corpus_best,
     duplicated_ngram_fraction,
     exact_dedup,
@@ -4257,6 +4258,105 @@ _register(QuerySpec(
         WHERE rn = 1
     """,
     tags=("similarity", "kmeans", "clustering"),
+))
+
+
+def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: k-means the embedding
+    corpus into cells, enumerate cosine near-dup pairs WITHIN each cell
+    only, cluster the pair graph, keep one representative per cluster.
+    The cell step is what makes semantic dedup scale — pair enumeration is
+    an equi self-join on the learned cell id, never a cross product; the
+    kmeans pass itself is zero-shuffle assignment + one bounded
+    aggregation per iteration.
+    """
+    emb = _t(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    assign = kmeans_lloyd(emb, seeds, n_iter=1)
+    cells = emb.join(assign, "vec_id")
+    pairs = embedding_near_dup_pairs(
+        cells, threshold=0.30, block_col="centroid_id"
+    )
+    kept = dedup_corpus(emb, pairs, "vec_id")
+    return kept.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_semdedup",
+    survey="north-star: SemDeDup semantic dedup (kmeans cells -> in-cell near-dup -> drop)",
+    build=q_x_dedup_semdedup,
+    oracle=f"""
+        WITH RECURSIVE m AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8
+        ), s0 AS (
+          SELECT m.vec_id, c0.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c0
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
+          WHERE rn = 1
+        ), sums AS (
+          SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
+          FROM a0 JOIN m USING (vec_id),
+               UNNEST(generate_series(1, len(m.mv))) AS p(pos)
+          GROUP BY a0.cid, p.pos
+        ), c1 AS (
+          SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
+          FROM sums GROUP BY cid
+        ), s1 AS (
+          SELECT m.vec_id, c1.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c1
+        ), a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s1)
+          WHERE rn = 1
+        ), pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM (
+            SELECT ea.vec_id, ea.embedding, aa.cid
+            FROM embeddings ea JOIN a1 aa USING (vec_id)) a
+          JOIN (
+            SELECT eb.vec_id, eb.embedding, ab.cid
+            FROM embeddings eb JOIN a1 ab USING (vec_id)) b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4)
+                >= 0.30
+        ), edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), losers AS (
+          SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+          WHERE id <> component
+        )
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.label AS INT) AS label
+        FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.id
+        WHERE l.id IS NULL
+    """,
+    tags=("dedup", "similarity", "pipeline"),
 ))
 
 
