@@ -3066,6 +3066,132 @@ _register(QuerySpec(
 ))
 
 
+def q_a_funnel_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> view -> purchase, strictly in
+    event-time order per user) — the CDP behavioral query the reference's
+    marketing views feed. One shuffle: events collect per user
+    (sort_array inside the agg), then a zero-shuffle integer fold walks
+    the sequence advancing a stage counter only when the NEXT stage's
+    event appears; a final single-row aggregate counts users per depth.
+    All-integer state, so bit-exact cross-engine.
+    """
+    e = _t(spark, sf, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    per_user = (
+        e.select("user_id", F.struct("ts", code.alias("code")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.col("seq"),
+                F.lit(0),
+                lambda acc, x: F.when(
+                    x["code"] == acc + 1, acc + 1
+                ).otherwise(acc),
+            ).alias("depth"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("depth") >= 1).cast("long")).alias("n_signup"),
+        F.sum((F.col("depth") >= 2).cast("long")).alias("n_signup_view"),
+        F.sum((F.col("depth") >= 3).cast("long")).alias("n_full_funnel"),
+    )
+
+
+_register(QuerySpec(
+    name="a_funnel_ordered",
+    survey="extension: ordered conversion funnel (behavioral analytics)",
+    build=q_a_funnel_ordered,
+    oracle="""
+        WITH seq AS (
+          SELECT user_id,
+                 list(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'purchase' THEN 3 ELSE 0 END
+                      ORDER BY ts, CASE event_type WHEN 'signup' THEN 1
+                      WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END
+                     ) AS codes
+          FROM events GROUP BY user_id
+        ), depth AS (
+          SELECT user_id,
+                 list_reduce(list_prepend(0, codes),
+                   (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+                               ELSE acc END) AS d
+          FROM seq
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_signup,
+               CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_signup_view,
+               CAST(SUM(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_full_funnel
+        FROM depth
+    """,
+    tags=("agg", "funnel", "behavioral"),
+))
+
+
+def q_a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-signup week, counted
+    distinct in each subsequent activity week. First-touch is one
+    partial-aggregated groupBy on user; the activity join reuses that
+    partitioning; the final (cohort, week-offset) rollup is an exact
+    COUNT(DISTINCT) over a bounded key space. Week offsets are integer
+    day-diffs floor-divided by 7 — exact cross-engine.
+    """
+    e = _t(spark, sf, "events")
+    first = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("t0"))).alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("t0")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+
+
+_register(QuerySpec(
+    name="a_retention_cohorts",
+    survey="extension: weekly retention cohort analysis",
+    build=q_a_retention_cohorts,
+    oracle="""
+        WITH first AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), act AS (
+          SELECT e.user_id,
+                 CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+                 CAST(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE))
+                      // 7 AS INT) AS week_offset
+          FROM events e JOIN first f USING (user_id)
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+        FROM act WHERE week_offset >= 0
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "retention", "behavioral"),
+))
+
+
 def q_scale_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe two-stage aggregation: hot group keys fan out over a
     deterministic hash salt, partials re-aggregate by key. Result must be

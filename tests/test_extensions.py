@@ -858,3 +858,35 @@ def test_curation_funnel_monotone(spark, sf_dir):
     assert sorted(rows) == [1, 2, 3, 4]
     assert rows[1] >= rows[2] >= rows[3] >= rows[4]
     assert rows[1] > 0 and rows[4] > 0
+
+
+def test_funnel_ordered_is_order_sensitive(spark, sf_dir):
+    """A purchase BEFORE the first view must not count as full-funnel: the
+    fold advances only on the next stage in sequence."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import (
+        q_a_funnel_ordered,
+    )
+    from datetime import datetime
+
+    rows = [
+        # user 1: signup -> view -> purchase (full funnel)
+        (1, datetime(2024, 1, 1, 0), "signup"),
+        (1, datetime(2024, 1, 1, 1), "view"),
+        (1, datetime(2024, 1, 1, 2), "purchase"),
+        # user 2: purchase first, then signup -> view (depth 2, no funnel)
+        (2, datetime(2024, 1, 1, 0), "purchase"),
+        (2, datetime(2024, 1, 1, 1), "signup"),
+        (2, datetime(2024, 1, 1, 2), "view"),
+        # user 3: never signs up (depth 0)
+        (3, datetime(2024, 1, 1, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.select(
+        F.monotonically_increasing_id().alias("event_id"), "ts", "user_id",
+        "event_type", F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = q_a_funnel_ordered(spark, d).collect()[0]
+    assert (out["n_users"], out["n_signup"], out["n_signup_view"],
+            out["n_full_funnel"]) == (3, 2, 2, 1)

@@ -135,11 +135,26 @@ def test_view_dag_no_cartesian(spark, tmp_path):
 
 def test_single_partition_only_on_calendar_grain(spark, sf_dir):
     """Exchange SinglePartition collapses all data onto one task — a scale
-    killer unless the frame is bounded by something other than corpus size.
-    The only allowed instance is st8's day-grain rolling window (one row
-    per calendar day)."""
+    killer unless what crosses it is bounded by something other than corpus
+    size. Two bounded shapes are allowed:
+
+    - a global aggregate whose exchange child is a PARTIAL HashAggregate
+      (one pre-aggregated row per upstream partition crosses — the
+      canonical count/sum-everything shape, e.g. funnel stage totals);
+    - entries on the calendar-grain allow-list, where the frame upstream
+      of the exchange is one row per calendar unit (st8's day-grain
+      rolling window).
+    """
     allowed = {"st8_rolling_window"}
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
-        if "Exchange SinglePartition" in plan:
-            assert spec.name in allowed, spec.name
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            fed_by_partial = "partial_" in child and "HashAggregate" in child
+            assert fed_by_partial or spec.name in allowed, (
+                f"{spec.name}: SinglePartition not fed by a partial "
+                f"aggregate\n{ln}\n{child}"
+            )
