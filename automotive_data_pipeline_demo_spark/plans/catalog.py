@@ -3192,6 +3192,80 @@ _register(QuerySpec(
 ))
 
 
+def q_x_text_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build: sorted posting list + document frequency per
+    term, for terms with df in [2, 50]. The df filter runs BEFORE list
+    collection — document frequencies aggregate first (partial-combined
+    longs), stopword-grade terms are dropped, and only surviving terms
+    collect postings. Both aggregations and the join hash-partition on
+    term, so the whole build is one exchange of (term, id) pairs; no
+    unbounded collect_list for hot terms ever materializes.
+    """
+    docs = _t(spark, sf, "documents")
+    terms = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.explode(F.array_distinct(tokenize("text"))).alias("term"),
+    )
+    kept = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
+    return (
+        terms.join(kept, "term")
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+    )
+
+
+_register(QuerySpec(
+    name="x_text_postings",
+    survey="north-star: inverted-index posting lists (df-bounded)",
+    build=q_x_text_postings,
+    oracle="""
+        WITH t AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, tok AS term
+          FROM documents,
+               UNNEST(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS u(tok)
+        ), kept AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM t GROUP BY term
+          HAVING COUNT(*) BETWEEN 2 AND 50
+        )
+        SELECT t.term, kept.df, list(t.id ORDER BY t.id) AS postings
+        FROM t JOIN kept USING (term)
+        GROUP BY t.term, kept.df
+    """,
+    tags=("text", "index"),
+))
+
+
+def q_x_corpus_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card length histogram: doc counts per (lang, 100-char bin).
+    Pure integer floor-division binning fused into the scan; one bounded
+    aggregation (langs × bins keys).
+    """
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy(
+        "lang",
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("len_bin"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_register(QuerySpec(
+    name="x_corpus_histogram",
+    survey="north-star: dataset-card length histogram",
+    build=q_x_corpus_histogram,
+    oracle="""
+        SELECT lang, CAST(n_chars // 100 * 100 AS BIGINT) AS len_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "stats", "histogram"),
+))
+
+
 def q_scale_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe two-stage aggregation: hot group keys fan out over a
     deterministic hash salt, partials re-aggregate by key. Result must be

@@ -11,6 +11,7 @@ import math
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -39,6 +40,19 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             elif col.map(lambda v: isinstance(v, (bytes, bytearray))).any():
                 out[c] = col.map(
                     lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+                )
+            elif col.map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray))
+            ).any():
+                # array columns (Spark toPandas / DuckDB fetchdf both yield
+                # numpy arrays): ndarrays are unhashable, which breaks the
+                # multi-column row sort — normalize to tuples
+                out[c] = col.map(
+                    lambda v: tuple(v.tolist())
+                    if isinstance(v, np.ndarray)
+                    else tuple(v)
+                    if isinstance(v, (list, tuple))
+                    else v
                 )
         if str(col.dtype).startswith("datetime64"):
             out[c] = pd.to_datetime(col).dt.tz_localize(None) if getattr(
