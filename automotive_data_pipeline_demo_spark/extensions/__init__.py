@@ -9,6 +9,7 @@ plumbing — each designed so the heavy lifting is JVM-side column algebra
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tokenize,
     ccnet_bands,
+    chunk_tokens,
     doc_fingerprint,
     language_id,
     lm_cross_entropy,
@@ -69,6 +70,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ccnet_bands",
+    "chunk_tokens",
     "ngram_repetition",
     "mixture_resample",
     "shard_manifest",

@@ -336,3 +336,57 @@ def ccnet_bands(
         band = F.concat(F.lit("band_"), idx.cast("string"))
     out = j.select("id", "lang", "bits_per_token", band.alias("band"))
     return out.drop("__cuts") if not exact else out
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Context-window chunking with overlap: split each document's token
+    stream into ``chunk_size``-token windows starting every ``stride``
+    tokens (``chunk_size - stride`` tokens of overlap carry context across
+    boundaries — the standard pretraining/RAG chunker). Complements
+    ``pack_sequences``, which packs WHOLE short docs into a budget; this
+    splits LONG docs down to one.
+
+    Zero shuffles: tokenization, window-start generation, slicing, and the
+    chunk digest are all array expressions fused into the scan stage; the
+    output explode is pipelined. Rows stay narrow — chunks are emitted as
+    md5 digests plus token counts, not text (downstream joins fetch text
+    by (id, chunk_idx) only for the chunks they keep).
+
+    Returns (id, chunk_idx, n_tokens, chunk_hash); empty documents emit no
+    rows.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError(
+            f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}"
+        )
+    toks = tokenize(F.col(text_col))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x: (x % stride == 0) & (x < F.size(toks)),
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            toks.alias("__toks"),
+            F.explode(starts).alias("__start"),
+        )
+        .select(
+            "id",
+            (F.col("__start") / stride).cast("long").alias("chunk_idx"),
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_hash"),
+        )
+    )

@@ -107,6 +107,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tfidf_top_terms,
     unigram_entropy,
     token_count_bpe,
+    chunk_tokens,
     token_count_ws,
     tokenize,
 )
@@ -3263,6 +3264,39 @@ _register(QuerySpec(
         FROM documents GROUP BY 1, 2
     """,
     tags=("text", "stats", "histogram"),
+))
+
+
+def q_x_text_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 64-token windows every 48 tokens (16-token
+    overlap). Zero shuffles — all array expressions fused into the scan,
+    chunks emitted as digests not text.
+    """
+    docs = _t(spark, sf, "documents")
+    out = chunk_tokens(docs, "doc_id", "text", chunk_size=64, stride=48)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk_hash"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_chunking",
+    survey="north-star: context-window chunking with overlap",
+    build=q_x_text_chunking,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.s // 48 AS BIGINT) AS chunk_idx,
+               CAST(len(toks[u.s + 1 : u.s + 64]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[u.s + 1 : u.s + 64], ' ')) AS chunk_hash
+        FROM tk, UNNEST(range(0, len(toks), 48)) AS u(s)
+    """,
+    tags=("text", "chunking"),
 ))
 
 

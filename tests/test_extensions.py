@@ -890,3 +890,23 @@ def test_funnel_ordered_is_order_sensitive(spark, sf_dir):
     out = q_a_funnel_ordered(spark, d).collect()[0]
     assert (out["n_users"], out["n_signup"], out["n_signup_view"],
             out["n_full_funnel"]) == (3, 2, 2, 1)
+
+
+def test_chunk_tokens_overlap_and_edges(spark):
+    """10 tokens, chunk 4 / stride 3: starts 0,3,6,9 — overlapping windows,
+    a short tail chunk, and no rows for the empty doc."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        chunk_tokens,
+    )
+
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(1, toks), (2, "")], ["doc_id", "text"])
+    rows = sorted(
+        (r["id"], r["chunk_idx"], r["n_tokens"])
+        for r in chunk_tokens(df, "doc_id", "text", 4, 3).collect()
+    )
+    assert rows == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 1)]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=5)

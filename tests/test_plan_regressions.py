@@ -39,6 +39,7 @@ def _shuffles(plan: str) -> int:
         ("x_dedup_minhash", 2),
         ("j3_validation_join", 3),
         ("x_text_repetition", 0),
+        ("x_text_chunking", 0),
         ("x_sample_mixture", 0),
         ("x_text_contamination", 1),
         ("x_dedup_jaccard", 4),
