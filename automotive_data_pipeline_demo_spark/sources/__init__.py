@@ -6,6 +6,10 @@ from automotive_data_pipeline_demo_spark.sources.readers import (
     read_table,
     write_partitioned_lake,
 )
+from automotive_data_pipeline_demo_spark.sources.compact import (
+    compact_parquet,
+    plan_compaction,
+)
 from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 
@@ -14,6 +18,8 @@ __all__ = [
     "read_lake",
     "read_table",
     "write_partitioned_lake",
+    "compact_parquet",
+    "plan_compaction",
     "merge_upsert",
     "write_jsonl_events",
 ]

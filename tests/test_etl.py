@@ -210,3 +210,32 @@ def test_events_loader_normalizes_ts_schema_variants(spark, tmp_path, sf_smoke):
     a = real.select("event_id", "ts")
     b = variant.select("event_id", "ts")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Many small part files collapse to the planned target count with
+    identical content; an already-compact table is left untouched."""
+    from automotive_data_pipeline_demo_spark.sources.compact import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    p = str(tmp_path / "lake")
+    src = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    src.repartition(20).write.mode("overwrite").parquet(p)
+
+    before = plan_compaction(spark, p, target_bytes=10 * 1024 * 1024)
+    assert before["n_files"] == 20
+
+    res = compact_parquet(spark, p, target_bytes=10 * 1024 * 1024)
+    assert res["rewritten"] is True
+    after = plan_compaction(spark, p, target_bytes=10 * 1024 * 1024)
+    assert after["n_files"] == res["target_files"] < 20
+
+    got = spark.read.parquet(p)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).collect()[0][0] == src.agg(F.sum("v")).collect()[0][0]
+
+    # idempotent: second run is a no-op
+    res2 = compact_parquet(spark, p, target_bytes=10 * 1024 * 1024)
+    assert res2["rewritten"] is False
