@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from automotive_data_pipeline_demo_spark.extensions.text_analysis import tokenize
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    bind_once,
+    tokenize,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -39,14 +42,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (token n-grams) as strings."""
-    toks = tokenize(text)
+    """Distinct n-word shingles (token n-grams) as strings.
 
-    def make(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+    The token array is let-bound (``bind_once``) before the per-shingle
+    transform: a lambda that closes over the ``tokenize`` expression TREE
+    re-tokenizes the document for every shingle — 18x slower at sf1.
+    """
 
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(F.transform(idx, make))
+    def over(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    return bind_once(tokenize(text), over)
 
 
 def minhash_signatures(

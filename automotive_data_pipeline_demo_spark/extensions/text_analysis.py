@@ -37,6 +37,18 @@ def tokenize(text: Column | str) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and hand the VALUE to ``fn`` as a bound
+    lambda variable. Inside a higher-order-function lambda, a captured
+    expression TREE is re-evaluated on every element — e.g. a shingle
+    lambda that closes over ``tokenize(text)`` re-tokenizes the document
+    per shingle (measured 18x at sf1). Transforming a single-element array
+    is Spark's let-binding: the lambda parameter is a per-row variable
+    read, not a tree.
+    """
+    return F.transform(F.array(col), fn)[0]
+
+
 def token_count_ws(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(F.filter(F.split(_c(text), r"\s+"), lambda t: t != F.lit("")))
@@ -125,18 +137,25 @@ def ngram_repetition(text: Column | str, n: int = 3) -> tuple[Column, Column, Co
     division of two exact ints ((n_grams − n_distinct) / n_grams), so it is
     bit-identical across engines.
     """
-    toks = tokenize(text)
-    cnt = F.size(toks) - n + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    n_grams = F.when(cnt > 0, cnt).otherwise(0)
-    n_distinct = F.when(cnt > 0, F.size(F.array_distinct(grams))).otherwise(0)
-    ratio = F.when(
-        cnt > 0, (n_grams - n_distinct).cast("double") / cnt
-    ).otherwise(F.lit(0.0))
-    return n_grams, n_distinct, ratio
+    def over(toks: Column) -> Column:
+        cnt = F.size(toks) - n + 1
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        n_grams = F.when(cnt > 0, cnt).otherwise(0)
+        n_distinct = F.when(cnt > 0, F.size(F.array_distinct(grams))).otherwise(0)
+        ratio = F.when(
+            cnt > 0, (n_grams - n_distinct).cast("double") / cnt
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            ratio.alias("ratio"),
+        )
+
+    s = bind_once(tokenize(text), over)
+    return s["n_grams"], s["n_distinct"], s["ratio"]
 
 
 def doc_fingerprint(text: Column | str) -> Column:
@@ -208,16 +227,21 @@ def unigram_entropy(text: Column | str) -> Column:
     O(distinct x tokens); for very long documents prefer the explode +
     two-level groupBy shape instead (same result, shuffled).
     """
-    toks = tokenize(_c(text))
-    n = F.size(toks).cast("double")
-    terms = F.array_sort(F.array_distinct(toks))
-    counts = F.transform(terms, lambda t: F.size(F.filter(toks, lambda x: x == t)))
-    ent = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc - (c.cast("double") / n) * F.log2(c.cast("double") / n),
-    )
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(ent)
+    def over(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        terms = F.array_sort(F.array_distinct(toks))
+        counts = F.transform(
+            terms, lambda t: F.size(F.filter(toks, lambda x: x == t))
+        )
+        ent = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc
+            - (c.cast("double") / n) * F.log2(c.cast("double") / n),
+        )
+        return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(ent)
+
+    return bind_once(tokenize(_c(text)), over)
 
 
 def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -365,15 +389,22 @@ def chunk_tokens(
         raise ValueError(
             f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}"
         )
-    toks = tokenize(F.col(text_col))
+    # materialize the token array as a column FIRST: the starts lambda
+    # below references its size, and a captured tokenize tree would
+    # re-tokenize per candidate index (see bind_once)
+    tokenized = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda x: (x % stride == 0) & (x < F.size(toks)),
     )
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            toks.alias("__toks"),
+        tokenized.select(
+            "id",
+            "__toks",
             F.explode(starts).alias("__start"),
         )
         .select(

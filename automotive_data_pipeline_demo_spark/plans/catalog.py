@@ -1709,14 +1709,16 @@ _register(QuerySpec(
 
 
 def q_x_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs (doc_id % 5 != 0) sharing any
-    exact 8-gram with the held-out eval set (doc_id % 5 == 0). Broadcast
-    the (tiny) benchmark n-gram set; the corpus is scanned once, never
-    shuffled — only sparse hits pay the pair aggregation.
+    """Benchmark decontamination: corpus docs sharing any exact 8-gram with
+    the held-out eval set. The eval set is a FIXED-SIZE slice (doc_id <
+    100) — real benchmarks don't grow with the corpus, and the broadcast
+    gram set must stay constant-size at 100 TB (a fractional split like
+    doc_id % 5 would broadcast 20% of the corpus). The corpus is scanned
+    once, never shuffled — only sparse hits pay the pair aggregation.
     """
     docs = _t(spark, sf, "documents")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    bench = docs.filter(F.col("doc_id") < 100)
     out = ngram_contamination(corpus, bench, "doc_id", "text", n=8)
     return out.select(
         F.col("id").alias("doc_id"), "benchmark_id",
@@ -1737,8 +1739,8 @@ _register(QuerySpec(
         ), grams AS (
           SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
           FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
-        ), bench AS (SELECT * FROM grams WHERE id % 5 = 0),
-           corp  AS (SELECT * FROM grams WHERE id % 5 <> 0)
+        ), bench AS (SELECT * FROM grams WHERE id < 100),
+           corp  AS (SELECT * FROM grams WHERE id >= 100)
         SELECT corp.id AS doc_id, bench.id AS benchmark_id,
                CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM corp JOIN bench USING (g)
@@ -3757,10 +3759,12 @@ _Q4_SQL = """CAST(
 
 
 def q_x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end curation funnel over the corpus slice (doc_id % 5 != 0):
+    """End-to-end curation funnel over the corpus slice (doc_id >= 100):
     quality gate -> exact dedup (min-id keep) -> benchmark decontamination
-    (8-gram collision vs the held-out slice). Emits one row per stage with
-    the surviving doc count — the dataset-card audit trail every curation
+    (8-gram collision vs the fixed-size held-out slice, doc_id < 100 — an
+    eval set must not grow with the corpus or its broadcast gram set
+    stops being broadcastable). Emits one row per stage with the
+    surviving doc count — the dataset-card audit trail every curation
     run ships with.
 
     Each stage reuses the engine's first-class operator shape: the quality
@@ -3769,8 +3773,8 @@ def q_x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     all-integer, so the funnel is exactly reproducible cross-engine.
     """
     docs = _t(spark, sf, "documents")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    bench = docs.filter(F.col("doc_id") < 100)
     base = corpus.select(
         F.col("doc_id").cast("long").alias("id"),
         "text",
@@ -3809,7 +3813,7 @@ _register(QuerySpec(
         WITH corpus AS (
           SELECT CAST(doc_id AS BIGINT) AS id, text, md5(text) AS h,
                  {_Q4_SQL} AS q4
-          FROM documents WHERE doc_id % 5 <> 0
+          FROM documents WHERE doc_id >= 100
         ), s2 AS (
           SELECT * FROM corpus WHERE q4 >= 3
         ), s3 AS (
@@ -3825,7 +3829,7 @@ _register(QuerySpec(
           SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
           FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
         ), bench_g AS (
-          SELECT DISTINCT g FROM grams WHERE id % 5 = 0
+          SELECT DISTINCT g FROM grams WHERE id < 100
         ), contaminated AS (
           SELECT DISTINCT grams.id FROM grams
           JOIN (SELECT id FROM s3) s USING (id)
