@@ -2856,6 +2856,50 @@ _register(QuerySpec(
 ))
 
 
+def q_w_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a change stream:
+    each customer's orders become versioned rows with [valid_from,
+    valid_to) intervals via LEAD over the per-key timeline; the open
+    interval (valid_to IS NULL) marks the current version. The reference
+    only keeps latest-wins state (SCD1 MERGE, glue job DELETE+INSERT);
+    type-2 is the companion shape for as-of auditability — one shuffle on
+    the dimension key, same budget as W1.
+    """
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.lead(F.to_date("o_orderdate"), 1).over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current", F.col("valid_to").isNull().cast("int")
+    )
+
+
+_register(QuerySpec(
+    name="w_scd2_history",
+    survey="extension: SCD type-2 validity intervals (beyond reference SCD1 MERGE)",
+    build=q_w_scd2_history,
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               LEAD(CAST(o_orderdate AS DATE), 1) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+               ) AS valid_to,
+               CAST(CASE WHEN LEAD(CAST(o_orderdate AS DATE), 1) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+               ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM orders
+    """,
+    tags=("window", "scd2"),
+))
+
+
 def q_a_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-grain aggregate as a real ROLLUP (the reference's
     match_analytics dual daily/hourly grain, database-schema.sql:196-229,
