@@ -3241,12 +3241,14 @@ _register(QuerySpec(
 
 def q_x_text_postings(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index build: sorted posting list + document frequency per
-    term, for terms with df in [2, 50]. The df filter runs BEFORE list
+    term, for terms with df in [2, 400]. The df filter runs BEFORE list
     collection — document frequencies aggregate first (partial-combined
     longs), stopword-grade terms are dropped, and only surviving terms
     collect postings. Both aggregations and the join hash-partition on
     term, so the whole build is one exchange of (term, id) pairs; no
-    unbounded collect_list for hot terms ever materializes.
+    unbounded collect_list for hot terms ever materializes. Postings are
+    rendered to a comma-joined string (catalog determinism rule: array
+    outputs are strings with an explicit element order).
     """
     docs = _t(spark, sf, "documents")
     terms = docs.select(
@@ -3256,12 +3258,20 @@ def q_x_text_postings(spark: SparkSession, sf: str) -> DataFrame:
     kept = (
         terms.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 400))
     )
     return (
         terms.join(kept, "term")
         .groupBy("term", "df")
-        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
     )
 
 
@@ -3278,9 +3288,10 @@ _register(QuerySpec(
         ), kept AS (
           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
           FROM t GROUP BY term
-          HAVING COUNT(*) BETWEEN 2 AND 50
+          HAVING COUNT(*) BETWEEN 2 AND 400
         )
-        SELECT t.term, kept.df, list(t.id ORDER BY t.id) AS postings
+        SELECT t.term, kept.df,
+               array_to_string(list(t.id ORDER BY t.id), ',') AS postings
         FROM t JOIN kept USING (term)
         GROUP BY t.term, kept.df
     """,
@@ -4065,8 +4076,11 @@ _register(QuerySpec(
         SELECT lang,
                COUNT(*) AS n_docs,
                COUNT(DISTINCT source) AS n_sources,
-               SUM(n_tok) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               -- DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+               -- float64 ("19525.0" vs "19525") — cast back to BIGINT so the
+               -- value hash matches Spark's long
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
                CAST(SUM(q4) AS DOUBLE) / (COUNT(*) * 4) AS avg_quality
         FROM t GROUP BY lang

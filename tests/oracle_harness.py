@@ -77,6 +77,21 @@ def compare(
         problems.append(f"row count differs: spark={len(a)} oracle={len(b)}")
         return problems
     for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        # the driver hashes RENDERED values, so int64 19525 vs float64
+        # 19525.0 mismatch even when numerically equal (DuckDB SUM(BIGINT)
+        # yields HUGEINT -> pandas float64; cast the oracle back to BIGINT).
+        # x_corpus_stats was red for three rounds on exactly this.
+        if (da.startswith(("int", "uint")) and db.startswith("float")) or (
+            da.startswith("float") and db.startswith(("int", "uint"))
+        ):
+            problems.append(
+                f"col {c} dtype differs: spark={da} oracle={db} "
+                "(driver renders ints and floats differently before hashing)"
+            )
+    if problems:
+        return problems
+    for c in a.columns:
         av, bv = a[c], b[c]
         for i, (x, y) in enumerate(zip(av, bv)):
             if _eq(x, y, float_tol):
