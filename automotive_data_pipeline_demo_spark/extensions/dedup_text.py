@@ -26,6 +26,12 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tokenize,
 )
 
+# Default shingle document-frequency cap for Jaccard fan-out. A shingle in d
+# docs yields d(d-1)/2 pairs, so an uncapped hot shingle is quadratic; the
+# cap is the 100 TB-safe default and ``max_doc_freq=None`` is the explicit
+# exact-mode opt-out (used by the oracle-pinned catalog entries).
+DEFAULT_MAX_DOC_FREQ = 1000
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content digest.
@@ -176,6 +182,7 @@ def near_dup_against_index(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Incremental near-dup dedup: flag NEW docs duplicating the EXISTING
     corpus without re-signing it — the daily-ingestion posture at 100 TB.
@@ -211,6 +218,7 @@ def near_dup_against_index(
     verified = ngram_jaccard_pairs(
         both, id_col, text_col,
         threshold=threshold, shingle_n=shingle_n, candidates=cand,
+        max_doc_freq=max_doc_freq,
     )
     return verified.select(
         F.col("id_b").alias("new_id"),
@@ -255,7 +263,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
 
@@ -271,8 +279,9 @@ def ngram_jaccard_pairs(
     shingle universe (intersections AND set sizes both exclude dropped
     shingles, so the ratio stays meaningful). Pairs sharing ONLY
     ultra-common boilerplate stop pairing — which near-dup thresholds
-    would reject anyway. None = exact (the oracle-checked default;
-    mandatory knob at 100 TB).
+    would reject anyway. The cap is ON by default
+    (``DEFAULT_MAX_DOC_FREQ``) so a naive caller gets the 100 TB-safe
+    behavior; pass ``max_doc_freq=None`` to opt out into exact mode.
     """
     shingle_rows = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -468,7 +477,7 @@ def near_dup_dedup(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """The full near-dup pipeline in one call: MinHash-LSH candidates ->
     exact Jaccard verification -> connected-components clustering -> drop

@@ -81,6 +81,9 @@ from automotive_data_pipeline_demo_spark.plans.etl import sql_over_frames
 from automotive_data_pipeline_demo_spark.streaming.identity import (
     resolve_identities_batch,
 )
+from automotive_data_pipeline_demo_spark.streaming.sessions import (
+    match_analytics_breakdown,
+)
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
     read_lake,
@@ -954,6 +957,51 @@ _register(QuerySpec(
 ))
 
 
+def q_a9_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 breakdown maps: the match_analytics JSONB columns
+    (utm_source_breakdown / match_method_breakdown,
+    identity-resolution/database-schema.sql:211-213) — two-grain rollup
+    where each (day[, hour]) cell carries an ordered per-method count map.
+    Built from pre-aggregated (period, method) counts so exchanges carry
+    aggregated rows only; the daily grain folds the hourly partials.
+    """
+    ev = _t(spark, sf, "events")
+    return match_analytics_breakdown(ev, ts_col="ts", method_col="event_type")
+
+
+_register(QuerySpec(
+    name="a9_breakdown",
+    survey="A9 (JSONB breakdown maps)",
+    build=q_a9_breakdown,
+    oracle="""
+        WITH base AS (
+          SELECT CAST(ts AS DATE) AS date_period,
+                 CAST(EXTRACT(hour FROM ts) AS INT) AS hour_period,
+                 event_type AS method, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), hourly AS (
+          SELECT date_period, hour_period,
+                 CAST(SUM(cnt) AS BIGINT) AS total_matches,
+                 string_agg(method || ':' || CAST(cnt AS VARCHAR), ','
+                            ORDER BY method) AS method_breakdown
+          FROM base GROUP BY 1, 2
+        ), db AS (
+          SELECT date_period, method,
+                 CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM base GROUP BY 1, 2
+        ), daily AS (
+          SELECT date_period, CAST(NULL AS INT) AS hour_period,
+                 CAST(SUM(cnt) AS BIGINT) AS total_matches,
+                 string_agg(method || ':' || CAST(cnt AS VARCHAR), ','
+                            ORDER BY method) AS method_breakdown
+          FROM db GROUP BY 1
+        )
+        SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    """,
+    tags=("agg", "rollup", "breakdown"),
+))
+
+
 # --------------------------------------------------------------------------
 # Windows / sorts / set ops (SURVEY §2.5 / §2.6 / §2.7)
 # --------------------------------------------------------------------------
@@ -1653,8 +1701,11 @@ def q_x_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
     index = build_band_index(corpus, "doc_id", "text")
+    # max_doc_freq=None pins exact-mode semantics to the declarative oracle
+    # (the API default is the capped 100 TB-safe mode)
     return near_dup_against_index(
-        batch, index, corpus, "doc_id", "text", threshold=0.3
+        batch, index, corpus, "doc_id", "text", threshold=0.3,
+        max_doc_freq=None,
     )
 
 
@@ -1755,7 +1806,10 @@ def q_x_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     exact verifier that runs on LSH candidates at scale).
     """
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, shingle_n=3)
+    # max_doc_freq=None: exact mode, pinned to the declarative oracle
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, shingle_n=3, max_doc_freq=None
+    )
 
 
 _register(QuerySpec(
@@ -4233,7 +4287,9 @@ def q_x_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     anti-join of cluster losers. Pipeline idempotence is asserted in tests.
     """
     docs = _t(spark, sf, "documents")
-    return near_dup_dedup(docs, "doc_id", "text", threshold=0.8).select(
+    return near_dup_dedup(
+        docs, "doc_id", "text", threshold=0.8, max_doc_freq=None
+    ).select(
         "doc_id", "lang", "source", "n_chars"
     )
 
@@ -4354,7 +4410,7 @@ def q_x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     candidates = minhash_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
     verified = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, shingle_n=3,
-        candidates=candidates,
+        candidates=candidates, max_doc_freq=None,
     )
     kept = dedup_corpus_best(docs, verified, "doc_id", "n_chars")
     return kept.select("doc_id", "lang", "source", "n_chars")

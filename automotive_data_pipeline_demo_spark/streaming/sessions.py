@@ -42,6 +42,62 @@ def session_rollup_stream(
     )
 
 
+def match_analytics_breakdown(
+    matches: DataFrame,
+    ts_col: str = "matched_at",
+    method_col: str = "match_method",
+) -> DataFrame:
+    """Two-grain rollup with per-key breakdown maps — the JSONB
+    ``utm_source_breakdown`` / ``match_method_breakdown`` columns of
+    match_analytics (identity-resolution/database-schema.sql:211-213).
+
+    The breakdown is built from pre-aggregated (period, method) counts, so
+    every exchange carries one row per (day, hour, method) — never raw
+    match rows — and the daily grain re-aggregates the hourly partials
+    instead of rescanning the input. The map is rendered as an ordered
+    ``method:count`` comma-joined string (catalog determinism rule: map and
+    array outputs are strings with an explicit element order).
+    """
+    base = (
+        matches.select(
+            F.to_date(ts_col).alias("date_period"),
+            F.hour(ts_col).alias("hour_period"),
+            F.col(method_col).alias("method"),
+        )
+        .groupBy("date_period", "hour_period", "method")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def fold(grouped) -> DataFrame:
+        return grouped.agg(
+            F.sum("cnt").alias("total_matches"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("method", "cnt"))),
+                    lambda s: F.concat_ws(
+                        ":", s["method"], s["cnt"].cast("string")
+                    ),
+                ),
+            ).alias("method_breakdown"),
+        )
+
+    hourly = fold(base.groupBy("date_period", "hour_period")).select(
+        "date_period", "hour_period", "total_matches", "method_breakdown"
+    )
+    daily = fold(
+        base.groupBy("date_period", "method")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("date_period")
+    ).select(
+        "date_period",
+        F.lit(None).cast("int").alias("hour_period"),
+        "total_matches",
+        "method_breakdown",
+    )
+    return hourly.unionByName(daily)
+
+
 def match_analytics_rollup(
     matches: DataFrame,
     ts_col: str = "matched_at",

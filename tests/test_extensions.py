@@ -222,6 +222,25 @@ def test_jaccard_doc_freq_cap(spark):
     assert s[(1, 2)] == 1.0
 
 
+def test_jaccard_cap_is_the_default(spark):
+    """A naive call gets the 100 TB-safe capped behavior: a shingle hotter
+    than DEFAULT_MAX_DOC_FREQ never pairs, so the boilerplate-only corpus
+    yields zero pairs without any explicit knob."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        DEFAULT_MAX_DOC_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "click here to unsubscribe now"
+    n = DEFAULT_MAX_DOC_FREQ + 100
+    rows = [(i, f"{boiler} u{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
+
+    # every pair shares ONLY the hot shingle; the default cap drops it, so
+    # the d(d-1)/2 ~ 6e5 pair blowup never materializes
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).count() == 0
+
+
 def test_connected_components_and_dedup_corpus(spark):
     """Min-label propagation finds transitive duplicate clusters; dedup
     keeps exactly one doc (smallest id) per cluster plus all singletons."""
