@@ -65,12 +65,18 @@ def decode_media(
     df: DataFrame,
     deterministic_fake: bool = False,
     feature_dim: int = 8,
+    decoder=None,
 ) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
 
-    Real decoders (PIL / torchaudio / ffmpeg) are not installed here —
-    with ``deterministic_fake`` the stub derives dims and a feature vector
-    from the payload digest, exercising the full distributed plumbing.
+    ``decoder`` is the pluggable decode contract: a pure-Python callable
+    ``(payload: bytes, media_type: str) -> (width, height, feature_list)``
+    run payload-by-payload inside the Arrow batch loop — wrap PIL /
+    torchaudio / ffmpeg here in a real deployment. Those libs are not
+    installed in this container, so without a decoder,
+    ``deterministic_fake`` derives dims and a feature vector from the
+    payload digest, exercising the same distributed plumbing; with
+    neither, the call raises ``NotImplementedError``.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,16 +84,30 @@ def decode_media(
         # pdf.iterrows(): row boxing costs ~10x on wide Arrow batches, and
         # this function is the template real decoders get copied from.
         for pdf in batches:
-            if not deterministic_fake:
+            if decoder is None and not deterministic_fake:
                 raise NotImplementedError(
                     "media decoding requires image/audio libs not present in "
-                    "this container; pass deterministic_fake=True for the "
-                    "schema-correct stub"
+                    "this container; pass a decoder callable or "
+                    "deterministic_fake=True for the schema-correct stub"
                 )
             payloads = pdf["payload"].map(
                 lambda v: bytes(v) if v is not None else b""
             )
-            digests = payloads.map(lambda p: hashlib.md5(p).digest())
+            if decoder is not None:
+                decoded = [
+                    decoder(p, t)
+                    for p, t in zip(payloads, pdf["media_type"])
+                ]
+                widths = pd.Series([d[0] for d in decoded], dtype="int32")
+                heights = pd.Series([d[1] for d in decoded], dtype="int32")
+                features = pd.Series([list(d[2]) for d in decoded])
+            else:
+                digests = payloads.map(lambda p: hashlib.md5(p).digest())
+                widths = digests.map(lambda d: 1 + d[0] % 64).astype("int32")
+                heights = digests.map(lambda d: 1 + d[1] % 64).astype("int32")
+                features = digests.map(
+                    lambda d: [b / 255.0 for b in d[:feature_dim]]
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -96,15 +116,9 @@ def decode_media(
                     "sha": payloads.map(
                         lambda p: hashlib.sha256(p).hexdigest()
                     ).to_numpy(),
-                    "width": digests.map(lambda d: 1 + d[0] % 64)
-                    .astype("int32")
-                    .to_numpy(),
-                    "height": digests.map(lambda d: 1 + d[1] % 64)
-                    .astype("int32")
-                    .to_numpy(),
-                    "feature": digests.map(
-                        lambda d: [b / 255.0 for b in d[:feature_dim]]
-                    ).to_numpy(),
+                    "width": widths.to_numpy(),
+                    "height": heights.to_numpy(),
+                    "feature": features.to_numpy(),
                 }
             )
 

@@ -257,7 +257,7 @@ def top_fraction_per_group(
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     thresholds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({score_col}, {1.0 - fraction})").alias("__thr")
+        F.percentile(F.col(score_col), F.lit(1.0 - fraction)).alias("__thr")
     )
     return (
         df.join(F.broadcast(thresholds), group_col)

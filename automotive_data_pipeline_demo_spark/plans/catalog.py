@@ -3589,6 +3589,7 @@ def q_x_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_text_tfidf",
     survey="north-star: TF-IDF term scoring",
+    bench=True,
     build=q_x_text_tfidf,
     oracle="""
         WITH toks AS (
@@ -4297,6 +4298,7 @@ def q_x_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_dedup_pipeline",
     survey="north-star: end-to-end near-dup dedup pipeline",
+    bench=True,
     build=q_x_dedup_pipeline,
     oracle="""
         WITH RECURSIVE tk AS (
@@ -4641,6 +4643,7 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_dedup_semdedup",
     survey="north-star: SemDeDup semantic dedup (kmeans cells -> in-cell near-dup -> drop)",
+    bench=True,
     build=q_x_dedup_semdedup,
     oracle=f"""
         WITH RECURSIVE m AS (

@@ -53,11 +53,17 @@ def compact_parquet(
 
     The read plan's lineage points only at the original files and the
     staging write completes before any original file is touched, so a
-    failure at any point leaves either the old table or the new one —
-    never a mix (same two-stage protocol as merge_upsert). Skips the
-    rewrite entirely when the file count is already at or below target.
-    For hive-partitioned lakes, call per partition directory — compaction
-    then prunes to the partitions that actually accreted small files.
+    failure never leaves a MIX of old and new data (same two-stage
+    protocol as merge_upsert). The swap itself is two renames, not one
+    atomic op: a process crash between them leaves ``path`` absent with
+    the old table intact in the ``__trash_*`` sibling — recovery is
+    renaming that directory back. Concurrent readers can also observe the
+    missing-path window mid-swap; run compaction when the table is not
+    being read (or on a storage layer with atomic directory swap). Skips
+    the rewrite entirely when the file count is already at or below
+    target. For hive-partitioned lakes, call per partition directory —
+    compaction then prunes to the partitions that actually accreted small
+    files.
     """
     plan = plan_compaction(spark, path, target_bytes)
     if plan["n_files"] <= plan["target_files"]:

@@ -136,6 +136,25 @@ def test_multimodal_decode_stub_plumbing(spark):
         decode_media(media, deterministic_fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "media decoding" in str(exc.value)
 
+    # pluggable decoder contract end to end: a trivial pure-Python decoder
+    # (first two payload bytes are dims, the rest normalize to features)
+    # rides the same Arrow-batched mapInPandas path a PIL/ffmpeg wrapper
+    # would, proving the batch iterator contract with a real callable
+    def header_decoder(payload: bytes, media_type: str):
+        w, h = (payload[0], payload[1]) if len(payload) >= 2 else (0, 0)
+        return int(w), int(h), [b / 255.0 for b in payload[2:6]]
+
+    custom = {
+        r["media_id"]: r
+        for r in decode_media(media, decoder=header_decoder).collect()
+    }
+    assert custom[1]["width"] == b"\x89PNGfakebytes"[0]
+    assert custom[1]["height"] == b"\x89PNGfakebytes"[1]
+    assert custom[2]["width"] == 0 and custom[2]["height"] == 0
+    assert custom[1]["feature"] == [b / 255.0 for b in b"\x89PNGfakebytes"[2:6]]
+    # sha/n_bytes columns are decoder-independent
+    assert custom[1]["sha"] == hashlib.sha256(b"\x89PNGfakebytes").hexdigest()
+
     frames = frame_sample_plan(media, every_ms=1000).collect()
     by_id = {}
     for r in frames:
@@ -863,6 +882,13 @@ def test_top_fraction_per_group_planted(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         top_fraction_per_group(df, "grp", "score", 0.0).collect()
+
+    # score columns whose names need quoting go through the Column API,
+    # not SQL-string interpolation
+    odd = df.withColumnRenamed("score", "quality score")
+    kept_odd = {r["id"] for r in
+                top_fraction_per_group(odd, "grp", "quality score", 0.5).collect()}
+    assert kept_odd == {3, 4, 5, 6, 7, 8}
 
 
 def test_curation_funnel_monotone(spark, sf_dir):

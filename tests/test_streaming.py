@@ -619,3 +619,7 @@ def test_running_totals_transform_with_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+        else:
+            # restore the default provider — leaving RocksDB set would leak
+            # into every later test in the shared session
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
