@@ -367,11 +367,16 @@ def kmeans_lloyd(
             # negative id: struct sort desc then yields centroid-id-ASC tiebreak
             structs.append(F.struct(score.alias("sim"), F.lit(-cid).alias("ncid")))
         best = F.sort_array(F.array(*structs), asc=False)[0]
-        return corpus.select(F.col(id_col), (-best["ncid"]).alias("centroid_id"))
+        # carry __mv through the assignment projection: the member-sum step
+        # reads it directly off the same scan instead of shuffle-joining the
+        # assignment back to the corpus by id
+        return corpus.select(
+            F.col(id_col), (-best["ncid"]).alias("centroid_id"), F.col("__mv")
+        )
 
     for _ in range(n_iter):
         sums = (
-            assign_df().join(corpus, id_col)
+            assign_df()
             .select("centroid_id", F.posexplode("__mv").alias("pos", "v"))
             .groupBy("centroid_id", "pos")
             .agg(F.sum("v").alias("s"))
@@ -387,4 +392,4 @@ def kmeans_lloyd(
             )
             for cid, svec in cents.items()
         }
-    return assign_df()
+    return assign_df().select(F.col(id_col), "centroid_id")
