@@ -555,6 +555,100 @@ def duplicated_ngram_fraction(
     )
 
 
+def scrub_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL (the exact-substring
+    dedup stage of Lee et al. 2022 / RefinedWeb / MassiveText): every token
+    covered by a word n-gram occurring >= ``min_count`` times ANYWHERE in
+    the corpus (across documents or repeated within one) is dropped, and
+    each document's surviving tokens are reassembled in order. Where
+    :func:`duplicated_ngram_fraction` only scores the duplication, this
+    emits the cleaned corpus.
+
+    Scale shape: gram occurrence count is a COUNT window over ONE exchange
+    of (gram digest) rows — no aggregate+join, no per-gram list
+    materialization, so a million-occurrence boilerplate gram costs the
+    same per row as a cold one. Covered positions expand JVM-side
+    (``sequence`` + ``explode``), the keep-filter is a left-anti join on
+    (id, pos), and reassembly is one final exchange on id with an ordered
+    ``collect_list``. Output text is over normalized tokens (lowercased,
+    punctuation-split) — the tokenization the gram match is defined on.
+
+    Returns (id, n_tokens, n_removed, cleaned_text) for every input doc;
+    fully-scrubbed docs survive with an empty string (filter on
+    ``n_removed < n_tokens`` to drop them).
+    """
+
+    def grams_and_toks(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    j.alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, j, n))).alias("gh"),
+                ),
+            ).alias("grams"),
+            toks.alias("toks"),
+        )
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        bind_once(tokenize(F.col(text_col)), grams_and_toks).alias("__gt"),
+    ).select("id", F.col("__gt.grams").alias("__grams"), F.col("__gt.toks").alias("__toks"))
+    grams = base.select(
+        "id", F.explode("__grams").alias("g")
+    ).select("id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+
+    hot_starts = (
+        grams.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("__cnt") >= min_count)
+        .select("id", "start")
+    )
+    covered = hot_starts.select(
+        "id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+    ).distinct()
+
+    toks = base.select(
+        "id",
+        F.posexplode("__toks").alias("pos0", "tok"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select("id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def dedup_corpus_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -308,18 +308,27 @@ def kmeans_lloyd(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "c_vec",
     scale: int = 1_000_000,
+    inline_max_k: int = 32,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding corpus (cosine assignment) —
     the clustering step of SemDeDup-style semantic dedup and of
     diversity-balanced corpus curation.
 
-    Per iteration: a ZERO-SHUFFLE assignment (centroids inlined as driver
-    literals, scored per row inside codegen — the ivf_assign pattern), then
-    ONE shuffle to sum member vectors per cell; the tiny (cells × dims)
-    partial-sum table is collected back to the driver. At 100 TB each
-    iteration is one pass over the corpus plus one bounded aggregation —
-    no N×k join ever materializes. Empty cells keep their previous
-    centroid.
+    Per iteration: a ZERO-SHUFFLE assignment, then ONE shuffle to sum
+    member vectors per cell; the tiny (cells × dims) partial-sum table is
+    collected back to the driver. At 100 TB each iteration is one pass
+    over the corpus plus one bounded aggregation — no N×k join ever
+    materializes. Empty cells keep their previous centroid.
+
+    Assignment picks its formulation by k: up to ``inline_max_k``
+    centroids are inlined as driver literals and scored per row inside
+    whole-stage codegen (the ivf_assign pattern); above that the codegen
+    expression tree would explode, so assignment switches to an
+    Arrow-batched ``mapInPandas`` scoring each batch with one integer
+    numpy matmul — still zero-shuffle, and bit-identical to the inline
+    path (same exact-integer dots, same IEEE double division, same
+    min-cid tiebreak; equivalence is pinned by a test). SemDeDup-scale
+    cell counts (k ~ sqrt(N), thousands of cells) live on this path.
 
     All arithmetic that feeds a comparison is EXACT so results are
     bit-identical across engines (the property the driver oracle hashes):
@@ -354,7 +363,11 @@ def kmeans_lloyd(
         for r in seed_rows
     }
 
-    def assign_df() -> DataFrame:
+    id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
+        id_col
+    ].dataType.simpleString()
+
+    def _assign_inline() -> DataFrame:
         structs = []
         for cid, svec in sorted(cents.items()):
             norm = float(sum(v * v for v in svec))  # exact python int -> double
@@ -373,6 +386,48 @@ def kmeans_lloyd(
         return corpus.select(
             F.col(id_col), (-best["ncid"]).alias("centroid_id"), F.col("__mv")
         )
+
+    def _assign_numpy() -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        cids = sorted(cents)  # ascending: argmax's first-max IS the min cid
+        cmat = np.array([cents[c] for c in cids], dtype=np.int64)  # k × d
+        # norms via python ints (arbitrary precision) then one float
+        # conversion — identical to the inline path's F.lit(norm)
+        norms = np.array(
+            [math.sqrt(float(sum(v * v for v in cents[c]))) for c in cids],
+            dtype=np.float64,
+        )
+        cid_arr = np.array(cids, dtype=np.int64)
+
+        def assign_batches(batches):
+            for pdf in batches:
+                mv = np.array(pdf["__mv"].tolist(), dtype=np.int64)  # b × d
+                if len(mv) == 0:
+                    yield pd.DataFrame(
+                        {id_col: pdf[id_col], "centroid_id": [], "__mv": pdf["__mv"]}
+                    )
+                    continue
+                # int64 matmul: exact under the same 2^63 bound as the
+                # inline path's long accumulation
+                scores = (mv @ cmat.T).astype(np.float64) / norms[None, :]
+                best = scores.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "centroid_id": cid_arr[best],
+                        "__mv": pdf["__mv"],
+                    }
+                )
+
+        return corpus.mapInPandas(
+            assign_batches,
+            schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
+        )
+
+    def assign_df() -> DataFrame:
+        return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
 
     for _ in range(n_iter):
         sums = (

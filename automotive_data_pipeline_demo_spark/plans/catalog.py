@@ -18,6 +18,7 @@ Determinism rules (SURVEY hard spot #4 + oracle hashing):
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass, field
 from collections.abc import Callable
@@ -65,6 +66,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     near_dup_dedup,
     ngram_contamination,
     ngram_jaccard_pairs,
+    scrub_shared_spans,
     simhash,
 )
 from automotive_data_pipeline_demo_spark.extensions.multimodal import frame_sample_plan
@@ -4401,6 +4403,66 @@ _register(QuerySpec(
 ))
 
 
+def q_x_text_scrub_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022 / RefinedWeb): tokens
+    covered by an 8-gram occurring >= 2 times anywhere in the corpus are
+    dropped and each doc is reassembled in order. Gram occurrence count is
+    one window over the gram-digest exchange; covered positions expand
+    JVM-side; the keep filter is a left-anti join; reassembly is one
+    ordered collect_list exchange on id.
+    """
+    docs = _t(spark, sf, "documents")
+    out = scrub_shared_spans(docs, "doc_id", "text", n=8, min_count=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_scrub_spans",
+    survey="north-star: cross-document duplicated-substring removal",
+    build=q_x_text_scrub_spans,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT id, j AS start,
+                 md5(array_to_string(toks[j : j + 7], ' ')) AS gh
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(j)
+        ), hot AS (
+          SELECT id, start FROM (
+            SELECT id, start, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM g
+          ) WHERE cnt >= 2
+        ), covered AS (
+          SELECT DISTINCT id, p AS pos
+          FROM hot, UNNEST(range(start, start + 8)) AS v(p)
+        ), tok_rows AS (
+          SELECT id, j AS pos, toks[j] AS tok
+          FROM tk, UNNEST(range(1, len(toks) + 1)) AS u(j)
+        ), kept AS (
+          SELECT tr.id, tr.pos, tr.tok
+          FROM tok_rows tr LEFT JOIN covered c
+            ON tr.id = c.id AND tr.pos = c.pos
+          WHERE c.pos IS NULL
+        ), reb AS (
+          SELECT id, COUNT(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+          FROM kept GROUP BY id
+        )
+        SELECT tk.id AS doc_id,
+               CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+               CAST(len(tk.toks) - COALESCE(reb.n_kept, 0) AS BIGINT)
+                 AS n_removed,
+               COALESCE(reb.cleaned_text, '') AS cleaned_text
+        FROM tk LEFT JOIN reb ON tk.id = reb.id
+    """,
+    tags=("text", "dedup", "scrub"),
+))
+
+
 def q_x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup dedup with quality-aware representative selection: the same
     LSH->Jaccard->cluster chain as x_dedup_pipeline, but each cluster keeps
@@ -4622,10 +4684,15 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     The cell step is what makes semantic dedup scale — pair enumeration is
     an equi self-join on the learned cell id, never a cross product; the
     kmeans pass itself is zero-shuffle assignment + one bounded
-    aggregation per iteration.
+    aggregation per iteration. The cell count scales with the corpus
+    (k = round(sqrt(N)), floor 8): fixed-k cells grow linearly with N and
+    make the in-cell pairing quadratic — sf1 benching caught exactly
+    that. Past 32 cells the assignment rides kmeans_lloyd's Arrow-batched
+    numpy path automatically.
     """
     emb = _t(spark, sf, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < 8).select(
+    k = max(8, int(math.floor(math.sqrt(emb.count()) + 0.5)))
+    seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     assign = kmeans_lloyd(emb, seeds, n_iter=1)
@@ -4652,7 +4719,10 @@ _register(QuerySpec(
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
           FROM embeddings
         ), c0 AS (
-          SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8
+          SELECT vec_id AS cid, mv AS cv FROM m
+          WHERE vec_id < (SELECT greatest(8,
+                    CAST(floor(sqrt(COUNT(*)) + 0.5) AS BIGINT))
+                          FROM embeddings)
         ), s0 AS (
           SELECT m.vec_id, c0.cid,
                  CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),

@@ -163,6 +163,30 @@ def test_multimodal_decode_stub_plumbing(spark):
     assert by_id[1] == [0]                    # no duration -> single frame
 
 
+def test_kmeans_numpy_path_matches_inline(spark, embeddings):
+    """The Arrow-batched numpy assignment (k > inline_max_k) must be
+    bit-identical to the inline-codegen path: same exact-integer dots,
+    same IEEE division, same min-cid tiebreak."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 200)
+    seeds = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    inline = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(emb, seeds, n_iter=1, inline_max_k=32).collect()
+    }
+    vectorized = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(emb, seeds, n_iter=1, inline_max_k=0).collect()
+    }
+    assert inline == vectorized
+    assert len(inline) == 200
+
+
 def test_ivf_recall_vs_brute_force(spark, embeddings):
     """IVF with nprobe=2 of 8 cells must beat the random-scan floor by a wide
     margin (structural recall < 1 is expected; vacuous recall is a bug)."""
@@ -258,6 +282,41 @@ def test_jaccard_cap_is_the_default(spark):
     # every pair shares ONLY the hot shingle; the default cap drops it, so
     # the d(d-1)/2 ~ 6e5 pair blowup never materializes
     assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).count() == 0
+
+
+def test_scrub_shared_spans_planted(spark):
+    """Tokens under a shared 4-gram vanish from every doc carrying it;
+    unique text survives untouched and order is preserved."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        scrub_shared_spans,
+    )
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"unique alpha text {boiler} more unique tail"),
+        (2, f"other beta body {boiler}"),
+        (3, "totally original document body here"),
+        (4, boiler),               # fully-scrubbed doc survives as ''
+        (5, ""),                   # empty doc round-trips
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           scrub_shared_spans(df, "doc_id", "text", n=4, min_count=2).collect()}
+
+    assert out[1]["cleaned_text"] == "unique alpha text more unique tail"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["cleaned_text"] == "other beta body"
+    assert out[3]["cleaned_text"] == "totally original document body here"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 4
+    assert out[5]["cleaned_text"] == "" and out[5]["n_tokens"] == 0
+    # a gram repeated WITHIN one doc also counts toward min_count
+    rep = spark.createDataFrame(
+        [(1, "spam one two three spam one two three unique ending")],
+        "doc_id long, text string",
+    )
+    r = scrub_shared_spans(rep, "doc_id", "text", n=4, min_count=2).collect()[0]
+    assert r["cleaned_text"] == "unique ending"
 
 
 def test_connected_components_and_dedup_corpus(spark):
