@@ -29,6 +29,14 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     top_fraction_per_group,
     uniform_sample_k,
 )
+from automotive_data_pipeline_demo_spark.extensions.classifier import (
+    hashed_linear_score,
+)
+from automotive_data_pipeline_demo_spark.extensions.quantization import (
+    quantize_int8,
+    quantized_cosine,
+    quantized_topk,
+)
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
     dedup_corpus_best,
@@ -80,4 +88,8 @@ __all__ = [
     "near_dup_against_index",
     "ngram_contamination",
     "kmeans_lloyd",
+    "hashed_linear_score",
+    "quantize_int8",
+    "quantized_cosine",
+    "quantized_topk",
 ]

@@ -21,6 +21,10 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
 from automotive_data_pipeline_demo_spark.operators.classify import case_ladder, ilike_classify
 from automotive_data_pipeline_demo_spark.operators.arrays import ordered_distinct_array
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
+from automotive_data_pipeline_demo_spark.operators.layout import (
+    morton_code,
+    write_zorder,
+)
 from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
     hash_prefilter_join,
@@ -51,4 +55,6 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "write_range_sorted",
+    "morton_code",
+    "write_zorder",
 ]

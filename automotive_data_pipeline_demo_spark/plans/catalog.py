@@ -69,7 +69,16 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     scrub_shared_spans,
     simhash,
 )
+from automotive_data_pipeline_demo_spark.extensions.classifier import (
+    hashed_linear_score,
+)
 from automotive_data_pipeline_demo_spark.extensions.multimodal import frame_sample_plan
+from automotive_data_pipeline_demo_spark.extensions.quantization import quantized_topk
+from automotive_data_pipeline_demo_spark.operators.layout import (
+    morton_code,
+    morton_sql,
+    write_zorder,
+)
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -4782,6 +4791,171 @@ _register(QuerySpec(
         WHERE l.id IS NULL
     """,
     tags=("dedup", "similarity", "pipeline"),
+))
+
+
+# --------------------------------------------------------------------------
+# Round-4 extensions: quantized ANN, model-based quality gate, Z-order layout
+# --------------------------------------------------------------------------
+
+def q_x_sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (faiss-SQ8 posture): the corpus is stored
+    as per-vector symmetric int8 codes (4x smaller than float32 — the
+    representation you keep at 100 TB), scored by cosine over the codes.
+    Quantize is a zero-shuffle narrow map; the top-k reuses the broadcast
+    -queries + window plan of the exact baseline; recall vs the float
+    baseline is asserted in tests/test_extensions.py.
+    """
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries_df, k=10)
+
+
+_register(QuerySpec(
+    name="x_sim_quantized",
+    survey="north-star: ANN over int8-quantized embeddings (SQ8)",
+    build=q_x_sim_quantized,
+    oracle="""
+        WITH sc AS (
+          SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding,
+                     y -> abs(CAST(y AS DOUBLE))), 'max') AS scale
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                                   NULLIF(scale, 0.0)) AS BIGINT)) AS qv
+          FROM sc
+        ), q AS (
+          SELECT vec_id AS query_id, qv AS q_qv FROM qz WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, c.vec_id,
+                 ROUND(
+                   CAST(list_aggregate(list_transform(list_zip(c.qv, q.q_qv),
+                          p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / (sqrt(CAST(list_aggregate(list_transform(c.qv,
+                          x -> x * x), 'sum') AS DOUBLE))
+                    * sqrt(CAST(list_aggregate(list_transform(q.q_qv,
+                          x -> x * x), 'sum') AS DOUBLE))), 4) AS score_q
+          FROM qz c CROSS JOIN q
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score_q DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, score_q FROM ranked WHERE rn <= 10
+    """,
+    tags=("similarity", "quantization"),
+))
+
+
+def q_x_text_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality gate (fastText/DCLM-classifier posture): a
+    feature-hashed linear model scores every document in a ZERO-SHUFFLE
+    narrow map (hash token -> bucket -> weight, fold, one division).
+    Weights derive deterministically from the bucket id so the oracle
+    reproduces exact scores; trained weights drop in as a plan literal.
+    """
+    docs = _t(spark, sf, "documents")
+    out = hashed_linear_score(docs, "doc_id", "text", n_buckets=64,
+                              threshold=-140.0)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_tok", "raw_score", "quality_logit", "keep",
+    )
+
+
+_register(QuerySpec(
+    name="x_text_quality_model",
+    survey="north-star: model-based quality filtering (hashed linear classifier)",
+    build=q_x_text_quality_model,
+    oracle="""
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), w AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(COALESCE(list_aggregate(list_transform(toks,
+                   t -> ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64)
+                          * 2654435761 % 1997) - 998), 'sum'), 0)
+                      AS BIGINT) AS raw_score
+          FROM tk
+        )
+        SELECT doc_id, n_tok, raw_score,
+               CASE WHEN n_tok > 0
+                    THEN ROUND(CAST(raw_score AS DOUBLE) / n_tok, 4) END
+                 AS quality_logit,
+               CAST(CASE WHEN n_tok > 0
+                          AND CAST(raw_score AS DOUBLE) / n_tok >= -140.0
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM w
+    """,
+    tags=("text", "quality", "classifier"),
+))
+
+
+def q_scale_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) lake layout: orders written range-sorted on the
+    interleaved bits of (o_custkey, order day), so every parquet file is a
+    small rectangle in key space and predicates on EITHER column skip
+    files at the scan — the multi-dimensional companion to
+    scale_sorted_layout's single-key SORTKEY. The Morton code itself is
+    engine-portable integer arithmetic, recomputed by the oracle, so the
+    layout math (not just its effect) is driver-verified; per-file min/max
+    tightness on both keys is asserted in tests/test_scale.py.
+    """
+    out_path = _scratch(sf, "orders_zorder")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("o_day"),
+    )
+    write_zorder(orders, out_path, ["o_custkey", "o_day"], n_files=8)
+    scan = spark.read.parquet(out_path).filter(
+        (F.col("o_custkey") >= 10)
+        & (F.col("o_custkey") < 60)
+        & (F.col("o_day") >= 1100)
+        & (F.col("o_day") < 1400)
+    )
+    sel = scan.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_day",
+        "o_totalprice",
+        morton_code(F.col("o_custkey"), F.col("o_day"), bits=16).alias("z_code"),
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    pushed = "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    return sel.withColumn("plan_pushdown", F.lit(1 if pushed else 0).cast("int"))
+
+
+_register(QuerySpec(
+    name="scale_zorder_layout",
+    survey="scale: Z-order multi-dimensional lake layout (OPTIMIZE ZORDER parity)",
+    build=q_scale_zorder_layout,
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                    AS BIGINT) AS o_day,
+               o_totalprice,
+               {morton_sql("o_custkey",
+                           "CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)",
+                           bits=16)} AS z_code,
+               CAST(1 AS INT) AS plan_pushdown
+        FROM orders
+        WHERE o_custkey >= 10 AND o_custkey < 60
+          AND date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) >= 1100
+          AND date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) < 1400
+    """,
+    tags=("scale", "layout", "zorder"),
 ))
 
 

@@ -1014,3 +1014,63 @@ def test_chunk_tokens_overlap_and_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=5)
+
+
+def test_quantized_recall_and_zero_vector(spark, embeddings):
+    """Int8 quantization must preserve the neighborhood structure far
+    better than LSH bucketing (it only perturbs scores ~1/254), and the
+    all-zero vector must quantize to NULL codes, not divide by zero."""
+    from automotive_data_pipeline_demo_spark.extensions.quantization import (
+        quantize_int8,
+        quantized_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=10)
+    quant = quantized_topk(embeddings, queries, k=10)
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    quant_pairs = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    recall = len(exact_pairs & quant_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"int8 recall {recall} — quantization too lossy"
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0, 0.0, 0.0])]
+    ).select(quantize_int8(F.col("embedding")).alias("qv"))
+    codes = zero.collect()[0]["qv"]
+    assert all(c is None for c in codes), codes
+
+
+def test_hashed_linear_score_weights_override_and_empty_doc(spark):
+    """The trained-weights path folds a {bucket: weight} table into the
+    plan as a literal map; empty docs get NULL logit and keep=0."""
+    from automotive_data_pipeline_demo_spark.extensions.classifier import (
+        _bucket,
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta alpha"), Row(doc_id=2, text="...")]
+    )
+    buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [Row(t="alpha"), Row(t="beta")]
+        ).select("t", _bucket(F.col("t"), 64).alias("b")).collect()
+    }
+    weights = {buckets["alpha"]: 10, buckets["beta"]: -4}
+    out = {
+        r["id"]: r
+        for r in hashed_linear_score(
+            docs, "doc_id", "text", n_buckets=64, threshold=0.0,
+            weights=weights,
+        ).collect()
+    }
+    assert out[1]["raw_score"] == 2 * 10 - 4
+    assert out[1]["n_tok"] == 3
+    assert out[1]["keep"] == 1
+    # doc 2 tokenizes to nothing: NULL logit, keep=0, zero raw score
+    assert out[2]["n_tok"] == 0
+    assert out[2]["quality_logit"] is None
+    assert out[2]["keep"] == 0

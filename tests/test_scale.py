@@ -172,3 +172,57 @@ def test_write_range_sorted_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
     # and the layout loses no rows
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order's reason to exist: per-file min/max spans are tight on BOTH
+    interleaved keys, where a single-key sort leaves the second key's
+    per-file span at (nearly) the full global span."""
+    import glob
+
+    from automotive_data_pipeline_demo_spark.operators.layout import write_zorder
+    from automotive_data_pipeline_demo_spark.operators.scale import (
+        write_range_sorted,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("o_day"),
+    )
+
+    def mean_spans(path):
+        spans = {"o_custkey": [], "o_day": []}
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                    (F.max("o_day") - F.min("o_day")).alias("dy"),
+                )
+                .collect()[0]
+            )
+            spans["o_custkey"].append(row["ck"])
+            spans["o_day"].append(row["dy"])
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    glob_row = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_day") - F.min("o_day")).alias("dy"),
+    ).collect()[0]
+
+    z_out = str(tmp_path / "orders_z")
+    s_out = str(tmp_path / "orders_s")
+    write_zorder(orders, z_out, ["o_custkey", "o_day"], n_files=16)
+    write_range_sorted(orders, s_out, ["o_custkey"], n_files=16)
+
+    z, s = mean_spans(z_out), mean_spans(s_out)
+    # single-key sort: second dimension is unclustered (span ~= global)
+    assert s["o_day"] > 0.9 * glob_row["dy"]
+    # z-order: BOTH dimensions clustered well below the global span
+    assert z["o_custkey"] < 0.5 * glob_row["ck"], z
+    assert z["o_day"] < 0.5 * glob_row["dy"], z
+    # and no rows lost
+    assert spark.read.parquet(z_out).count() == orders.count()
