@@ -308,7 +308,7 @@ def kmeans_lloyd(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "c_vec",
     scale: int = 1_000_000,
-    inline_max_k: int = 32,
+    inline_max_k: int = 8,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding corpus (cosine assignment) —
     the clustering step of SemDeDup-style semantic dedup and of
@@ -322,8 +322,10 @@ def kmeans_lloyd(
 
     Assignment picks its formulation by k: up to ``inline_max_k``
     centroids are inlined as driver literals and scored per row inside
-    whole-stage codegen (the ivf_assign pattern); above that the codegen
-    expression tree would explode, so assignment switches to an
+    whole-stage codegen (the ivf_assign pattern); above that Janino
+    compile time for the k x dims expression tree dominates the job
+    (k=22/d=64 measured 3.4 s inline vs 0.7 s numpy on 500 rows — the
+    compile, not the data), so assignment switches to an
     Arrow-batched ``mapInPandas`` scoring each batch with one integer
     numpy matmul — still zero-shuffle, and bit-identical to the inline
     path (same exact-integer dots, same IEEE double division, same

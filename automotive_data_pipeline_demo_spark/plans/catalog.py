@@ -4705,7 +4705,9 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     assign = kmeans_lloyd(emb, seeds, n_iter=1)
-    cells = emb.join(assign, "vec_id")
+    # both sides of the in-cell self-join consume the assigned corpus;
+    # persisting it runs the kmeans assignment once instead of twice.
+    cells = emb.join(assign, "vec_id").persist()
     pairs = embedding_near_dup_pairs(
         cells, threshold=0.30, block_col="centroid_id"
     )

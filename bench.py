@@ -103,6 +103,12 @@ def run_suite(spark: SparkSession, sf_dir: str, bench_specs) -> dict[str, float]
     for spec in bench_specs:
         best = float("inf")
         for _ in range(2):
+            # drop DataFrame caches so every timed run is the full query:
+            # multi-consumer operators persist intermediates internally
+            # (band index, shingle sets, kmeans cells), and CacheManager
+            # keys on the canonical plan — without this, run 2 would time a
+            # warm-cache re-query instead of the operator.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

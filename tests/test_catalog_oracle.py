@@ -20,7 +20,17 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("spec", ORACLED, ids=[s.name for s in ORACLED])
 def test_oracle_match(spec, spark, sf_dir, con):
-    spark_pdf = spec.build(spark, sf_dir).toPandas()
+    df = spec.build(spark, sf_dir)
+    # the external driver's canonicalizer (pandas sort_values over every
+    # column) dies on unhashable cells — array/map/struct outputs must be
+    # rendered to strings per the catalog determinism rule (x_text_postings
+    # was driver-red for a round on exactly this while passing locally)
+    for f in df.schema.fields:
+        assert f.dataType.typeName() not in ("array", "map", "struct"), (
+            f"{spec.name}: column {f.name} is {f.dataType.simpleString()} — "
+            "render it to a string/digest for the driver"
+        )
+    spark_pdf = df.toPandas()
     oracle_pdf = con.execute(spec.oracle).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{spec.name}: " + "; ".join(problems)

@@ -333,6 +333,13 @@ def test_connected_components_and_dedup_corpus(spark):
     )
     comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # the distributed label-propagation path (forced past the driver
+    # union-find bound) must produce the identical clustering
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_driver_edges=0).collect()
+    }
+    assert dist == comps
 
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"

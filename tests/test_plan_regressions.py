@@ -20,9 +20,22 @@ def _plan(df) -> str:
 
 
 def _shuffles(plan: str) -> int:
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
+    # Count DISTINCT exchanges: a persisted subtree's cache-fill exchange is
+    # rendered once per InMemoryTableScan consumer but executes once — the
+    # plan string repeats the same [plan_id=N] line (seen with the cached
+    # MinHash band index, 3 rendered vs 2 physical).
+    import re
+
+    ids = re.findall(
+        r"Exchange (?:hash|range)partitioning.*?\[plan_id=(\d+)\]", plan
     )
+    unmarked = len(
+        [
+            m
+            for m in re.finditer(r"Exchange (?:hash|range)partitioning", plan)
+        ]
+    ) - len(ids)
+    return len(set(ids)) + unmarked
 
 
 @pytest.mark.parametrize(
@@ -62,7 +75,10 @@ def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
 def test_no_cartesian_anywhere(spark, sf_dir):
     """No catalog plan may contain a cartesian product; nested-loop joins
     only where designed (brute-force ANN broadcasts the tiny query side)."""
-    allowed_bnlj = {"x_sim_bruteforce"}
+    # exact-scoring baselines: corpus never shuffles, the tiny query side
+    # broadcasts (quantized shares brute-force's plan, only the stored
+    # representation differs)
+    allowed_bnlj = {"x_sim_bruteforce", "x_sim_quantized"}
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
         assert "CartesianProduct" not in plan, spec.name
