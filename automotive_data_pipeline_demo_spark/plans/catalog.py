@@ -95,6 +95,10 @@ from automotive_data_pipeline_demo_spark.streaming.identity import (
 from automotive_data_pipeline_demo_spark.streaming.sessions import (
     match_analytics_breakdown,
 )
+from automotive_data_pipeline_demo_spark.sources.inbox import (
+    read_latest_encrypted_inbox,
+    xor_decryptor,
+)
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
     read_lake,
@@ -4797,8 +4801,79 @@ _register(QuerySpec(
 
 
 # --------------------------------------------------------------------------
-# Round-4 extensions: quantized ANN, model-based quality gate, Z-order layout
+# Round-4 extensions: quantized ANN, model-based quality gate, Z-order layout,
+# encrypted vendor inbox (S3/S4 in-engine analog)
 # --------------------------------------------------------------------------
+
+def q_s3_encrypted_inbox(spark: SparkSession, sf: str) -> DataFrame:
+    """S3+S4 in-engine analog (scripts/s3_upload_automation.py:83-174):
+    per-table vendor inbox of encrypted CSV exports; the source lists the
+    inbox (metadata only), picks the LATEST export per table by mtime
+    (reference :115-117), decrypts DISTRIBUTED (binaryFile + mapInPandas
+    with a pluggable cipher — gnupg is out-of-container, the test cipher
+    drives the identical path), and parses CSV JVM-side via from_csv with
+    permissive casts. The fixture plants two generations per table with
+    pinned mtimes; only generation 2 may surface — which is exactly what
+    the oracle asserts over the source parquet.
+    """
+    import os as _os
+
+    root = _scratch(sf, "vendor_inbox")
+    cust = (
+        _t(spark, sf, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    _ship_package(spark)
+    key = 0x5A
+
+    def _enc(text: str) -> bytes:
+        return bytes(b ^ key for b in text.encode("utf-8"))
+
+    halves = (
+        ("cust_even", cust[cust.c_custkey % 2 == 0]),
+        ("cust_odd", cust[cust.c_custkey % 2 == 1]),
+    )
+    for table, part in halves:
+        d = f"{root}/{table}"
+        _os.makedirs(d, exist_ok=True)
+        for gen, mtime in ((1, 1_000_000_000), (2, 1_100_000_000)):
+            lines = ["c_custkey,c_name,c_acctbal,load_gen"] + [
+                f"{int(k)},{n},{float(a)!r},{gen}"
+                for k, n, a in zip(part.c_custkey, part.c_name, part.c_acctbal)
+            ]
+            p = f"{d}/export_gen{gen}.csv.gpg"
+            with open(p, "wb") as fh:
+                fh.write(_enc("\n".join(lines)))
+            _os.utime(p, (mtime, mtime))
+
+    out = read_latest_encrypted_inbox(
+        spark,
+        root,
+        {
+            "c_custkey": "bigint",
+            "c_name": "string",
+            "c_acctbal": "double",
+            "load_gen": "int",
+        },
+        decryptor=xor_decryptor(key),
+    )
+    return out
+
+
+_register(QuerySpec(
+    name="s3_encrypted_inbox",
+    survey="S3+S4: latest-file-per-table vendor inbox + distributed decrypt stage",
+    build=q_s3_encrypted_inbox,
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal, CAST(2 AS INT) AS load_gen
+        FROM customer
+    """,
+    tags=("source", "decrypt"),
+))
+
+
 
 def q_x_sim_quantized(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 scalar-quantized ANN (faiss-SQ8 posture): the corpus is stored

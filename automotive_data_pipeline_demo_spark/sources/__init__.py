@@ -10,10 +10,18 @@ from automotive_data_pipeline_demo_spark.sources.compact import (
     compact_parquet,
     plan_compaction,
 )
+from automotive_data_pipeline_demo_spark.sources.inbox import (
+    latest_file_per_table,
+    list_inbox,
+    read_latest_encrypted_inbox,
+)
 from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 
 __all__ = [
+    "latest_file_per_table",
+    "list_inbox",
+    "read_latest_encrypted_inbox",
     "read_csv_typed",
     "read_lake",
     "read_table",

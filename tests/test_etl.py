@@ -239,3 +239,58 @@ def test_compact_parquet_small_files(spark, tmp_path):
     # idempotent: second run is a no-op
     res2 = compact_parquet(spark, p, target_bytes=10 * 1024 * 1024)
     assert res2["rewritten"] is False
+
+
+def test_encrypted_inbox_latest_selection_and_contract(spark, tmp_path):
+    """S3/S4 analog: latest export per table wins (mtime, path tiebreak);
+    the decrypt contract surfaces NotImplementedError without a cipher;
+    an empty inbox yields an empty typed frame."""
+    import os
+
+    import pytest
+
+    from automotive_data_pipeline_demo_spark.sources.inbox import (
+        latest_file_per_table,
+        list_inbox,
+        read_latest_encrypted_inbox,
+        xor_decryptor,
+    )
+
+    root = str(tmp_path / "inbox")
+    enc = xor_decryptor(0x21)  # XOR is symmetric: encrypt with the same key
+    for table, exports in {
+        "sales": [("a.csv.gpg", 100, "k,v\n1,x"), ("b.csv.gpg", 200, "k,v\n2,y")],
+        # identical mtimes: lexicographically-last path must win
+        "leads": [("a.csv.gpg", 300, "k,v\n3,z"), ("c.csv.gpg", 300, "k,v\n4,w")],
+    }.items():
+        d = f"{root}/{table}"
+        os.makedirs(d)
+        for name, mtime, text in exports:
+            p = f"{d}/{name}"
+            with open(p, "wb") as fh:
+                fh.write(enc(text.encode("utf-8")))
+            os.utime(p, (mtime, mtime))
+
+    latest = {
+        r["table"]: r["path"]
+        for r in latest_file_per_table(list_inbox(spark, root)).collect()
+    }
+    assert latest["sales"].endswith("b.csv.gpg")
+    assert latest["leads"].endswith("c.csv.gpg")
+
+    rows = read_latest_encrypted_inbox(
+        spark, root, {"k": "bigint", "v": "string"}, decryptor=xor_decryptor(0x21)
+    ).collect()
+    assert {(r["k"], r["v"]) for r in rows} == {(2, "y"), (4, "w")}
+
+    # default decryptor: the documented not-in-container contract
+    with pytest.raises(Exception) as exc:
+        read_latest_encrypted_inbox(spark, root, {"k": "bigint"}).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+    empty = read_latest_encrypted_inbox(
+        spark, str(tmp_path / "nothing_here"), {"k": "bigint"}
+    )
+    assert empty.count() == 0 and empty.columns == ["k"]
