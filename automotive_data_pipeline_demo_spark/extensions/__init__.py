@@ -28,6 +28,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     stratified_sample,
     top_fraction_per_group,
     uniform_sample_k,
+    interleave_sources,
 )
 from automotive_data_pipeline_demo_spark.extensions.classifier import (
     hashed_linear_score,
@@ -70,6 +71,7 @@ __all__ = [
     "stratified_sample",
     "top_fraction_per_group",
     "uniform_sample_k",
+    "interleave_sources",
     "exact_dedup",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",

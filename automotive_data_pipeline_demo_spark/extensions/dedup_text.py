@@ -270,8 +270,16 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
+
+    ``metric`` picks the score: ``jaccard`` (symmetric,
+    intersection/union) or ``containment`` (the overlap coefficient,
+    intersection/min-set-size) — containment flags doc-inside-doc
+    duplication (a page embedded in a larger page) that Jaccard's union
+    denominator dilutes below threshold. Output column is named after the
+    metric.
 
     With ``candidates`` (id_a, id_b) the verification is a sparse join —
     the 100 TB path (LSH candidates in, verified pairs out). Without, the
@@ -359,17 +367,18 @@ def ngram_jaccard_pairs(
                 F.first("y.sz").alias("size_b"),
             )
         )
-    return (
-        scored.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                4,
-            ),
+    if metric == "jaccard":
+        score = F.col("n_common") / (
+            F.col("size_a") + F.col("size_b") - F.col("n_common")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    elif metric == "containment":
+        score = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
+    return (
+        scored.withColumn(metric, F.round(score, 4))
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
 
 

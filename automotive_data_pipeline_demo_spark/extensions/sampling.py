@@ -264,3 +264,45 @@ def top_fraction_per_group(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    n_shards: int = 8,
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic sharded training order that INTERLEAVES sources.
+
+    Writing a curated corpus out in table order feeds the trainer long
+    same-source runs (all of source A, then all of B), which biases early
+    training. This emits a (shard, pos) order where consecutive positions
+    cycle through sources: rows are ranked within (shard, source) by a
+    salted hash, and position orders by (rank, source) — position p in a
+    shard holds round ceil(p/k) of the per-source streams.
+
+    Scale shape: one window per (shard, source) partition and one per
+    shard — no global single-partition sort; shards are independent units
+    a trainer consumes in parallel (the shard_manifest pattern covers
+    delivery verification). Deterministic for fixed inputs and salt.
+    """
+    shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(n_shards))
+    rank_w = Window.partitionBy("__shard", source_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    pos_w = Window.partitionBy("__shard").orderBy(
+        F.col("__rank"), F.col(source_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn("__rank", F.row_number().over(rank_w))
+        .withColumn("pos", F.row_number().over(pos_w))
+        .select(
+            F.col("__shard").alias("shard"),
+            "pos",
+            F.col(id_col),
+            F.col(source_col),
+        )
+    )

@@ -107,6 +107,7 @@ from automotive_data_pipeline_demo_spark.sources.readers import (
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
+    interleave_sources,
     mixture_resample,
     top_fraction_per_group,
     pack_sequences,
@@ -5033,6 +5034,141 @@ _register(QuerySpec(
           AND date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) < 1400
     """,
     tags=("scale", "layout", "zorder"),
+))
+
+
+def q_a_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE companion to a_rollup: all four grains of (returnflag,
+    linestatus) in one pass with GROUPING flags — the §2.4 multi-grain
+    family completed (ROLLUP = hierarchy, CUBE = full lattice). Same
+    partial+final aggregation shape as a plain GROUP BY; the lattice
+    expansion happens map-side in the Expand operator, so no extra
+    shuffle.
+    """
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            "g_flag", "g_status", "n_rows", "sum_price",
+        )
+    )
+
+
+_register(QuerySpec(
+    name="a_cube",
+    survey="A9 (generalized): CUBE full-lattice multi-grain with GROUPING flags",
+    build=q_a_cube,
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+))
+
+
+def q_x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup scoring: intersection /
+    min set size. Catches doc-inside-doc duplication — a page embedded in
+    a larger page scores ~1.0 here but falls under a Jaccard threshold
+    because the union denominator grows with the big doc. Same capped
+    co-shingle plan as x_dedup_jaccard; only the final arithmetic differs.
+    """
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3,
+        max_doc_freq=None, metric="containment",
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_containment",
+    survey="north-star: containment/overlap-coefficient near-dup (doc-inside-doc)",
+    build=q_x_dedup_containment,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM toks,
+                 UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+        ), pairs AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
+          FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               ROUND(p.n_common / least(sa.n_shingles, sb.n_shingles), 4)
+                 AS containment
+        FROM pairs p
+        JOIN sizes sa ON p.id_a = sa.id
+        JOIN sizes sb ON p.id_b = sb.id
+        WHERE p.n_common / least(sa.n_shingles, sb.n_shingles) >= 0.5
+    """,
+    tags=("dedup", "containment"),
+))
+
+
+def q_x_sample_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded source-interleaved training order: positions within each
+    shard cycle through sources (round r of every per-source stream before
+    round r+1) instead of long same-source runs. One window per
+    (shard, source) + one per shard — shards stay independent, no global
+    single-partition sort.
+    """
+    docs = _t(spark, sf, "documents")
+    return interleave_sources(docs, "doc_id", "source", n_shards=8).select(
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+    )
+
+
+_register(QuerySpec(
+    name="x_sample_interleave",
+    survey="north-star: deterministic source-interleaved training order",
+    build=q_x_sample_interleave,
+    oracle="""
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                 CAST((CAST('0x' || substr(md5('interleave|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000)
+                      % 8 AS INT) AS shard,
+                 md5('interleave|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY shard, source ORDER BY h, doc_id) AS rnk
+          FROM base
+        )
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY shard ORDER BY rnk, source, doc_id) AS INT)
+                 AS pos,
+               doc_id, source
+        FROM ranked
+    """,
+    tags=("sampling", "interleave"),
 ))
 
 

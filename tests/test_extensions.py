@@ -1081,3 +1081,47 @@ def test_hashed_linear_score_weights_override_and_empty_doc(spark):
     assert out[2]["n_tok"] == 0
     assert out[2]["quality_logit"] is None
     assert out[2]["keep"] == 0
+
+
+def test_containment_dominates_jaccard_and_flags_subsets(spark):
+    """Overlap coefficient >= Jaccard on every pair, and a doc fully
+    embedded in a larger one scores containment 1.0 while Jaccard stays
+    below a dedup threshold."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"extra{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.0, shingle_n=3, max_doc_freq=None
+    ).collect()
+    con = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.0, shingle_n=3, max_doc_freq=None,
+        metric="containment",
+    ).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
+    c = {(r["id_a"], r["id_b"]): r["containment"] for r in con}
+    assert c[(1, 2)] == 1.0          # small is verbatim inside big
+    assert j[(1, 2)] < 0.8           # Jaccard dilutes the embedded doc
+    assert all(c[k] >= j[k] for k in j)
+
+
+def test_interleave_sources_round_robin(spark, sf_dir):
+    """Within every shard, the first m positions (m = sources present in
+    the shard) are one row from EACH source — the anti-run guarantee."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        interleave_sources,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = interleave_sources(docs, "doc_id", "source", n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        m = len({r["source"] for r in rows})
+        head = [r["source"] for r in rows[:m]]
+        assert len(set(head)) == m, (shard, head)
