@@ -1662,8 +1662,10 @@ def q_x_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     banded bucket equi-join (no O(n^2) pair space).
     """
     docs = _t(spark, sf, "documents")
+    # max_bucket_size=None: exact mode, pinned to the declarative oracle
     return minhash_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=8, band_size=2, shingle_n=3
+        docs, "doc_id", "text", num_hashes=8, band_size=2, shingle_n=3,
+        max_bucket_size=None,
     )
 
 
@@ -4305,7 +4307,8 @@ def q_x_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = _t(spark, sf, "documents")
     return near_dup_dedup(
-        docs, "doc_id", "text", threshold=0.8, max_doc_freq=None
+        docs, "doc_id", "text", threshold=0.8, max_doc_freq=None,
+        max_bucket_size=None,
     ).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -4485,7 +4488,9 @@ def q_x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     truncation or boilerplate stripping.
     """
     docs = _t(spark, sf, "documents")
-    candidates = minhash_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
+    candidates = minhash_candidate_pairs(
+        docs, "doc_id", "text", 8, 2, 3, max_bucket_size=None
+    )
     verified = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, shingle_n=3,
         candidates=candidates, max_doc_freq=None,

@@ -1125,3 +1125,31 @@ def test_interleave_sources_round_robin(spark, sf_dir):
         m = len({r["source"] for r in rows})
         head = [r["source"] for r in rows[:m]]
         assert len(set(head)) == m, (shard, head)
+
+
+def test_minhash_bucket_cap_suppresses_boilerplate_cohort(spark):
+    """A bucket larger than max_bucket_size is dropped before pair
+    expansion (the candidate-stage fan-out bound); distinct docs keep
+    pairing through their other buckets."""
+    boiler = "identical boilerplate text repeated across the whole cohort"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [(100, "unique document alpha beta gamma delta epsilon zeta eta"),
+             (101, "unique document alpha beta gamma delta epsilon zeta eta!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            df, "doc_id", "text", max_bucket_size=11
+        ).collect()
+    }
+    # the 12-doc boilerplate cohort (identical text -> identical buckets of
+    # size 12) is suppressed; the near-dup pair of unique docs survives
+    assert (100, 101) in capped
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            df, "doc_id", "text", max_bucket_size=None
+        ).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped

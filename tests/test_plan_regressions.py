@@ -49,7 +49,11 @@ def _shuffles(plan: str) -> int:
         ("j2_w4_primary_priority", 2),
         ("x_sim_ivf", 1),
         ("x_dedup_simhash", 1),
-        ("x_dedup_minhash", 2),
+        # 3 = minhash groupBy(id) + bucket groupBy(band,key) + pair
+        # distinct. The old self-join shape counted 2 but exchanged the
+        # whole band index twice (or persisted it); the bucket-expansion
+        # shape moves fewer bytes per pair produced.
+        ("x_dedup_minhash", 3),
         ("j3_validation_join", 3),
         ("x_text_repetition", 0),
         ("x_text_chunking", 0),
