@@ -64,12 +64,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return bind_once(tokenize(text), over)
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, __sh): per-doc sorted distinct shingle array, built inside the
+    scan stage (zero shuffle). Tokenize+shingle is the most expensive
+    narrow stage of the dedup pipeline (~5 s/50k docs at sf1); computing
+    this ONCE and persisting it lets candidate generation and Jaccard
+    verification share it instead of each re-shingling the corpus.
+    """
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, hash_idx, min_hash).
 
@@ -82,10 +98,13 @@ def minhash_signatures(
     100 TB that is a k-fold cut in shuffle bytes. The (id, hash_idx,
     min_hash) long shape is restored by a narrow post-agg explode.
     """
-    shingled = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    if shingles is not None:  # a pre-built (id, __sh) table (shingle_arrays)
+        shingled = shingles.select("id", F.explode("__sh").alias("shingle"))
+    else:
+        shingled = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
     mins = shingled.groupBy("id").agg(
         *[
             F.min(
@@ -152,6 +171,7 @@ def build_band_index(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH band index: (id, band, band_key).
 
@@ -162,7 +182,9 @@ def build_band_index(
     ``band_size`` consecutive min-hashes, so two docs share a band key iff
     that band of their signatures agrees exactly.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
+    )
     return (
         sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
         .groupBy("id", "band")
@@ -235,6 +257,7 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = 5000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket.
 
@@ -255,7 +278,9 @@ def minhash_candidate_pairs(
     the oracle-pinned catalog entries pass ``None`` so their declarative
     SQL stays semantics-identical at any scale.
     """
-    bands = build_band_index(df, id_col, text_col, num_hashes, band_size, shingle_n)
+    bands = build_band_index(
+        df, id_col, text_col, num_hashes, band_size, shingle_n, shingles=shingles
+    )
     grouped = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list("id")).alias("__ids")
     )
@@ -287,6 +312,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     metric: str = "jaccard",
+    shingle_arrays_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for near-dup pairs.
 
@@ -313,10 +339,15 @@ def ngram_jaccard_pairs(
     (``DEFAULT_MAX_DOC_FREQ``) so a naive caller gets the 100 TB-safe
     behavior; pass ``max_doc_freq=None`` to opt out into exact mode.
     """
-    shingle_rows = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    if shingle_arrays_df is not None:  # shared (id, __sh) table, see shingle_arrays
+        shingle_rows = shingle_arrays_df.select(
+            "id", F.explode("__sh").alias("shingle")
+        )
+    else:
+        shingle_rows = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
     if max_doc_freq is not None:
         # ONE exchange on shingle serves three operators: the (id, shingle)
         # dedup (HashPartitioning(shingle) satisfies the distinct's
@@ -336,31 +367,56 @@ def ngram_jaccard_pairs(
         shingles = shingle_rows.distinct()
 
     if candidates is not None:
-        # sparse verification path: intersect only candidate pairs, then
-        # attach set sizes (planner auto-broadcasts when the sizes side is
-        # small; no forced hint — at 100 TB sizes is one row per doc and a
-        # shuffle join is the correct physical choice). The shingle set is
-        # consumed three times (sizes, both join sides): persist it or pay
-        # the explode+distinct chain thrice.
-        shingles = shingles.persist()
-        sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        inter = (
-            shingles.alias("sa")
-            .join(candidates.alias("p"), F.col("sa.id") == F.col("p.id_a"))
+        # sparse verification path: intersect only candidate pairs. The
+        # per-doc DISTINCT shingle set rides as ONE array row per doc —
+        # uncapped it is built inside the scan stage (zero exchange); the
+        # capped path folds the df-filtered stream back to arrays with one
+        # groupBy. Candidates then join the array table twice and
+        # n_common = size(array_intersect(...)) — a linear hash-set
+        # intersect per pair. The previous exploded double-join
+        # materialized |pair| x |shingles-per-doc| rows (16M at sf1 for
+        # 315k pairs) through an extra exchange; this moves each doc's
+        # array only along its candidate edges (sf1: 5.4 s -> array join
+        # cost, bit-identical output). The array table is consumed by both
+        # join sides: persist it.
+        if max_doc_freq is not None:
+            arr = shingles.groupBy("id").agg(
+                F.sort_array(F.collect_list("shingle")).alias("__sh")
+            ).withColumn("__sz", F.size("__sh")).persist()
+        elif shingle_arrays_df is not None:
+            # caller-owned shared table (already persisted by the caller)
+            arr = shingle_arrays_df.withColumn("__sz", F.size("__sh"))
+        else:
+            arr = df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+            ).withColumn("__sz", F.size("__sh")).persist()
+        scored = (
+            candidates.select("id_a", "id_b")
             .join(
-                shingles.alias("sb"),
-                (F.col("sb.id") == F.col("p.id_b"))
-                & (F.col("sb.shingle") == F.col("sa.shingle")),
+                arr.select(
+                    F.col("id").alias("id_a"),
+                    F.col("__sh").alias("__sh_a"),
+                    F.col("__sz").alias("size_a"),
+                ),
+                "id_a",
             )
-            .groupBy("p.id_a", "p.id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        scored = inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a")),
-            "id_a",
-        ).join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b")),
-            "id_b",
+            .join(
+                arr.select(
+                    F.col("id").alias("id_b"),
+                    F.col("__sh").alias("__sh_b"),
+                    F.col("__sz").alias("size_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_common"),
+                "size_a",
+                "size_b",
+            )
+            .filter(F.col("n_common") > 0)
         )
     else:
         # intersections straight off shingle co-occurrence: one self-join on
@@ -588,9 +644,12 @@ def near_dup_dedup(
     against the loser set. Both caps default ON; the oracle-pinned
     catalog entries opt out for declarative-SQL parity.
     """
+    # tokenize+shingle once (the most expensive narrow stage), share the
+    # persisted (id, __sh) table between candidate generation and verify
+    arrs = shingle_arrays(df, id_col, text_col, shingle_n).persist()
     candidates = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, band_size, shingle_n,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, shingles=arrs,
     )
     verified = ngram_jaccard_pairs(
         df,
@@ -600,6 +659,7 @@ def near_dup_dedup(
         shingle_n=shingle_n,
         candidates=candidates,
         max_doc_freq=max_doc_freq,
+        shingle_arrays_df=arrs,
     )
     return dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b")
 
