@@ -36,6 +36,7 @@ from automotive_data_pipeline_demo_spark.extensions.classifier import (
 from automotive_data_pipeline_demo_spark.extensions.quantization import (
     quantize_int8,
     quantized_cosine,
+    quantized_rerank_topk,
     quantized_topk,
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
@@ -47,6 +48,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     near_dup_against_index,
     ngram_contamination,
     ngram_jaccard_pairs,
+    shingle_arrays,
     simhash,
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
@@ -75,6 +77,7 @@ __all__ = [
     "exact_dedup",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "shingle_arrays",
     "simhash",
     "cosine_similarity_col",
     "brute_force_topk",
@@ -93,5 +96,6 @@ __all__ = [
     "hashed_linear_score",
     "quantize_int8",
     "quantized_cosine",
+    "quantized_rerank_topk",
     "quantized_topk",
 ]

@@ -103,3 +103,66 @@ def quantized_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefetch: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval: int8 scan -> exact float re-rank (the
+    production SQ8 pattern). Stage 1 scores the 4x-smaller quantized
+    corpus and keeps ``prefetch`` candidates per query; stage 2 re-scores
+    ONLY those candidates against the full-precision vectors and returns
+    the exact top-``k``. At 100 TB the full-precision table is touched for
+    |queries| x prefetch rows instead of the whole corpus — the recall
+    loss of quantization is confined to candidates ranked below
+    ``prefetch``.
+
+    Output matches brute_force_topk: (query_id, vec_id, score), score =
+    exact cosine rounded to 4 dp, vec_id tiebreak.
+    """
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        cosine_similarity_col,
+    )
+
+    cand = quantized_topk(
+        corpus, queries, k=prefetch, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "vec_id")
+    exact = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__c_vec")
+            ),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("__q_vec"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity_col(F.col("__c_vec"), F.col("__q_vec")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

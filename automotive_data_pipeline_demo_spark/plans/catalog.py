@@ -74,7 +74,10 @@ from automotive_data_pipeline_demo_spark.extensions.classifier import (
     hashed_linear_score,
 )
 from automotive_data_pipeline_demo_spark.extensions.multimodal import frame_sample_plan
-from automotive_data_pipeline_demo_spark.extensions.quantization import quantized_topk
+from automotive_data_pipeline_demo_spark.extensions.quantization import (
+    quantized_rerank_topk,
+    quantized_topk,
+)
 from automotive_data_pipeline_demo_spark.operators.layout import (
     morton_code,
     morton_sql,
@@ -5041,6 +5044,69 @@ _register(QuerySpec(
           AND date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) < 1400
     """,
     tags=("scale", "layout", "zorder"),
+))
+
+
+def q_x_sim_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized scan keeps 50 candidates per query,
+    exact float cosine re-ranks them to the final top-10 — the production
+    SQ8 pattern (full-precision vectors touched for |queries| x 50 rows,
+    not the corpus). The oracle replays both stages declaratively.
+    """
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_rerank_topk(emb, queries_df, k=10, prefetch=50)
+
+
+_register(QuerySpec(
+    name="x_sim_rerank",
+    survey="north-star: two-stage ANN (quantized scan + exact re-rank)",
+    build=q_x_sim_rerank,
+    oracle=f"""
+        WITH sc AS (
+          SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding,
+                     y -> abs(CAST(y AS DOUBLE))), 'max') AS scale
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                                   NULLIF(scale, 0.0)) AS BIGINT)) AS qv
+          FROM sc
+        ), q AS (
+          SELECT vec_id AS query_id, qv AS q_qv, embedding AS q_vec
+          FROM qz WHERE vec_id < 5
+        ), stage1 AS (
+          SELECT q.query_id, c.vec_id, c.embedding AS c_vec, q.q_vec,
+                 ROUND(
+                   CAST(list_aggregate(list_transform(list_zip(c.qv, q.q_qv),
+                          p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / (sqrt(CAST(list_aggregate(list_transform(c.qv,
+                          x -> x * x), 'sum') AS DOUBLE))
+                    * sqrt(CAST(list_aggregate(list_transform(q.q_qv,
+                          x -> x * x), 'sum') AS DOUBLE))), 4) AS score_q
+          FROM qz c CROSS JOIN q
+        ), prefetch AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_q DESC, vec_id ASC) AS rn1
+            FROM stage1
+          ) WHERE rn1 <= 50
+        ), exact AS (
+          SELECT query_id, vec_id,
+                 ROUND({_COS_SQL.format(a="c_vec", b="q_vec")}, 4) AS score
+          FROM prefetch
+        )
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id ASC) AS rn
+          FROM exact
+        ) WHERE rn <= 10
+    """,
+    tags=("similarity", "quantization", "rerank"),
 ))
 
 

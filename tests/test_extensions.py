@@ -1153,3 +1153,25 @@ def test_minhash_bucket_cap_suppresses_boilerplate_cohort(spark):
         ).collect()
     }
     assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_rerank_recovers_exact_topk(spark, embeddings):
+    """With prefetch=50 the two-stage retrieval should recover (nearly)
+    the exact float top-10, and every emitted score must equal the
+    brute-force score for that pair (stage 2 is exact)."""
+    from automotive_data_pipeline_demo_spark.extensions.quantization import (
+        quantized_rerank_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=10)
+    rerank = quantized_rerank_topk(embeddings, queries, k=10, prefetch=50)
+    exact_rows = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    rr_rows = {(r["query_id"], r["vec_id"]): r["score"] for r in rerank.collect()}
+    recall = len(set(exact_rows) & set(rr_rows)) / len(exact_rows)
+    assert recall >= 0.9, f"rerank recall {recall}"
+    for pair, s in rr_rows.items():
+        if pair in exact_rows:
+            assert abs(s - exact_rows[pair]) < 1e-9

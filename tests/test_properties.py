@@ -117,3 +117,75 @@ def test_dedup_latest_matches_python_reference(spark, rows):
         for r in dedup_latest(df, ["k"], ["o"], tiebreakers=["p"]).collect()
     )
     assert got == _py_dedup_latest(rows)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_morton_code_matches_python_interleave(spark, pairs):
+    """Spark's Morton expression must equal a pure-Python bit interleave,
+    and the code must be injective over the masked 16-bit domain (the
+    property file-level min/max skipping depends on)."""
+    from automotive_data_pipeline_demo_spark.operators.layout import morton_code
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_code(F.col("a"), F.col("b"), bits=16).alias("z")
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
+    assert len({r["z"] for r in rows}) == len(pairs)  # injective
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0, max_value=100.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_int8_bounds_and_scale_invariance(spark, vecs):
+    """Codes stay in [-127, 127]; the max-|x| element always maps to
+    +/-127 (symmetric quantization); all-zero vectors yield NULL codes."""
+    from automotive_data_pipeline_demo_spark.extensions.quantization import (
+        quantize_int8,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(i=i, v=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="i long, v array<double>",
+    )
+    out = {r["i"]: r["q"] for r in df.select("i", quantize_int8(F.col("v")).alias("q")).collect()}
+    for i, v in enumerate(vecs):
+        q = out[i]
+        if all(x == 0.0 for x in v):
+            assert all(c is None for c in q)
+            continue
+        assert all(c is not None and -127 <= c <= 127 for c in q), (v, q)
+        m = max(range(len(v)), key=lambda j: (abs(v[j]), -j))
+        assert abs(q[m]) == 127, (v, q)
