@@ -82,7 +82,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     # exact-scoring baselines: corpus never shuffles, the tiny query side
     # broadcasts (quantized shares brute-force's plan, only the stored
     # representation differs)
-    allowed_bnlj = {"x_sim_bruteforce", "x_sim_quantized"}
+    allowed_bnlj = {"x_sim_bruteforce", "x_sim_quantized", "x_sim_rerank"}
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
         assert "CartesianProduct" not in plan, spec.name
