@@ -421,3 +421,51 @@ def chunk_tokens(
             F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_hash"),
         )
     )
+
+
+def vocab_oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 32
+) -> DataFrame:
+    """Corpus vocabulary coverage: build the top-``vocab_size`` vocabulary
+    by corpus token frequency (ties broken by term ascending, so the
+    vocabulary is deterministic) and score every document's OOV rate
+    against it — the dataset-card metric that predicts tokenizer fit and
+    flags out-of-domain/noisy documents.
+
+    Scale shape: token counts aggregate with map-side partials into one
+    (term, count) table; the top-V cut is TakeOrderedAndProject (each
+    partition keeps its own top V, the driver merges V-sized heaps — no
+    single-partition exchange even with billions of distinct terms), and
+    the vocabulary joins back BROADCAST — the corpus token stream is
+    touched once and never shuffled twice. Returns
+    (id, n_tok, n_oov, oov_rate) with oov_rate an exact-integer division
+    rounded to 4 dp.
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
+        )
+    )

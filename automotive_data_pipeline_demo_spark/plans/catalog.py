@@ -133,6 +133,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     chunk_tokens,
     token_count_ws,
     tokenize,
+    vocab_oov_rate,
 )
 
 AS_OF = "1998-12-01"          # orders/lineitem span 1995..2001
@@ -5044,6 +5045,47 @@ _register(QuerySpec(
           AND date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) < 1400
     """,
     tags=("scale", "layout", "zorder"),
+))
+
+
+def q_x_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage analysis: top-V corpus vocabulary (frequency
+    desc, term asc tiebreak — TakeOrderedAndProject, no single-partition
+    exchange) broadcast-joined back for per-doc OOV rates — the
+    dataset-card metric for tokenizer fit / out-of-domain detection.
+    """
+    docs = _t(spark, sf, "documents")
+    out = vocab_oov_rate(docs, "doc_id", "text", vocab_size=32)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tok", "n_oov", "oov_rate"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_vocab",
+    survey="north-star: corpus vocabulary build + per-doc OOV rate",
+    build=q_x_text_vocab,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ), counts AS (
+          SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ), vocab AS (
+          SELECT term FROM counts ORDER BY cnt DESC, term ASC LIMIT 32
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                     / COUNT(*), 4) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY 1
+    """,
+    tags=("text", "vocab"),
 ))
 
 
