@@ -46,6 +46,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     duplicated_ngram_fraction,
     exact_dedup,
     minhash_candidate_pairs,
+    minhash_jaccard_estimate,
     near_dup_against_index,
     ngram_contamination,
     ngram_jaccard_pairs,
@@ -78,6 +79,7 @@ __all__ = [
     "interleave_sources",
     "exact_dedup",
     "minhash_candidate_pairs",
+    "minhash_jaccard_estimate",
     "ngram_jaccard_pairs",
     "shingle_arrays",
     "simhash",

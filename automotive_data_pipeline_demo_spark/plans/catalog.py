@@ -62,6 +62,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     duplicated_ngram_fraction,
     exact_dedup,
     minhash_candidate_pairs,
+    minhash_jaccard_estimate,
     near_dup_against_index,
     near_dup_dedup,
     ngram_contamination,
@@ -5048,6 +5049,67 @@ _register(QuerySpec(
 ))
 
 
+def q_x_dedup_minhash_est(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE over the LSH candidates — the
+    cheap middle stage between banding and exact verification (scoring a
+    pair touches 2x8 min-hashes, not two shingle sets), so pairs far
+    below the dedup threshold never reach the array-intersect verify.
+    """
+    docs = _t(spark, sf, "documents")
+    arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
+    return minhash_jaccard_estimate(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3,
+        band_size=2, min_estimate=0.0, shingles=arrs,
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_minhash_est",
+    survey="north-star: MinHash signature Jaccard estimate (pre-verify filter)",
+    build=q_x_dedup_minhash_est,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id,
+                   array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM toks,
+                 UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx,
+                 md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash
+          FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(SUM(CASE WHEN sa.min_hash = sb.min_hash
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / 8, 4)
+                 AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "estimate"),
+))
+
+
 def q_x_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary-coverage analysis: top-V corpus vocabulary (frequency
     desc, term asc tiebreak — TakeOrderedAndProject, no single-partition
@@ -5064,6 +5126,7 @@ def q_x_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_text_vocab",
     survey="north-star: corpus vocabulary build + per-doc OOV rate",
+    bench=True,
     build=q_x_text_vocab,
     oracle="""
         WITH toks AS (
@@ -5105,6 +5168,7 @@ def q_x_sim_rerank(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_sim_rerank",
     survey="north-star: two-stage ANN (quantized scan + exact re-rank)",
+    bench=True,
     build=q_x_sim_rerank,
     oracle=f"""
         WITH sc AS (

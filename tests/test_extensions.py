@@ -1175,3 +1175,25 @@ def test_rerank_recovers_exact_topk(spark, embeddings):
     for pair, s in rr_rows.items():
         if pair in exact_rows:
             assert abs(s - exact_rows[pair]) < 1e-9
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Exact copies estimate 1.0; near-dups estimate high; the estimator
+    never emits pairs outside the candidate set."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        minhash_jaccard_estimate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " small tail change here"),
+         (3, "entirely different words about catalyst shuffle exchanges")],
+        "doc_id long, text string",
+    )
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(docs, "doc_id", "text").collect()
+    }
+    assert est[(0, 1)] == 1.0                   # exact copy: all mins agree
+    assert est.get((0, 2), 0.0) >= 0.5          # near-dup: most mins agree
+    assert not any(3 in p for p in est)         # unrelated never a candidate
