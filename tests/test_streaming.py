@@ -623,3 +623,48 @@ def test_running_totals_transform_with_state(spark, tmp_path):
             # restore the default provider — leaving RocksDB set would leak
             # into every later test in the shared session
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    """The hashed linear quality classifier is a zero-shuffle narrow map,
+    so it composes with Structured Streaming unchanged: stream documents
+    through the scorer, keep only gated rows, and match the batch scores
+    exactly."""
+    from automotive_data_pipeline_demo_spark.extensions.classifier import (
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate([
+            "alpha beta gamma delta", "zzz qqq xxx", "table scan filter join",
+            "spark catalyst tungsten codegen", "lorem ipsum dolor sit amet",
+        ])]
+    )
+    ddir = str(tmp_path / "docs")
+    docs.write.parquet(ddir)
+
+    batch = {
+        r["id"]: (r["quality_logit"], r["keep"])
+        for r in hashed_linear_score(docs, "doc_id", "text", threshold=-140.0).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(ddir)
+    gated = hashed_linear_score(stream, "doc_id", "text", threshold=-140.0).filter(
+        F.col("keep") == 1
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_gate_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM quality_gate_out").collect()
+    finally:
+        q.stop()
+    assert rows, "at least one doc must clear the gate"
+    for r in rows:
+        assert batch[r["id"]] == (r["quality_logit"], r["keep"])
+        assert r["keep"] == 1
+    assert {r["id"] for r in rows} == {i for i, (_, k) in batch.items() if k == 1}
