@@ -3402,6 +3402,65 @@ _register(QuerySpec(
 ))
 
 
+def q_x_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card length quantiles: exact p50/p90/p99 doc length per
+    language, rank-selected (value at ``rn == ceil(q * n)``) rather than
+    interpolated — pure integer/ordering logic, so both engines agree
+    bit-for-bit (float interpolation orders differ across engines).
+    Plan: one hash exchange on lang for the window; the conditional
+    aggregate reuses that partitioning (no second exchange). At 100 TB a
+    per-lang total sort is the exact-answer cost — swap the window for
+    ``approx_percentile`` (t-digest, partial-aggregated, no sort) when
+    rank-exact quantiles are not required; this entry is the exact,
+    oracle-checkable variant.
+    """
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def _pick(q: float) -> "F.Column":
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * q), F.col("n_chars"))
+        )
+
+    return ranked.groupBy("lang").agg(
+        _pick(0.5).alias("p50_chars"),
+        _pick(0.9).alias("p90_chars"),
+        _pick(0.99).alias("p99_chars"),
+        F.max("n").alias("n_docs"),
+    )
+
+
+_register(QuerySpec(
+    name="x_corpus_quantiles",
+    survey="north-star: dataset-card length quantiles (rank-exact)",
+    build=q_x_corpus_quantiles,
+    oracle="""
+        WITH ranked AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT lang,
+               MAX(CASE WHEN rn = CEIL(n * 0.5)  THEN n_chars END) AS p50_chars,
+               MAX(CASE WHEN rn = CEIL(n * 0.9)  THEN n_chars END) AS p90_chars,
+               MAX(CASE WHEN rn = CEIL(n * 0.99) THEN n_chars END) AS p99_chars,
+               CAST(MAX(n) AS BIGINT) AS n_docs
+        FROM ranked GROUP BY lang
+    """,
+    tags=("text", "stats", "quantiles"),
+))
+
+
 def q_x_text_chunking(spark: SparkSession, sf: str) -> DataFrame:
     """Context-window chunking: 64-token windows every 48 tokens (16-token
     overlap). Zero shuffles — all array expressions fused into the scan,
