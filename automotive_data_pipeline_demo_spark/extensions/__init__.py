@@ -24,6 +24,8 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_bucket,
     hash_split,
     mixture_resample,
+    temperature_mixture,
+    temperature_weights_ppm,
     pack_sequences,
     shard_manifest,
     stratified_sample,
@@ -42,6 +44,7 @@ from automotive_data_pipeline_demo_spark.extensions.quantization import (
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
+    dedup_cluster_stats,
     dedup_corpus_best,
     duplicated_ngram_fraction,
     exact_dedup,
@@ -52,6 +55,8 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     ngram_jaccard_pairs,
     shingle_arrays,
     simhash,
+    simhash_dedup,
+    simhash_near_pairs,
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     cosine_similarity_col,
@@ -83,6 +88,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingle_arrays",
     "simhash",
+    "simhash_dedup",
+    "simhash_near_pairs",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucketed_topk",
@@ -90,8 +97,11 @@ __all__ = [
     "chunk_tokens",
     "ngram_repetition",
     "mixture_resample",
+    "temperature_mixture",
+    "temperature_weights_ppm",
     "shard_manifest",
     "build_band_index",
+    "dedup_cluster_stats",
     "dedup_corpus_best",
     "duplicated_ngram_fraction",
     "near_dup_against_index",

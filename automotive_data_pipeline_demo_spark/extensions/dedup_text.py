@@ -458,22 +458,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """SimHash per document: majority vote over token-hash bits.
 
     Bit j of the fingerprint is 1 iff more tokens hash to 1 than 0 at
-    position j. Token hash = first 8 md5 hex chars -> 32-bit int (conv is a
-    JVM builtin). Near-dups then cluster by Hamming distance on the
-    fingerprint (compare via xor + bit_count downstream).
+    position j. Token hash = first ceil(bits/4) md5 hex chars -> int (conv
+    is a JVM builtin). Near-dups then cluster by Hamming distance on the
+    fingerprint (compare via xor + bit_count downstream). ``bits`` up to 60
+    — the fingerprint and the token hash stay positive signed longs, so
+    arithmetic shifts and cross-engine '0x' casts are sign-safe (the
+    classic 64-bit Manku fingerprint would put bit 63 in the sign).
 
     All ``bits`` majority votes run in ONE groupBy(id): each token row
-    carries its 32 bit-votes as columns with map-side partial sums, so the
+    carries its bit-votes as columns with map-side partial sums, so the
     shuffle moves token rows once — not bits× exploded copies (the same
     k-fold shuffle cut as minhash_signatures).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
     hashed = toks.select(
         "id",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     votes = hashed.groupBy("id").agg(
         *[
@@ -488,6 +495,154 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 5000,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits, by pigeonhole
+    banding — the scale path that completes the SimHash family (fingerprints
+    alone don't dedup; all-pairs Hamming is O(n^2)).
+
+    Pigeonhole: split the ``bits``-bit fingerprint into ``max_hamming + 1``
+    disjoint bit-bands; two fingerprints within Hamming distance d <=
+    max_hamming differ in at most d bands, so they agree EXACTLY on at least
+    one band. Candidate generation is therefore one exchange on
+    (band, band_bits) into per-bucket sorted (id, fingerprint) lists expanded
+    to a < b pairs JVM-side (the minhash_candidate_pairs shape — no
+    self-join, no re-hash per side), and the Hamming verify is
+    ``bit_count(a ^ b)`` computed during expansion with zero extra joins,
+    because each bucket element carries its fingerprint. Exact within the
+    radius: unlike MinHash banding this is not probabilistic — every pair at
+    distance <= max_hamming shares a band by construction.
+
+    ``max_bucket_size`` bounds hot-bucket fan-out exactly as in
+    minhash_candidate_pairs (default ON; catalog oracle entries pass None).
+    Returns distinct (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale note: DOC-level banding has only 2^(bits/(d+1)) buckets per band
+    (256 for 32-bit/Hamming-3), so once the corpus is much larger than the
+    band space — or duplicate-heavy, where same-fingerprint cohorts share
+    every band — bucket expansion goes quadratic. That regime belongs to
+    ``simhash_dedup``: wider fingerprints, banding over DISTINCT
+    fingerprints, and star (not clique) edges within identical-fingerprint
+    groups.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands  # last band absorbs the bits % n_bands remainder
+    fp = fingerprints if fingerprints is not None else simhash(
+        df, id_col, text_col, bits
+    )
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("simhash"), j * width).bitwiseAND(
+                            F.lit(
+                                (1 << (bits - j * width if j == n_bands - 1 else width))
+                                - 1
+                            ).cast("long")
+                        )
+                    ).cast("long")
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    grouped = bands.groupBy("band", "band_bits").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("__m")
+    )
+    grouped = grouped.filter(F.size("__m") >= 2)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__m") <= max_bucket_size)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice(F.col("__m"), 1, F.size("__m") - 1),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__m"), i + 2, F.size("__m")),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(
+                                x["simhash"].bitwiseXOR(y["simhash"])
+                            ).cast("int").alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.select("__p.id_a", "__p.id_b", "__p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """SimHash dedup at corpus scale: keep one representative per
+    Hamming-<=``max_hamming`` duplicate cluster (smallest id).
+
+    Why not ``simhash_near_pairs`` + components: enumerating the pair
+    CLIQUE is quadratic in duplicate-cohort size (a 10k-copy boilerplate
+    cohort = 50M hamming-0 pairs that all say the same thing). Dedup only
+    needs CONNECTIVITY, so this path is linear in documents:
+
+    1. fingerprint every doc (default 60-bit — 15-bit bands give 32k
+       buckets per band instead of 32-bit banding's 256);
+    2. same-fingerprint cohorts contribute STAR edges (rep -> member), one
+       edge per doc;
+    3. banding runs over DISTINCT fingerprints only (duplicate-heavy
+       corpora collapse to few), producing rep-to-rep edges within the
+       Hamming radius;
+    4. connected components over star + rep edges, then one anti-join
+       drops cluster losers.
+
+    Same component structure as the clique by transitivity of
+    connectivity; ``max_bucket_size`` caps band fan-out at the
+    distinct-fingerprint level.
+    """
+    fp = simhash(df, id_col, text_col, bits).persist()
+    reps = fp.groupBy("simhash").agg(F.min("id").alias("rep"))
+    intra = (
+        fp.join(reps, "simhash")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    inter = simhash_near_pairs(
+        df,
+        id_col,
+        text_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        fingerprints=reps.select(F.col("rep").alias("id"), "simhash"),
+    ).select("id_a", "id_b")
+    comps = connected_components(intra.unionByName(inter), "id_a", "id_b")
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
+    )
 
 
 def connected_components(
@@ -662,6 +817,62 @@ def near_dup_dedup(
         shingle_arrays_df=arrs,
     )
     return dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b")
+
+
+def dedup_cluster_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Dataset-card duplication profile: the distribution of near-dup
+    cluster sizes — (cluster_size, n_clusters, n_docs), with size 1 =
+    documents in no cluster. ``SUM(n_docs)`` is the corpus;
+    ``SUM((cluster_size - 1) * n_clusters)`` is what dedup would remove —
+    the numbers a curation report quotes before committing to a drop.
+
+    Same chain (and caps) as ``near_dup_dedup`` up to the component
+    labels; the extra cost over the pipeline is two tiny aggregations on
+    the component table (bounded by the duplicate count, not the corpus).
+    """
+    arrs = shingle_arrays(df, id_col, text_col, shingle_n).persist()
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, band_size, shingle_n,
+        max_bucket_size=max_bucket_size, shingles=arrs,
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, shingle_n=shingle_n,
+        candidates=candidates, max_doc_freq=max_doc_freq,
+        shingle_arrays_df=arrs,
+    )
+    comps = connected_components(verified, "id_a", "id_b")
+    clustered = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = clustered.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_total = df.count()
+    n_in_clusters = comps.count()
+    singletons = df.sparkSession.createDataFrame(
+        [(1, n_total - n_in_clusters)], "cluster_size long, n_clusters long"
+    ).filter(F.col("n_clusters") > 0)
+    return (
+        hist.select(
+            F.col("cluster_size").cast("long"), F.col("n_clusters").cast("long")
+        )
+        .unionByName(singletons)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
 
 
 def duplicated_ngram_fraction(

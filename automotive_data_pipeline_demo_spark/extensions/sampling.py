@@ -211,6 +211,76 @@ def mixture_resample(
     return df.filter(hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
 
 
+def temperature_weights_ppm(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> dict[str, int]:
+    """Temperature-scaled mixture recipe from observed group sizes: target
+    share p_g ∝ n_g^alpha (the mT5 / XLM-R sampling rule — alpha < 1
+    upweights rare languages/domains; alpha = 1 is proportional).
+
+    Returns a ppm dict summing to exactly 1_000_000, built with integer
+    largest-remainder allocation so any engine re-derives it bit-for-bit:
+    s_g = floor(n_g^alpha * 1e6) (for the default alpha = 0.5 this is
+    floor(sqrt(n)*1e6) — sqrt and multiply are correctly-rounded IEEE ops,
+    identical across engines; arbitrary alpha goes through pow, whose last
+    bit is not portable — keep oracle-pinned recipes on 0.5), base share =
+    s_g*1e6 // S, and the leftover ppm go one each to the largest
+    remainders (ties broken by group name).
+
+    One tiny group-count aggregate (groups are languages/domains — dozens);
+    feed the result to ``mixture_resample``, which turns it into a single
+    pushed-down CASE filter.
+    """
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["g"]: int(r["n"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["g"] is not None
+    }
+    if not counts:
+        return {}
+    scaled = {
+        g: int(math.floor((math.sqrt(n) if alpha == 0.5 else n**alpha) * 1_000_000))
+        for g, n in counts.items()
+    }
+    total = sum(scaled.values())
+    base = {g: s * 1_000_000 // total for g, s in scaled.items()}
+    leftover = 1_000_000 - sum(base.values())
+    order = sorted(scaled, key=lambda g: (-(scaled[g] * 1_000_000 % total), g))
+    for g in order[:leftover]:
+        base[g] += 1
+    if any(w == 0 for w in base.values()):
+        raise ValueError(
+            "temperature recipe assigned 0 ppm to a group (micro-group in a "
+            "huge-group mixture); drop micro-groups before resampling"
+        )
+    return base
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-sampled corpus rebalance: ``mixture_resample`` with the
+    ``temperature_weights_ppm`` recipe (p_g ∝ n_g^alpha) derived from the
+    corpus itself. Same scale shape as mixture_resample: two tiny
+    group-count aggregates, then one pushed-down hash-threshold filter —
+    the corpus never shuffles.
+    """
+    weights = temperature_weights_ppm(df, group_col, alpha)
+    if not weights:
+        return df.filter(F.lit(False))
+    return mixture_resample(df, id_col, group_col, weights, salt)
+
+
 def shard_manifest(packed: DataFrame, group_col: str) -> DataFrame:
     """Delivery manifest for packed training shards: one row per
     (group, shard, seq_bin) with document count, token total, and a

@@ -57,6 +57,7 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
     connected_components,
+    dedup_cluster_stats,
     dedup_corpus,
     dedup_corpus_best,
     duplicated_ngram_fraction,
@@ -70,6 +71,8 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     scrub_shared_spans,
     shingle_arrays,
     simhash,
+    simhash_dedup,
+    simhash_near_pairs,
 )
 from automotive_data_pipeline_demo_spark.extensions.classifier import (
     hashed_linear_score,
@@ -114,6 +117,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
     interleave_sources,
     mixture_resample,
+    temperature_mixture,
     top_fraction_per_group,
     pack_sequences,
     shard_manifest,
@@ -1959,6 +1963,126 @@ _register(QuerySpec(
         FROM votes GROUP BY id
     """,
     tags=("dedup", "simhash"),
+))
+
+
+def q_x_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 via pigeonhole
+    banding (4 disjoint 8-bit bands; pairs within radius 3 must agree on
+    >= 1 band exactly). One exchange on (band, band_bits); Hamming verify
+    is bit_count(xor) computed during JVM-side bucket expansion — the
+    scale path that turns x_dedup_simhash's fingerprints into dedup pairs
+    without an all-pairs comparison. ``max_bucket_size=None`` keeps the
+    entry declarative for the oracle (the default caps hot buckets).
+    """
+    docs = _t(spark, sf, "documents")
+    return simhash_near_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, max_bucket_size=None
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_simhash_pairs",
+    survey="north-star: simhash near-dup pairs (pigeonhole Hamming bands)",
+    build=q_x_dedup_simhash_pairs,
+    oracle="""
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+        ), votes AS (
+          SELECT id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+          FROM hashed, UNNEST(range(0, 32)) AS u(j)
+          GROUP BY 1, 2
+        ), fp AS (
+          SELECT id,
+                 CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY id
+        ), bands AS (
+          SELECT id, simhash, j AS band, (simhash >> (j * 8)) & 255 AS band_bits
+          FROM fp, UNNEST(range(0, 4)) AS u(j)
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+))
+
+
+def q_x_dedup_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash dedup survivors at the corpus-scale shape: 60-bit
+    fingerprints, star edges within identical-fingerprint cohorts (linear,
+    not clique), banding over DISTINCT fingerprints (15-bit bands = 32k
+    buckets/band), components, anti-join losers. The scale companion to
+    x_dedup_simhash_pairs' declarative clique.
+    """
+    docs = _t(spark, sf, "documents")
+    return simhash_dedup(
+        docs, "doc_id", "text", bits=60, max_hamming=3, max_bucket_size=None
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_register(QuerySpec(
+    name="x_dedup_simhash_dedup",
+    survey="north-star: simhash dedup survivors (fingerprint-level banding)",
+    build=q_x_dedup_simhash_dedup,
+    oracle="""
+        WITH RECURSIVE toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+        ), votes AS (
+          SELECT id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+          FROM hashed, UNNEST(range(0, 60)) AS u(j)
+          GROUP BY 1, 2
+        ), fp AS (
+          SELECT id,
+                 CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY id
+        ), reps AS (
+          SELECT simhash, MIN(id) AS rep FROM fp GROUP BY 1
+        ), intra AS (
+          SELECT r.rep AS id_a, f.id AS id_b
+          FROM fp f JOIN reps r USING (simhash) WHERE f.id <> r.rep
+        ), bands AS (
+          SELECT rep AS id, simhash, j AS band,
+                 (simhash >> (j * 15)) & 32767 AS band_bits
+          FROM reps, UNNEST(range(0, 4)) AS u(j)
+        ), inter AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ), alledges AS (
+          SELECT id_a, id_b FROM intra UNION SELECT id_a, id_b FROM inter
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM alledges
+          UNION
+          SELECT id_b, id_a FROM alledges
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), losers AS (
+          SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+          WHERE id <> component
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS BIGINT) = l.id
+        WHERE l.id IS NULL
+    """,
+    tags=("dedup", "simhash", "scale"),
 ))
 
 
@@ -3899,6 +4023,58 @@ _register(QuerySpec(
 ))
 
 
+def q_x_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled language rebalance (mT5/XLM-R rule): target share
+    p_lang ∝ n_lang^0.5, recipe derived from the corpus itself via exact
+    integer largest-remainder allocation, then the mixture_resample
+    hash-threshold filter. alpha=0.5 keeps the weight derivation
+    bit-portable (sqrt is correctly-rounded IEEE in every engine).
+    """
+    docs = _t(spark, sf, "documents")
+    out = temperature_mixture(docs, "doc_id", "lang", alpha=0.5)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_register(QuerySpec(
+    name="x_sample_temperature",
+    survey="north-star: temperature-scaled mixture sampling (p ∝ n^alpha)",
+    build=q_x_sample_temperature,
+    oracle="""
+        WITH counts AS (
+          SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ), s AS (
+          SELECT g, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS sc
+          FROM counts
+        ), tot AS (
+          SELECT SUM(sc) AS t FROM s
+        ), base AS (
+          SELECT g, n, sc,
+                 sc * 1000000 // (SELECT t FROM tot) AS b,
+                 sc * 1000000 % (SELECT t FROM tot) AS r
+          FROM s
+        ), alloc AS (
+          SELECT g, n,
+                 b + CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, g ASC)
+                          <= 1000000 - (SELECT SUM(b) FROM base)
+                     THEN 1 ELSE 0 END AS wppm
+          FROM base
+        ), bdg AS (
+          SELECT MIN(n * 1000000 // wppm) AS budget FROM alloc
+        ), cuts AS (
+          SELECT g, (SELECT budget FROM bdg) * wppm * 10000
+                    // (1000000 * n) AS cut
+          FROM alloc
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        FROM documents d JOIN cuts ON d.lang = cuts.g
+        WHERE (CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 10000) < cuts.cut
+    """,
+    tags=("sampling", "mixing", "temperature"),
+))
+
+
 def q_x_sample_top_frac(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain quality selection: keep the top quarter of documents per
     source by length. Exact-percentile threshold join (broadcast, corpus
@@ -4440,6 +4616,93 @@ _register(QuerySpec(
         WHERE l.id IS NULL
     """,
     tags=("dedup", "pipeline"),
+))
+
+
+def q_x_dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card duplication profile: near-dup cluster-size histogram
+    (cluster_size, n_clusters, n_docs) over the same verified-pair graph
+    as x_dedup_pipeline, with size 1 = unclustered docs. The numbers a
+    curation report quotes before committing to the drop.
+    """
+    docs = _t(spark, sf, "documents")
+    return dedup_cluster_stats(
+        docs, "doc_id", "text", threshold=0.8, max_doc_freq=None,
+        max_bucket_size=None,
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_cluster_stats",
+    survey="north-star: dedup dataset card (cluster-size histogram)",
+    build=q_x_dedup_cluster_stats,
+    oracle="""
+        WITH RECURSIVE tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx, md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN shingles sa ON sa.id = c.id_a
+          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes za ON za.id = i.id_a
+          JOIN sizes zb ON zb.id = i.id_b
+          WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.8
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+          SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        ), cl AS (
+          SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+        ), hist AS (
+          SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM cl GROUP BY 1
+        ), allrows AS (
+          SELECT cluster_size, n_clusters FROM hist
+          UNION ALL
+          SELECT CAST(1 AS BIGINT),
+                 (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+          WHERE (SELECT COUNT(*) FROM documents) > (SELECT COUNT(*) FROM comp)
+        )
+        SELECT cluster_size, n_clusters,
+               cluster_size * n_clusters AS n_docs
+        FROM allrows
+    """,
+    tags=("dedup", "stats", "dataset-card"),
 ))
 
 

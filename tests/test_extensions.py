@@ -14,6 +14,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from automotive_data_pipeline_demo_spark.extensions.multimodal import (
     attach_binary_metadata,
@@ -81,6 +82,79 @@ def test_simhash_matches_python_reference(spark):
         assert out[row["doc_id"]] == _py_simhash(row["text"]), row["doc_id"]
     # near-identical docs share the fingerprint (only punctuation differs)
     assert out[0] == out[2]
+
+
+def test_simhash_pairs_exact_within_radius(spark, sf_dir):
+    """Pigeonhole banding is EXACT within the Hamming radius: the banded
+    pair set equals the all-pairs brute force over the same fingerprints
+    (unlike MinHash banding, which is probabilistic)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+    )
+    fps = {r["id"]: r["simhash"]
+           for r in simhash(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", max_bucket_size=None
+        ).collect()
+    }
+    assert banded == brute
+    assert brute, "fixture should contain at least one near pair"
+
+
+def test_simhash_dedup_matches_clique_survivors(spark, sf_dir):
+    """The scale path (distinct-fingerprint banding + star edges) must keep
+    exactly the documents the declarative clique path keeps — connectivity
+    is what dedup needs, and stars preserve it."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        connected_components,
+        simhash_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+    )
+    pairs = simhash_near_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, max_bucket_size=None
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    losers = {r["id"] for r in comps.collect() if r["id"] != r["component"]}
+    clique_survivors = {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - losers
+    fast_survivors = {
+        r["doc_id"]
+        for r in simhash_dedup(
+            docs, "doc_id", "text", bits=32, max_hamming=3,
+            max_bucket_size=None,
+        ).select("doc_id").collect()
+    }
+    assert fast_survivors == clique_survivors
+    assert len(fast_survivors) < docs.count()  # fixture has real near-dups
+
+
+def test_simhash_pairs_bucket_cap_suppresses_hot_cohort(spark):
+    """A cohort of identical docs lands in one hot bucket per band; the
+    default cap drops those buckets instead of emitting O(n^2) pairs."""
+    boiler = [Row(doc_id=i, text="same boilerplate footer text repeated here")
+              for i in range(30)]
+    near = [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon zeta eta thetaz"),
+    ]
+    docs = spark.createDataFrame(boiler + near)
+    capped = simhash_near_pairs(docs, "doc_id", "text", max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got), got  # boilerplate cohort suppressed
+    assert (100, 101) in got  # genuine near pair survives the cap
 
 
 def test_minhash_candidates_catch_near_dups(spark):
@@ -700,6 +774,62 @@ def test_mixture_resample_proportions_and_stability(spark, sf_dir):
 
     with pytest.raises(ValueError, match="sum to 1_000_000"):
         mixture_resample(docs, "doc_id", "lang", {"en": 500_000})
+
+
+def test_dedup_cluster_stats_mass_conservation(spark, sf_dir):
+    """The histogram must account for every document exactly once
+    (SUM(n_docs) = corpus size) and agree with the pipeline: survivors of
+    near_dup_dedup = SUM(n_clusters) (one representative per cluster)."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        dedup_cluster_stats,
+        near_dup_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = dedup_cluster_stats(docs, "doc_id", "text").collect()
+    assert sum(r["n_docs"] for r in stats) == docs.count()
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in stats)
+    survivors = near_dup_dedup(docs, "doc_id", "text").count()
+    assert sum(r["n_clusters"] for r in stats) == survivors
+
+
+def test_temperature_weights_flatten_toward_rare_groups(spark, sf_dir):
+    """alpha=1 reproduces proportional shares; alpha=0.5 moves every
+    rare-group share UP and the top-group share DOWN relative to
+    proportional (the mT5 rule's whole point); weights are exact ppm."""
+    from automotive_data_pipeline_demo_spark.extensions.sampling import (
+        temperature_mixture,
+        temperature_weights_ppm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = {r["lang"]: r["n"] for r in
+         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(n.values())
+
+    prop = temperature_weights_ppm(docs, "lang", alpha=1.0)
+    assert sum(prop.values()) == 1_000_000
+    for g in n:
+        assert abs(prop[g] / 1e6 - n[g] / total) < 1e-3, (g, prop)
+
+    flat = temperature_weights_ppm(docs, "lang", alpha=0.5)
+    assert sum(flat.values()) == 1_000_000
+    top = max(n, key=n.get)
+    rare = min(n, key=n.get)
+    assert flat[top] < prop[top]
+    assert flat[rare] > prop[rare]
+
+    out = temperature_mixture(docs, "doc_id", "lang", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot_out = sum(got.values())
+    for g, w in flat.items():
+        assert abs(got[g] / tot_out - w / 1e6) < 0.05, (g, got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights_ppm(docs, "lang", alpha=0.0)
 
 
 def test_near_dup_against_index_flags_only_batch_vs_corpus(spark):
