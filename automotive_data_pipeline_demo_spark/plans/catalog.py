@@ -110,6 +110,7 @@ from automotive_data_pipeline_demo_spark.sources.inbox import (
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
     read_lake,
+    read_lake_evolved,
     write_partitioned_lake,
 )
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
@@ -2577,6 +2578,52 @@ _register(QuerySpec(
         GROUP BY month(o_orderdate)
     """,
     tags=("source", "lake", "partition_pruning"),
+))
+
+
+def q_s2_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 under schema drift: a vendor adds a column between export batches
+    (the DMS reality ApplyMapping absorbs column-by-column,
+    glue_vehicle_sales_etl.py:190-266). Pre-1996 partitions are written
+    WITHOUT ``o_big_ticket``; 1996+ partitions carry it. The evolved read
+    (mergeSchema union-by-name) surfaces NULL for the old partitions — no
+    historical rewrite — proven by aggregating the flag per year. Both
+    writes use dynamic partition overwrite, so the entry is idempotent
+    across re-runs.
+    """
+    out = _scratch(sf, "orders_lake_evolve")
+    o = _t(spark, sf, "orders").withColumn("o_year", F.year("o_orderdate"))
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_year"
+    )
+    write_partitioned_lake(base.filter(F.col("o_year") < 1996), out, ("o_year",))
+    write_partitioned_lake(
+        base.filter(F.col("o_year") >= 1996).withColumn(
+            "o_big_ticket", F.col("o_totalprice") > F.lit(200000)
+        ),
+        out,
+        ("o_year",),
+    )
+    lake = read_lake_evolved(spark, out)
+    return lake.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_big_ticket"), 1)).alias("n_big_ticket"),
+    )
+
+
+_register(QuerySpec(
+    name="s2_schema_evolution",
+    survey="S2/S6 + P3: lake reads across schema drift (added columns)",
+    build=q_s2_schema_evolution,
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               COUNT(*) AS n_orders,
+               CAST(COUNT(CASE WHEN year(o_orderdate) >= 1996
+                                AND o_totalprice > 200000
+                          THEN 1 END) AS BIGINT) AS n_big_ticket
+        FROM orders GROUP BY 1
+    """,
+    tags=("source", "lake", "schema_evolution"),
 ))
 
 

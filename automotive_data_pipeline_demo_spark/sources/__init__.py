@@ -3,6 +3,7 @@
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
     read_lake,
+    read_lake_evolved,
     read_table,
     write_partitioned_lake,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "read_latest_encrypted_inbox",
     "read_csv_typed",
     "read_lake",
+    "read_lake_evolved",
     "read_table",
     "write_partitioned_lake",
     "compact_parquet",

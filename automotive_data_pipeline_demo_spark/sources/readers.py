@@ -109,6 +109,28 @@ def read_lake(spark: SparkSession, path: str, base_path: str | None = None) -> D
     return reader.parquet(path)
 
 
+def read_lake_evolved(
+    spark: SparkSession, path: str, base_path: str | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant lake read: union-by-name across parquet
+    files whose schemas drifted (columns added over time). Vendor exports
+    add columns between batches (the DMS contract the reference's
+    ApplyMapping absorbs, glue_vehicle_sales_etl.py:190-266); with
+    ``mergeSchema`` Spark reconciles footers at planning time and older
+    files surface NULL for columns they predate — no rewrite of historical
+    partitions.
+
+    Scale note: mergeSchema reads every file footer up front (a planning
+    cost, not a data scan); at 100 TB keep it for ingestion-time
+    reconciliation and persist the reconciled schema (or a metastore
+    table) for the hot query path.
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

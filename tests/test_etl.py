@@ -294,3 +294,29 @@ def test_encrypted_inbox_latest_selection_and_contract(spark, tmp_path):
         spark, str(tmp_path / "nothing_here"), {"k": "bigint"}
     )
     assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_read_lake_evolved_nulls_for_predrift_rows(spark, tmp_path):
+    """Files written before a column existed surface NULL for it under the
+    evolved read, and the plain reader still works on the base schema."""
+    from automotive_data_pipeline_demo_spark.sources.readers import (
+        read_lake_evolved,
+        write_partitioned_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    old = spark.createDataFrame(
+        [(1, 10.0, 1995), (2, 20.0, 1995)], "id long, amt double, yr int"
+    )
+    new = spark.createDataFrame(
+        [(3, 30.0, 1996, True)], "id long, amt double, yr int, flag boolean"
+    )
+    write_partitioned_lake(old, out, ("yr",))
+    write_partitioned_lake(new, out, ("yr",))
+    lake = read_lake_evolved(spark, out)
+    assert "flag" in lake.columns
+    rows = {r["id"]: r["flag"] for r in lake.collect()}
+    assert rows == {1: None, 2: None, 3: True}
+    # re-running the writes is idempotent (dynamic partition overwrite)
+    write_partitioned_lake(new, out, ("yr",))
+    assert read_lake_evolved(spark, out).count() == 3
