@@ -435,37 +435,41 @@ def vocab_oov_rate(
     Scale shape: token counts aggregate with map-side partials into one
     (term, count) table; the top-V cut is TakeOrderedAndProject (each
     partition keeps its own top V, the driver merges V-sized heaps — no
-    single-partition exchange even with billions of distinct terms), and
-    the vocabulary joins back BROADCAST — the corpus token stream is
-    touched once and never shuffled twice. Returns
-    (id, n_tok, n_oov, oov_rate) with oov_rate an exact-integer division
-    rounded to 4 dp.
+    single-partition exchange even with billions of distinct terms); the
+    vocabulary then rides to every doc as a BROADCAST one-row array and
+    scoring is a narrow per-doc array fold — the corpus is never shuffled
+    on doc id at all (the join+regroup formulation re-exchanged the whole
+    token stream; this one exchanges only (term, count) partials).
+    Returns (id, n_tok, n_oov, oov_rate) with oov_rate an exact-integer
+    division rounded to 4 dp; docs with zero tokens are absent (their
+    rate is undefined), matching the exploded formulation.
     """
-    toks = df.select(
+    arrs = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
-    )
+        tokenize(F.col(text_col)).alias("__toks"),
+    ).persist()  # tokenize once; both the count and scoring sides read it
+    toks = arrs.select("id", F.explode("__toks").alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = (
+    vocab_arr = (
         counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
         .limit(vocab_size)
-        .select("term")
+        .agg(F.sort_array(F.collect_list("term")).alias("__vocab"))
     )
-    flagged = toks.join(
-        F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left"
-    )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_oov"),
+    scored = arrs.filter(F.size("__toks") > 0).crossJoin(F.broadcast(vocab_arr))
+    return scored.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.size(
+            F.filter(
+                "__toks",
+                lambda t: ~F.array_contains(F.col("__vocab"), t),
+            )
         )
-        .select(
-            "id",
-            "n_tok",
-            "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
-        )
+        .cast("long")
+        .alias("n_oov"),
+    ).select(
+        "id",
+        "n_tok",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
     )

@@ -3434,6 +3434,78 @@ _register(QuerySpec(
 ))
 
 
+def q_a_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov view of the event
+    stream): for each (prev_type, next_type) consecutive pair per user,
+    the transition count and conditional probability. Same one-exchange
+    shape as the funnel: events collect per user sorted by (ts, event_id)
+    — the unique id is the tiebreaker that keeps tied timestamps
+    deterministic across engines — consecutive pairs come from a
+    zero-shuffle zip_with of the sequence against its own tail, and the
+    probability normalizes over a ~|event_types|-row aggregate.
+    """
+    e = _t(spark, sf, "events")
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(
+                "ts",
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("seq"), 1, F.size("seq") - 1),
+                F.slice(F.col("seq"), 2, F.size("seq") - 1),
+                lambda a, b: F.struct(
+                    a["et"].alias("prev_type"), b["et"].alias("next_type")
+                ),
+            )
+        ).alias("p")
+    ).select("p.prev_type", "p.next_type")
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w), 4
+        ).alias("p_transition"),
+    )
+
+
+_register(QuerySpec(
+    name="a_event_transitions",
+    survey="beyond-reference: behavioral transition matrix (Markov)",
+    build=q_a_event_transitions,
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS et,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ), c AS (
+          SELECT et AS prev_type, nxt AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n_transitions,
+               ROUND(n_transitions / SUM(n_transitions)
+                       OVER (PARTITION BY prev_type), 4) AS p_transition
+        FROM c
+    """,
+    tags=("agg", "behavioral", "markov"),
+))
+
+
 def q_a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-signup week, counted
     distinct in each subsequent activity week. First-touch is one
