@@ -69,6 +69,21 @@ def _shuffles(plan: str) -> int:
         ("x_corpus_stats", 2),
         ("x_text_lm_score", 3),
         ("x_pack_sequences", 1),
+        # 3 = the simhash vote groupBy(id) + the band-bucket groupBy +
+        # the pair distinct (same budget shape as x_dedup_minhash); pair
+        # expansion and the Hamming verify are JVM-side in the bucket
+        # projection, never a join
+        ("x_dedup_simhash_pairs", 3),
+        # temperature recipe = two tiny count aggregates at plan-build
+        # time; the corpus itself passes through one pushed-down filter
+        ("x_sample_temperature", 1),
+        # 3 = per-user collect + pair-count groupBy + the tiny
+        # per-prev-type normalization window
+        ("a_event_transitions", 3),
+        # 2 = token-count groupBy(term) + TakeOrderedAndProject's
+        # single-row vocab agg; scoring is a narrow broadcast fold,
+        # no doc-id exchange
+        ("x_text_vocab", 2),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
@@ -81,8 +96,15 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     only where designed (brute-force ANN broadcasts the tiny query side)."""
     # exact-scoring baselines: corpus never shuffles, the tiny query side
     # broadcasts (quantized shares brute-force's plan, only the stored
-    # representation differs)
-    allowed_bnlj = {"x_sim_bruteforce", "x_sim_quantized", "x_sim_rerank"}
+    # representation differs); x_text_vocab broadcasts a ONE-ROW vocabulary
+    # array to every doc (scalar-dimension crossJoin — the alternative is
+    # re-shuffling the whole token stream by doc id)
+    allowed_bnlj = {
+        "x_sim_bruteforce",
+        "x_sim_quantized",
+        "x_sim_rerank",
+        "x_text_vocab",
+    }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
         assert "CartesianProduct" not in plan, spec.name
