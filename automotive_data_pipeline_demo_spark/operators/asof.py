@@ -166,3 +166,42 @@ def range_join(
         ],
     )
     return matched.unionByName(unmatched).drop("__lid")
+
+
+def pit_join(
+    left: DataFrame,
+    scd2: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time join against a type-2 dimension: for each left row,
+    the version whose [valid_from, valid_to) interval covers ``left_ts``
+    (training-set correctness: features as they WERE, no leakage from
+    later versions).
+
+    Because SCD2 intervals partition each key's timeline (valid_to =
+    next valid_from; NULL = open), the covering version is exactly the
+    latest valid_from <= left_ts — so this is ``asof_join`` on
+    valid_from, one union + one window, never an interval range join
+    with its pair fan-out. A guard column ``pit_valid`` re-checks
+    ``left_ts < valid_to`` (1 for the open interval), so a malformed
+    dimension (gaps/overlaps) surfaces as 0 instead of silently leaking.
+    """
+    out = asof_join(
+        left,
+        scd2,
+        on=on,
+        left_ts=left_ts,
+        right_ts=valid_from,
+        right_cols=[valid_to, *right_cols],
+    )
+    matched_to = F.col(f"matched_{valid_to}")
+    return out.withColumn(
+        "pit_valid",
+        F.when(F.col(f"matched_{valid_from}").isNull(), F.lit(None).cast("int"))
+        .when(matched_to.isNull() | (F.col(left_ts) < matched_to), 1)
+        .otherwise(0),
+    )

@@ -3506,6 +3506,90 @@ _register(QuerySpec(
 ))
 
 
+def q_a_attribution_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch time-decay attribution (the CDP companion to J6/A8's
+    last-touch funnel): every purchase distributes credit across the
+    user's preceding touches in a 30-day lookback, weighted 2^(-age_days).
+    Weights are INTEGER 2^(30 - age) (scaled by 2^30), so per-type weight
+    sums are exact and the only float op is one final division rounded to
+    4 dp — bit-stable across engines, unlike summing decayed floats whose
+    addition order differs. Plan: one equi-join on user_id (the range
+    predicate filters the per-user fan-out, never a cartesian), one
+    (purchase, touch_type) aggregate, and a tiny per-purchase total via a
+    second aggregation joined back.
+    """
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.datediff(F.to_date("p_ts"), F.to_date("t_ts")) <= 30)
+        )
+        .select(
+            "purchase_id",
+            "touch_type",
+            F.expr(
+                "shiftleft(cast(1 as bigint),"
+                " 30 - datediff(to_date(p_ts), to_date(t_ts)))"
+            ).alias("w"),
+        )
+    )
+    by_type = pairs.groupBy("purchase_id", "touch_type").agg(
+        F.sum("w").alias("w_sum"), F.count(F.lit(1)).alias("n_touches")
+    )
+    totals = by_type.groupBy("purchase_id").agg(
+        F.sum("w_sum").alias("w_total")
+    )
+    return by_type.join(totals, "purchase_id").select(
+        "purchase_id",
+        "touch_type",
+        "n_touches",
+        "w_sum",
+        F.round(F.col("w_sum") / F.col("w_total"), 4).alias("credit_share"),
+    )
+
+
+_register(QuerySpec(
+    name="a_attribution_decay",
+    survey="beyond-reference: multi-touch time-decay attribution (J6/A8 companion)",
+    build=q_a_attribution_decay,
+    oracle="""
+        WITH pairs AS (
+          SELECT p.event_id AS purchase_id, t.event_type AS touch_type,
+                 (CAST(1 AS BIGINT) <<
+                  (30 - date_diff('day', CAST(t.ts AS DATE),
+                                  CAST(p.ts AS DATE)))) AS w
+          FROM events p JOIN events t USING (user_id)
+          WHERE p.event_type = 'purchase'
+            AND t.event_type <> 'purchase'
+            AND t.ts < p.ts
+            AND date_diff('day', CAST(t.ts AS DATE), CAST(p.ts AS DATE)) <= 30
+        ), by_type AS (
+          SELECT purchase_id, touch_type,
+                 CAST(SUM(w) AS BIGINT) AS w_sum,
+                 CAST(COUNT(*) AS BIGINT) AS n_touches
+          FROM pairs GROUP BY 1, 2
+        ), totals AS (
+          SELECT purchase_id, SUM(w_sum) AS w_total FROM by_type GROUP BY 1
+        )
+        SELECT b.purchase_id, b.touch_type, b.n_touches, b.w_sum,
+               ROUND(b.w_sum / t.w_total, 4) AS credit_share
+        FROM by_type b JOIN totals t USING (purchase_id)
+    """,
+    tags=("agg", "attribution", "behavioral"),
+))
+
+
 def q_a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-signup week, counted
     distinct in each subsequent activity week. First-touch is one

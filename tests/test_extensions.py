@@ -1327,3 +1327,46 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     assert est[(0, 1)] == 1.0                   # exact copy: all mins agree
     assert est.get((0, 2), 0.0) >= 0.5          # near-dup: most mins agree
     assert not any(3 in p for p in est)         # unrelated never a candidate
+
+
+def test_pit_join_no_leakage_and_interval_guard(spark):
+    """Point-in-time: each fact gets the dimension version valid AT its
+    timestamp — never a later one (leakage) — with the open interval
+    current, pre-history facts unmatched, and the guard flagging a
+    malformed (gapped) timeline."""
+    from datetime import datetime
+
+    from automotive_data_pipeline_demo_spark.operators.asof import pit_join
+
+    ts = datetime.fromisoformat
+    scd2 = spark.createDataFrame(
+        [
+            (1, ts("2025-01-01"), ts("2025-02-01"), "bronze"),
+            (1, ts("2025-02-01"), None, "gold"),
+            # key 2: gap between versions (malformed dimension)
+            (2, ts("2025-01-01"), ts("2025-01-10"), "bronze"),
+            (2, ts("2025-03-01"), None, "silver"),
+        ],
+        "cust long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, ts("2024-12-30")),  # before any version
+            (1, ts("2025-01-15")),  # inside v1
+            (1, ts("2025-02-01")),  # boundary: v2 starts (half-open)
+            (1, ts("2025-06-01")),  # open interval
+            (2, ts("2025-02-01")),  # falls in the GAP
+        ],
+        "cust long, event_ts timestamp",
+    )
+    out = {
+        (r["cust"], r["event_ts"].isoformat()): (r["matched_tier"], r["pit_valid"])
+        for r in pit_join(
+            facts, scd2, on=["cust"], left_ts="event_ts", right_cols=["tier"]
+        ).collect()
+    }
+    assert out[(1, "2024-12-30T00:00:00")] == (None, None)
+    assert out[(1, "2025-01-15T00:00:00")] == ("bronze", 1)
+    assert out[(1, "2025-02-01T00:00:00")] == ("gold", 1)
+    assert out[(1, "2025-06-01T00:00:00")] == ("gold", 1)
+    assert out[(2, "2025-02-01T00:00:00")] == ("bronze", 0)  # gap flagged
