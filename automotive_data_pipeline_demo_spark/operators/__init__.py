@@ -21,6 +21,7 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
 from automotive_data_pipeline_demo_spark.operators.classify import case_ladder, ilike_classify
 from automotive_data_pipeline_demo_spark.operators.arrays import ordered_distinct_array
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, pit_join, range_join
+from automotive_data_pipeline_demo_spark.operators.quality import dq_report
 from automotive_data_pipeline_demo_spark.operators.layout import (
     morton_code,
     write_zorder,
@@ -49,6 +50,7 @@ __all__ = [
     "ordered_distinct_array",
     "asof_join",
     "pit_join",
+    "dq_report",
     "range_join",
     "bucketed_join",
     "hash_prefilter_join",

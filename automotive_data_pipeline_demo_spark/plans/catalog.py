@@ -40,6 +40,7 @@ from automotive_data_pipeline_demo_spark.operators.cleaning import (
     count_phones,
     redact_pii,
 )
+from automotive_data_pipeline_demo_spark.operators.quality import dq_report
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
 from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
@@ -2771,6 +2772,62 @@ _register(QuerySpec(
         FROM events GROUP BY event_type
     """,
     tags=("filter", "validation"),
+))
+
+
+def q_p_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality gate over orders: required-column nulls,
+    PK uniqueness, a value-range bound, and referential integrity against
+    the customer dimension — ALL folded into one aggregate over one scan
+    (the FK check rides as a broadcast left-join hit indicator). The
+    single-pass report a pipeline can assert on before publishing.
+    """
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return dq_report(
+        o,
+        not_null=("o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        ranges=(("totalprice_nonneg", F.col("o_totalprice") >= 0),),
+        fk=(("o_custkey",), c, ("c_custkey",)),
+    )
+
+
+_register(QuerySpec(
+    name="p_dq_report",
+    survey="beyond-reference: single-pass DQ expectations (P11/P12 as a gate)",
+    build=q_p_dq_report,
+    oracle="""
+        WITH j AS (
+          SELECT o.*, CASE WHEN c.c_custkey IS NOT NULL THEN 1 END AS hit
+          FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey
+        ), agg AS (
+          SELECT COUNT(*) AS n_rows,
+                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+                 SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v1,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS v2,
+                 SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS v3,
+                 SUM(CASE WHEN o_custkey IS NOT NULL AND hit IS NULL
+                     THEN 1 ELSE 0 END) AS v4
+          FROM j
+        )
+        SELECT check_name, n_rows, n_violations,
+               CAST(n_violations = 0 AS INT) AS passed
+        FROM (
+          SELECT 'not_null:o_custkey' AS check_name, n_rows,
+                 CAST(v0 AS BIGINT) AS n_violations FROM agg
+          UNION ALL SELECT 'not_null:o_orderdate', n_rows,
+                 CAST(v1 AS BIGINT) FROM agg
+          UNION ALL SELECT 'unique:o_orderkey', n_rows,
+                 CAST(v2 AS BIGINT) FROM agg
+          UNION ALL SELECT 'range:totalprice_nonneg', n_rows,
+                 CAST(v3 AS BIGINT) FROM agg
+          UNION ALL SELECT 'fk:o_custkey', n_rows,
+                 CAST(v4 AS BIGINT) FROM agg
+        )
+    """,
+    tags=("validation", "dq"),
 ))
 
 

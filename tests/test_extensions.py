@@ -1370,3 +1370,38 @@ def test_pit_join_no_leakage_and_interval_guard(spark):
     assert out[(1, "2025-02-01T00:00:00")] == ("gold", 1)
     assert out[(1, "2025-06-01T00:00:00")] == ("gold", 1)
     assert out[(2, "2025-02-01T00:00:00")] == ("bronze", 0)  # gap flagged
+
+
+def test_dq_report_counts_planted_violations(spark):
+    """Each expectation counts exactly its planted violations: one NULL
+    key, one duplicate PK, one negative amount, one FK orphan — and a NULL
+    FK key is NOT an orphan (SQL semantics)."""
+    from automotive_data_pipeline_demo_spark.operators.quality import dq_report
+
+    facts = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (1, 11, 6.0),      # duplicate PK
+            (2, None, 7.0),    # NULL fk key (not an orphan)
+            (3, 99, -1.0),     # range violation + FK orphan
+        ],
+        "pk long, cust long, amt double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "c long")
+    out = {
+        r["check_name"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in dq_report(
+            facts,
+            not_null=("cust",),
+            unique=("pk",),
+            ranges=(("amt_nonneg", F.col("amt") >= 0),),
+            fk=(("cust",), dim, ("c",)),
+        ).collect()
+    }
+    assert out["not_null:cust"] == (4, 1, 0)
+    assert out["unique:pk"] == (4, 1, 0)
+    assert out["range:amt_nonneg"] == (4, 1, 0)
+    assert out["fk:cust"] == (4, 1, 0)
+
+    clean = dq_report(dim, not_null=("c",), unique=("c",))
+    assert all(r["passed"] == 1 for r in clean.collect())
