@@ -18,6 +18,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tfidf_top_terms,
     token_count_bpe,
     unigram_entropy,
+    tokenize_to_ids,
     vocab_oov_rate,
 )
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
@@ -74,6 +75,7 @@ __all__ = [
     "tfidf_top_terms",
     "token_count_bpe",
     "unigram_entropy",
+    "tokenize_to_ids",
     "vocab_oov_rate",
     "hash_bucket",
     "hash_split",

@@ -473,3 +473,61 @@ def vocab_oov_rate(
         "n_oov",
         F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 32
+) -> DataFrame:
+    """Map every document to its token-ID sequence against the corpus
+    top-``vocab_size`` vocabulary — the tokenization stage between raw
+    text and sequence packing. Vocabulary ids are 1-based in frequency
+    order (count desc, term asc — deterministic); out-of-vocabulary
+    tokens map to 0 (the unk id). Returns (id, n_tok, ids) with ``ids``
+    the comma-joined sequence in document order (rendered to a string per
+    the catalog's array-determinism rule).
+
+    Scale shape: same as ``vocab_oov_rate`` — one (term, count) exchange
+    builds the vocabulary via TakeOrderedAndProject, the (term -> id) map
+    broadcasts as a ONE-ROW map column, and the encoding itself is a
+    narrow per-doc transform (element_at on the broadcast map); the
+    corpus never shuffles.
+    """
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_map = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .agg(
+            F.map_from_entries(
+                F.transform(
+                    # re-sort the collected (cnt, term) pairs: collect_list
+                    # order after a limit is deterministic here, but sorting
+                    # makes the id assignment independent of partitioning
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("cnt")).alias("negcnt"), "term"))
+                    ),
+                    lambda s, i: F.struct(
+                        s["term"].alias("key"), (i + 1).alias("value")
+                    ),
+                )
+            ).alias("__vmap")
+        )
+    )
+    arrs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    encoded = arrs.filter(F.size("__toks") > 0).crossJoin(F.broadcast(vocab_map))
+    return encoded.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "__toks",
+                lambda t: F.coalesce(
+                    F.element_at(F.col("__vmap"), t), F.lit(0)
+                ).cast("string"),
+            ),
+        ).alias("ids"),
+    )

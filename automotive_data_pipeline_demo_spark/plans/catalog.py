@@ -140,6 +140,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     chunk_tokens,
     token_count_ws,
     tokenize,
+    tokenize_to_ids,
     vocab_oov_rate,
 )
 
@@ -3647,6 +3648,66 @@ _register(QuerySpec(
 ))
 
 
+def q_a_metric_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric anomaly flags over the daily order count: a day is anomalous
+    when it sits more than 3 trailing-window standard deviations from the
+    trailing 7-day mean. The z-test is INTEGER algebra end to end —
+    (7x - s)^2 > 9 * (7*ss - s^2) with s/ss the trailing sum and
+    sum-of-squares — so the flag is bit-exact in any engine; no float
+    mean/stddev ever materializes. One aggregate to the daily grain, then
+    one calendar-grain window (single partition by design: the frame is
+    over ~dates, not rows).
+    """
+    o = _t(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    x = F.col("n_orders")
+    s = F.sum("n_orders").over(w)
+    ss = F.sum(x * x).over(w)
+    k = F.count(F.lit(1)).over(w)
+    lhs = (F.lit(7) * x - s) * (F.lit(7) * x - s)
+    rhs = F.lit(9) * (F.lit(7) * ss - s * s)
+    return (
+        daily.select(
+            "day",
+            "n_orders",
+            k.alias("__k"),
+            s.alias("trailing_sum"),
+            (lhs > rhs).cast("int").alias("is_anomaly"),
+        )
+        .filter(F.col("__k") == 7)
+        .drop("__k")
+    )
+
+
+_register(QuerySpec(
+    name="a_metric_anomaly",
+    survey="beyond-reference: trailing-window metric anomaly flags (exact integer z-test)",
+    build=q_a_metric_anomaly,
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ), win AS (
+          SELECT day, n_orders,
+                 SUM(n_orders) OVER w AS s,
+                 SUM(n_orders * n_orders) OVER w AS ss,
+                 COUNT(*) OVER w AS k
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, n_orders, CAST(s AS BIGINT) AS trailing_sum,
+               CAST((7 * n_orders - s) * (7 * n_orders - s)
+                    > 9 * (7 * ss - s * s) AS INT) AS is_anomaly
+        FROM win WHERE k = 7
+    """,
+    tags=("agg", "anomaly", "window"),
+))
+
+
 def q_a_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-signup week, counted
     distinct in each subsequent activity week. First-touch is one
@@ -5731,6 +5792,53 @@ _register(QuerySpec(
         GROUP BY 1
     """,
     tags=("text", "vocab"),
+))
+
+
+def q_x_text_token_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenization stage: every document encoded as its token-ID sequence
+    against the corpus top-32 vocabulary (ids 1-based in frequency order,
+    unk = 0), ids rendered comma-joined in document order. One (term,
+    count) exchange builds the vocabulary; the (term -> id) map broadcasts
+    as a one-row map column and the encoding is a narrow per-doc
+    transform — the corpus never shuffles.
+    """
+    docs = _t(spark, sf, "documents")
+    return tokenize_to_ids(docs, "doc_id", "text", vocab_size=32).select(
+        F.col("id").alias("doc_id"), "n_tok", "ids"
+    )
+
+
+_register(QuerySpec(
+    name="x_text_token_ids",
+    survey="north-star: text -> token-id sequences (tokenizer plumbing)",
+    build=q_x_text_token_ids,
+    oracle="""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        ), counts AS (
+          SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ), vocab AS (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS tid
+          FROM (SELECT * FROM counts ORDER BY cnt DESC, term ASC LIMIT 32)
+        ), seq AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, arr[j] AS term, j
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS arr
+            FROM documents
+          ), UNNEST(range(1, len(arr) + 1)) AS u(j)
+        )
+        SELECT s.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ','
+                          ORDER BY s.j) AS ids
+        FROM seq s LEFT JOIN vocab v USING (term)
+        GROUP BY s.id
+    """,
+    tags=("text", "tokenizer"),
 ))
 
 

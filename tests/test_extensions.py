@@ -1405,3 +1405,22 @@ def test_dq_report_counts_planted_violations(spark):
 
     clean = dq_report(dim, not_null=("c",), unique=("c",))
     assert all(r["passed"] == 1 for r in clean.collect())
+
+
+def test_tokenize_to_ids_unk_and_order(spark):
+    """IDs follow frequency order (1 = most frequent), OOV maps to 0, and
+    the sequence preserves document token order."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        tokenize_to_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "b a b c b a rare"), (1, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           tokenize_to_ids(docs, "doc_id", "text", vocab_size=3).collect()}
+    # corpus counts: b=4, a=3, c=1 -> ids b=1, a=2, c=3; 'rare' OOV -> 0
+    assert out[0]["ids"] == "1,2,1,3,1,2,0"
+    assert out[0]["n_tok"] == 7
+    assert out[1]["ids"] == "2,1"
