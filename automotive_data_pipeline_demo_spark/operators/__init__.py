@@ -31,6 +31,7 @@ from automotive_data_pipeline_demo_spark.operators.scale import (
     hash_prefilter_join,
     salted_groupby_sum,
     salted_join,
+    skew_report,
     write_bucketed,
     write_range_sorted,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "hash_prefilter_join",
     "salted_groupby_sum",
     "salted_join",
+    "skew_report",
     "write_bucketed",
     "write_range_sorted",
     "morton_code",

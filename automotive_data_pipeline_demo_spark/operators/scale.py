@@ -222,3 +222,37 @@ def salted_join(
     )
     out = salted_big.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top_k`` heaviest keys with their
+    row counts and corpus share — the report that decides whether a key
+    needs `salted_join`/`salted_groupby_sum` (one key holding >1% of a
+    100 TB table serializes its whole partition through one task).
+
+    One exchange: counts aggregate per key with map-side partials; the
+    top-k cut is TakeOrderedAndProject (per-partition heaps, no global
+    sort) and the total rides along from the same counts table via a
+    single-row broadcast. share is one exact-int division rounded to 6 dp.
+    Ties break by key text ascending so the report is deterministic.
+    """
+    keys = [F.col(c).cast("string").alias(c) for c in key_cols]
+    counts = df.select(*keys).groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("__total"))
+    key_str = F.concat_ws("|", *[F.col(c) for c in key_cols])
+    top = (
+        counts.select(key_str.alias("key"), "n_rows")
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+    )

@@ -46,6 +46,7 @@ from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
     hash_prefilter_join,
     salted_groupby_sum,
+    skew_report,
     write_bucketed,
     write_range_sorted,
 )
@@ -3965,6 +3966,38 @@ _register(QuerySpec(
         FROM lineitem GROUP BY l_returnflag
     """,
     tags=("scale", "skew"),
+))
+
+
+def q_scale_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnosis over lineitem's supplier key: the top-20
+    heaviest keys with exact counts and corpus share — the report that
+    decides when a join/agg key needs the salting path
+    (scale_salted_agg / salted_join). One exchange of (key, count)
+    partials; top-k via TakeOrderedAndProject; total via a one-row
+    broadcast.
+    """
+    li = _t(spark, sf, "lineitem")
+    return skew_report(li, ("l_suppkey",), top_k=20)
+
+
+_register(QuerySpec(
+    name="scale_skew_report",
+    survey="beyond-reference: join-key skew diagnosis (salting decision input)",
+    build=q_scale_skew_report,
+    oracle="""
+        WITH counts AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY 1
+        ), tot AS (
+          SELECT SUM(n_rows) AS t FROM counts
+        )
+        SELECT key, n_rows,
+               ROUND(n_rows / (SELECT t FROM tot), 6) AS share
+        FROM counts ORDER BY n_rows DESC, key ASC LIMIT 20
+    """,
+    tags=("scale", "skew", "diagnosis"),
 ))
 
 

@@ -104,6 +104,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "x_sim_quantized",
         "x_sim_rerank",
         "x_text_vocab",
+        # one-row broadcast map / total (scalar-dimension crossJoins)
+        "x_text_token_ids",
+        "scale_skew_report",
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))

@@ -668,3 +668,54 @@ def test_streaming_quality_gate(spark, tmp_path):
         assert batch[r["id"]] == (r["quality_logit"], r["keep"])
         assert r["keep"] == 1
     assert {r["id"] for r in rows} == {i for i, (_, k) in batch.items() if k == 1}
+
+
+def test_streaming_dq_gate_per_batch(spark, tmp_path):
+    """dq_report composes with foreachBatch as a per-micro-batch publish
+    gate: each batch is validated before it lands, and only clean batches
+    flow through — the streaming twin of the p_dq_report entry."""
+    from automotive_data_pipeline_demo_spark.operators.quality import dq_report
+
+    src = str(tmp_path / "facts")
+    clean = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 11, 6.0)], "pk long, cust long, amt double"
+    )
+    clean.coalesce(1).write.parquet(src)  # first micro-batch: passes
+    dirty = spark.createDataFrame(
+        [(3, 99, -1.0), (3, 10, 2.0)], "pk long, cust long, amt double"
+    )
+    dirty.coalesce(1).write.mode("append").parquet(src)  # dup pk + negative amt
+
+    dim = spark.createDataFrame([(10,), (11,)], "c long")
+    published, rejected = [], []
+
+    def gate(batch_df, batch_id):
+        report = dq_report(
+            batch_df,
+            unique=("pk",),
+            ranges=(("amt_nonneg", F.col("amt") >= 0),),
+            fk=(("cust",), dim, ("c",)),
+        ).collect()
+        failed = [r["check_name"] for r in report if r["passed"] == 0]
+        if failed:
+            rejected.append((sorted(set(r["pk"] for r in batch_df.collect())), sorted(failed)))
+        else:
+            published.extend(r["pk"] for r in batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(clean.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(gate).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(published) == [1, 2]
+    assert len(rejected) == 1
+    bad_pks, bad_checks = rejected[0]
+    assert bad_pks == [3]
+    assert "unique:pk" in bad_checks and "range:amt_nonneg" in bad_checks
+    assert "fk:cust" in bad_checks  # pk 3 -> cust 99 has no dimension row
