@@ -2630,6 +2630,39 @@ _register(QuerySpec(
 ))
 
 
+def q_s2_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 in a second columnar format: orders written as ORC (snappy) and
+    read back through an aggregation the oracle computes from the
+    original table — proving the ORC writer/reader round-trips values,
+    dates, and decimals bit-for-bit. Warehouse exports are not always
+    parquet; ORC is the other columnar lake format Spark ships natively.
+    """
+    out = _scratch(sf, "orders_orc")
+    o = _t(spark, sf, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice", "sum_price"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+    )
+
+
+_register(QuerySpec(
+    name="s2_orc_roundtrip",
+    survey="S2/S6: second columnar lake format (ORC round trip)",
+    build=q_s2_orc_roundtrip,
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "orc", "roundtrip"),
+))
+
+
 def q_s7_jsonl_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S7/F18-F20/O2: Track-event assembly + JSONL sink, proven by round trip.
 
@@ -3646,6 +3679,51 @@ _register(QuerySpec(
         FROM by_type b JOIN totals t USING (purchase_id)
     """,
     tags=("agg", "attribution", "behavioral"),
+))
+
+
+def q_a_ltv_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer LTV decile segmentation (the marketing decile report the
+    reference's segments gesture at): customers ranked by lifetime spend
+    into NTILE(10) with a deterministic (spend desc, custkey asc) total
+    order, then per-decile counts and exact-cents totals. The NTILE
+    window is a single total order over the ~customer-grain aggregate —
+    one exchange on custkey, then the calendar-grain-style global sort on
+    an already-reduced frame.
+    """
+    o = _t(spark, sf, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("__cents")
+    )
+    w = Window.orderBy(F.col("__cents").desc(), F.col("o_custkey").asc())
+    dec = ltv.withColumn("decile", F.ntile(10).over(w))
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("__cents").cast("double") / 100.0).alias("total_ltv"),
+        (F.min("__cents").cast("double") / 100.0).alias("min_ltv"),
+    )
+
+
+_register(QuerySpec(
+    name="a_ltv_deciles",
+    survey="beyond-reference: LTV decile segmentation (NTILE)",
+    build=q_a_ltv_deciles,
+    oracle="""
+        WITH ltv AS (
+          SELECT o_custkey,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1
+        ), dec AS (
+          SELECT o_custkey, cents,
+                 NTILE(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+          FROM ltv
+        )
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_ltv,
+               CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_ltv
+        FROM dec GROUP BY decile
+    """,
+    tags=("agg", "window", "segmentation"),
 ))
 
 
