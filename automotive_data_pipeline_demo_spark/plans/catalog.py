@@ -3687,9 +3687,13 @@ def q_a_ltv_deciles(spark: SparkSession, sf: str) -> DataFrame:
     reference's segments gesture at): customers ranked by lifetime spend
     into NTILE(10) with a deterministic (spend desc, custkey asc) total
     order, then per-decile counts and exact-cents totals. The NTILE
-    window is a single total order over the ~customer-grain aggregate —
-    one exchange on custkey, then the calendar-grain-style global sort on
-    an already-reduced frame.
+    window is a single total order — but over the CUSTOMER-GRAIN
+    aggregate, orders of magnitude under the fact corpus (one long + one
+    key per customer crosses the exchange). At extreme customer
+    cardinality (1e9+), swap the NTILE for decile THRESHOLDS from one
+    percentile aggregate and assign by comparison — same report, no total
+    order, at the cost of value-tie boundary splits differing from
+    NTILE's equal-count contract.
     """
     o = _t(spark, sf, "orders")
     ltv = o.groupBy("o_custkey").agg(

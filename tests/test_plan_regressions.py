@@ -187,11 +187,19 @@ def test_single_partition_only_on_calendar_grain(spark, sf_dir):
     - a global aggregate whose exchange child is a PARTIAL HashAggregate
       (one pre-aggregated row per upstream partition crosses — the
       canonical count/sum-everything shape, e.g. funnel stage totals);
-    - entries on the calendar-grain allow-list, where the frame upstream
+    - entries on the reduced-grain allow-list, where the frame upstream
       of the exchange is one row per calendar unit (st8's day-grain
-      rolling window).
+      rolling window) or one row per aggregated entity key whose
+      cardinality is orders of magnitude under the fact corpus
+      (a_ltv_deciles ranks the customer-grain LTV table — NTILE needs a
+      total order; at extreme customer cardinality the entry's docstring
+      prescribes threshold assignment instead).
     """
-    allowed = {"st8_rolling_window"}
+    allowed = {
+        "st8_rolling_window",
+        "a_metric_anomaly",  # trailing window over the day-grain rollup
+        "a_ltv_deciles",
+    }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
         lines = plan.splitlines()
