@@ -4,6 +4,7 @@ incremental gold-table refresh."""
 from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG, QuerySpec
 from automotive_data_pipeline_demo_spark.plans.refresh import (
     close_over_deals,
+    detect_changed_keys,
     full_build_gold,
     read_gold,
     refresh_gold,
@@ -13,6 +14,7 @@ __all__ = [
     "CATALOG",
     "QuerySpec",
     "close_over_deals",
+    "detect_changed_keys",
     "full_build_gold",
     "read_gold",
     "refresh_gold",

@@ -181,6 +181,58 @@ def refresh_gold(
     return list(buckets)
 
 
+def detect_changed_keys(
+    old: DataFrame, new: DataFrame, key: str = "custno"
+) -> DataFrame:
+    """CDC-style delta between two source snapshots: the keys whose row
+    SET changed (any insert, delete, or update on any column) — exactly
+    the input ``refresh_gold`` needs when the upstream export has no
+    change feed.
+
+    Per snapshot, each key folds to one order-insensitive digest: md5 of
+    every column (null-tagged so NULL != 'null'), xor-free — the digests
+    are SUMMED as two 64-bit halves, so the fold is commutative (no
+    sort_array of whole rows) yet collision-hard for realistic row
+    counts. One exchange per snapshot on the key, then a full-outer join
+    of two key-grain digest tables.
+    """
+    def digests(df: DataFrame) -> DataFrame:
+        cols = sorted(df.columns)
+        h = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x02null"))
+                    for c in cols
+                ],
+            )
+        )
+        hi = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        lo = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+        return df.groupBy(F.col(key)).agg(
+            F.sum(hi).alias("__h1"),
+            F.sum(lo).alias("__h2"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    o = digests(old).select(
+        key, F.col("__h1").alias("__o1"), F.col("__h2").alias("__o2"),
+        F.col("__n").alias("__on"),
+    )
+    n = digests(new).select(
+        key, F.col("__h1").alias("__n1"), F.col("__h2").alias("__n2"),
+        F.col("__n").alias("__nn"),
+    )
+    j = o.join(n, key, "full_outer")
+    changed = (
+        F.col("__o1").isNull()
+        | F.col("__n1").isNull()
+        | (F.col("__o1") != F.col("__n1"))
+        | (F.col("__o2") != F.col("__n2"))
+        | (F.col("__on") != F.col("__nn"))
+    )
+    return j.filter(changed).select(key)
+
+
 def read_gold(spark: SparkSession, gold_dir: str, name: str) -> DataFrame:
     """Read one gold table (bucket column dropped)."""
     return spark.read.parquet(f"{gold_dir}/{name}").drop(_KB)

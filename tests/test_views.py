@@ -220,3 +220,34 @@ def test_incremental_refresh_cross_bucket_deal(spark, tmp_path):
     ).collect()
     assert len(got) == 1, got  # no duplicate, no missing row
     assert got[0]["custno"] == other_b  # the true survivor, not same_b
+
+
+def test_detect_changed_keys_finds_all_mutation_kinds(spark):
+    """Snapshot diff must flag updates, inserts, deletes, and row-count
+    changes — and nothing else (order of rows within a key is ignored)."""
+    from pyspark.sql import functions as F
+
+    from automotive_data_pipeline_demo_spark.plans.refresh import (
+        detect_changed_keys,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("A", 1, "x"), ("A", 2, "y"),   # unchanged (reordered in new)
+            ("B", 3, "z"),                  # value update
+            ("C", 4, "w"),                  # deleted key
+            ("D", 5, "v"),                  # row added in new
+        ],
+        "custno string, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("A", 2, "y"), ("A", 1, "x"),   # same set, different order
+            ("B", 3, "Z"),
+            ("D", 5, "v"), ("D", 6, "u"),
+            ("E", 7, "t"),                  # inserted key
+        ],
+        "custno string, v int, s string",
+    )
+    got = {r["custno"] for r in detect_changed_keys(old, new).collect()}
+    assert got == {"B", "C", "D", "E"}
