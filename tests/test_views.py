@@ -251,3 +251,99 @@ def test_detect_changed_keys_finds_all_mutation_kinds(spark):
     )
     got = {r["custno"] for r in detect_changed_keys(old, new).collect()}
     assert got == {"B", "C", "D", "E"}
+
+
+def test_streaming_cdc_refresh_keeps_gold_fresh(spark, tmp_path):
+    """A CDC stream of customer_master upserts, applied per micro-batch
+    (merge into the current snapshot, then refresh_gold for the batch's
+    keys), must leave the gold tables identical to a from-scratch rebuild
+    on the final snapshot — the streaming twin of the incremental
+    refresh."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from automotive_data_pipeline_demo_spark.plans.refresh import (
+        full_build_gold,
+        read_gold,
+        refresh_gold,
+    )
+    from tests.fixtures import write_fixtures
+
+    paths = write_fixtures(str(tmp_path))
+    cm0 = spark.read.parquet(paths["customer_master"])
+    vs = spark.read.parquet(paths["vehicle_sales"])
+    # single-customer deals (realistic DMS shape; keeps the closure tight)
+    first_cust = F.first("custno").over(
+        W.partitionBy("dealno").orderBy("rowlastupdatedutc", "vin")
+    )
+    vs = vs.withColumn("__fc", first_cust).filter(
+        F.col("custno") == F.col("__fc")
+    ).drop("__fc")
+    vs_path = str(tmp_path / "vs_fixed")
+    vs.write.parquet(vs_path)
+    vs = spark.read.parquet(vs_path)
+
+    as_of = "2025-06-01"
+    gold = str(tmp_path / "gold")
+    full_build_gold(spark, gold, cm0, vs, as_of, n_buckets=8)
+
+    # pick customers that actually appear in the gold profiles
+    present = [r["custno"] for r in read_gold(spark, gold, "customer_profiles")
+               .select("custno").distinct().orderBy("custno").limit(2).collect()]
+    upd_key, del_key = present
+
+    # CDC feed: one file per micro-batch of upserted cm rows
+    cdc = str(tmp_path / "cdc")
+    os.makedirs(cdc)
+    b1 = cm0.filter(F.col("custno") == upd_key).withColumn(
+        "firstname", F.lit("Cdcname")
+    )
+    b2 = cm0.filter(F.col("custno") == del_key).withColumn(
+        "isdeleted", F.lit(True)
+    )
+    b1.coalesce(1).write.parquet(f"{cdc}/b1")
+    b2.coalesce(1).write.parquet(f"{cdc}/b2")
+
+    snap = {"path": paths["customer_master"], "v": 0}
+
+    def apply_cdc(batch_df, batch_id):
+        keys = batch_df.select("custno").distinct()
+        cur = spark.read.parquet(snap["path"])
+        merged = cur.join(keys, "custno", "left_anti").unionByName(batch_df)
+        snap["v"] += 1
+        new_path = str(tmp_path / f"cm_v{snap['v']}")
+        merged.write.parquet(new_path)
+        snap["path"] = new_path
+        refresh_gold(
+            spark, gold, spark.read.parquet(new_path), vs, as_of, keys,
+            n_buckets=8,
+        )
+
+    stream = (
+        spark.readStream.schema(cm0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{cdc}/*")
+    )
+    q = stream.writeStream.foreachBatch(apply_cdc).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final_cm = spark.read.parquet(snap["path"])
+    gold_full = str(tmp_path / "gold_full")
+    full_build_gold(spark, gold_full, final_cm, vs, as_of, n_buckets=8)
+    for view in ["customer_profiles", "customer_segments",
+                 "data_privacy_status"]:
+        inc = read_gold(spark, gold, view)
+        full = read_gold(spark, gold_full, view)
+        assert inc.exceptAll(full).count() == 0, view
+        assert full.exceptAll(inc).count() == 0, view
+    assert read_gold(spark, gold, "customer_profiles").filter(
+        F.col("custno") == del_key
+    ).count() == 0
+    assert read_gold(spark, gold, "customer_profiles").filter(
+        (F.col("custno") == upd_key) & (F.col("firstname") == "Cdcname")
+    ).count() > 0
