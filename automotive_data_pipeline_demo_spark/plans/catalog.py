@@ -859,6 +859,58 @@ _register(QuerySpec(
 ))
 
 
+def q_j_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER reconciliation of two activity systems (the join type
+    the reference never needed but a warehouse audit does): per-user
+    order-side vs event-side aggregates, COALESCEd to zero, with a
+    presence category (both / orders_only / events_only). Both sides
+    reduce to user grain BEFORE the join, so the full-outer exchange
+    carries two already-aggregated frames.
+    """
+    o = _t(spark, sf, "orders").groupBy(
+        F.col("o_custkey").alias("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    e = _t(spark, sf, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    j = o.join(e, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n_orders").isNotNull() & F.col("n_events").isNotNull(),
+               "both")
+        .when(F.col("n_orders").isNotNull(), "orders_only")
+        .otherwise("events_only")
+        .alias("presence"),
+    )
+
+
+_register(QuerySpec(
+    name="j_full_outer_reconcile",
+    survey="beyond-reference: FULL OUTER system reconciliation",
+    build=q_j_full_outer_reconcile,
+    oracle="""
+        WITH o AS (
+          SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ), e AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.n_events, 0) AS n_events,
+               CASE WHEN o.user_id IS NOT NULL AND e.user_id IS NOT NULL
+                    THEN 'both'
+                    WHEN o.user_id IS NOT NULL THEN 'orders_only'
+                    ELSE 'events_only' END AS presence
+        FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+    """,
+    tags=("join", "reconcile"),
+))
+
+
 def q_a3_ordered_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """A3: ordered-distinct array agg — DISTINCT priorities per customer
     ordered by most-recent order date (ARRAY_AGG(DISTINCT x ORDER BY d DESC),
@@ -2036,6 +2088,7 @@ def q_x_dedup_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_dedup_simhash_dedup",
     survey="north-star: simhash dedup survivors (fingerprint-level banding)",
+    bench=True,
     build=q_x_dedup_simhash_dedup,
     oracle="""
         WITH RECURSIVE toks AS (
