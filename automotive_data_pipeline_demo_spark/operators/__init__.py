@@ -7,6 +7,7 @@ columns through the whole composition.
 
 from automotive_data_pipeline_demo_spark.operators.dedup import (
     dedup_latest,
+    dedup_latest_agg,
     primary_relationship,
     sequence_number,
 )
@@ -38,6 +39,7 @@ from automotive_data_pipeline_demo_spark.operators.scale import (
 
 __all__ = [
     "dedup_latest",
+    "dedup_latest_agg",
     "sequence_number",
     "primary_relationship",
     "clean_email",

@@ -58,6 +58,51 @@ def dedup_latest(
     )
 
 
+def dedup_latest_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    rank: Column,
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Latest-record-per-key as ONE aggregate (scale variant of
+    :func:`dedup_latest`).
+
+    ``rank`` is a comparator column whose per-key MINIMUM identifies the
+    surviving row. It MUST be a total order within each key (unique per
+    row, never NULL): each output column is reassembled independently via
+    ``min_by(col, rank)``, so a tied rank would stitch the survivor from
+    different tied rows, and ``min_by`` skips NULL-ranked rows entirely.
+    The window form's tiebreaker discipline (this module's docstring)
+    already demands exactly that uniqueness.
+
+    Physical contrast with the sort-window form (W1,
+    ``sql/customer_360_views.sql:71-74``): ``row_number`` plans as
+    Exchange(hash(key)) + Sort + Window over EVERY input row, while this
+    form partial-aggregates map-side — each input partition shuffles at
+    most one row per key it contains. With d duplicate rows per key per
+    input partition the exchange moves ~1/d of the window form's bytes,
+    which is the difference that matters on a 100 TB fact table.
+
+    To get the pure HashAggregate plan (no sort anywhere), pack ``rank``
+    into a single LONG (fixed-width bit fields, descending parts negated)
+    and keep the needed ``payload`` columns primitive: Spark's
+    HashAggregate requires fixed-width mutable aggregation buffers, so a
+    struct- or string-typed rank (or value) silently falls back to
+    SortAggregate — still one partial-combined exchange, but with a
+    per-partition sort on both sides. Pass ``payload`` to limit the
+    output to the columns actually needed downstream; the scan then
+    prunes to exactly keys + payload + rank inputs.
+
+    Prefer this form when only the surviving row is needed; keep the
+    window form when the rank itself (sequence numbers, top-N > 1) is the
+    output, or when the row is too wide to re-assemble column-wise.
+    """
+    cols = [c for c in (payload or df.columns) if c not in keys]
+    return df.groupBy(*keys).agg(
+        *[F.min_by(c, rank).alias(c) for c in cols]
+    )
+
+
 def sequence_number(
     df: DataFrame,
     keys: Sequence[str],

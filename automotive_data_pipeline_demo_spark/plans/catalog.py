@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from automotive_data_pipeline_demo_spark.operators import (
     case_ladder,
     dedup_latest,
+    dedup_latest_agg,
     ilike_classify,
     ordered_distinct_array,
     primary_relationship,
@@ -1124,6 +1125,60 @@ _register(QuerySpec(
     """,
     bench=True,
     tags=("window",),
+))
+
+
+def q_w1_dedup_latest_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 scale variant: the same latest-record-per-key result as
+    w1_dedup_latest, computed as ONE partial-aggregating HashAggregate
+    (per-column min_by over a packed-long rank — no sort anywhere in the
+    plan, scan pruned to the 4 needed columns) instead of
+    Exchange+Sort+Window. Shares w1's oracle so the driver proves both
+    physical strategies
+    produce identical rows; bench carries both so the sort-vs-agg gap is
+    measured, not asserted (see dedup_latest_agg's docstring).
+    """
+    li = _t(spark, sf, "lineitem")
+    # rank packed into ONE long (shipdate desc, then linenumber/quantity
+    # asc) so every aggregation buffer is a fixed-width primitive and the
+    # plan stays HashAggregate: (inverted day)«24 | linenumber«16 |
+    # quantity-in-hundredths (l_linenumber<=7, l_quantity<=50 in this
+    # corpus — widths chosen with headroom, asserted by the shared oracle)
+    rank = (
+        (F.lit(99999) - F.unix_date(F.to_date("l_shipdate"))).cast("long")
+        * F.lit(1 << 24)
+        + F.col("l_linenumber").cast("long") * F.lit(1 << 16)
+        + F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    latest = dedup_latest_agg(
+        li, ["l_orderkey"], rank,
+        payload=["l_linenumber", "l_shipdate", "l_quantity"],
+    )
+    return latest.select(
+        "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_day"),
+        F.round(F.col("l_quantity").cast("decimal(18,2)"), 2).cast("double").alias("quantity"),
+    )
+
+
+_register(QuerySpec(
+    name="w1_dedup_latest_agg",
+    survey="W1,W2,O4 (hash-agg physical strategy)",
+    build=q_w1_dedup_latest_agg,
+    oracle="""
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_shipdate DESC, l_linenumber ASC,
+                                             l_quantity ASC) AS rn
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity
+        FROM r WHERE rn = 1
+    """,
+    bench=True,
+    tags=("window", "scale"),
 ))
 
 

@@ -119,6 +119,33 @@ def test_dedup_latest_matches_python_reference(spark, rows):
     assert got == _py_dedup_latest(rows)
 
 
+@given(_dup_rows)
+@settings(**_SETTINGS)
+def test_dedup_latest_agg_matches_window_form(spark, rows):
+    """The hash-agg strategy (min_by over a comparator struct) must pick
+    exactly the rows the sort-window strategy picks, including NULL-order
+    and tied-order inputs — the comparator mirrors desc-NULLS-LAST order
+    with an explicit null marker + coalesce so min_by never sees a NULL
+    rank (min_by skips NULL-ranked rows entirely)."""
+    from pyspark.sql import functions as F
+
+    from automotive_data_pipeline_demo_spark.operators.dedup import (
+        dedup_latest_agg,
+    )
+
+    df = spark.createDataFrame(rows, "k int, o int, p int")
+    rank = F.struct(
+        F.col("o").isNull().cast("int").alias("null_last"),
+        (-F.coalesce(F.col("o"), F.lit(0))).alias("neg_o"),
+        F.col("p").alias("tie"),
+    )
+    got = sorted(
+        (r["k"], r["o"], r["p"])
+        for r in dedup_latest_agg(df, ["k"], rank).collect()
+    )
+    assert got == _py_dedup_latest(rows)
+
+
 @given(
     st.lists(
         st.tuples(
