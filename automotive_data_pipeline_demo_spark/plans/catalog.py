@@ -112,6 +112,7 @@ from automotive_data_pipeline_demo_spark.sources.inbox import (
 )
 from automotive_data_pipeline_demo_spark.sources.readers import (
     read_csv_typed,
+    read_jsonl_typed,
     read_lake,
     read_lake_evolved,
     write_partitioned_lake,
@@ -909,6 +910,65 @@ _register(QuerySpec(
         FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
     """,
     tags=("join", "reconcile"),
+))
+
+
+def q_j_fuzzy_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution blocking join: candidate near-duplicate part names
+    via block-then-score — the classic record-linkage recipe behind the
+    reference's fuzzy contact fallback (J5,
+    identity-resolution/api-server.js; there the block key is exact
+    email/phone, here an attribute bucket). Pairs are generated ONLY inside
+    a block (equi-join on p_size — a real shuffle key, never a cartesian),
+    ordered a<b to emit each pair once, then scored with Levenshtein edit
+    distance and thresholded; the survivors aggregate to candidate
+    name-pairs with support counts.
+
+    Scale shape: block cardinality bounds the fan-out (pairs per block ~
+    (n/b)^2, tunable by block key choice exactly like MinHash bands bound
+    x_dedup_minhash); the edit distance runs only on in-block pairs, and
+    the final aggregate partial-combines on the name pair. 100 TB path:
+    compose the block key from multiple attributes (brand x size) or a
+    phonetic key to keep blocks bounded.
+    """
+    part = _t(spark, sf, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("block"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("block"),
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 3)
+    )
+    return pairs.groupBy("name_a", "name_b", "lev").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+_register(QuerySpec(
+    name="j_fuzzy_blocking",
+    survey="J5 generalization: blocked fuzzy-match candidate generation",
+    build=q_j_fuzzy_blocking,
+    oracle="""
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM part a JOIN part b
+          ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+             AND a.p_name <> b.p_name
+             AND levenshtein(a.p_name, b.p_name) <= 3
+        GROUP BY 1, 2, 3
+    """,
+    tags=("join", "fuzzy", "blocking"),
 ))
 
 
@@ -2826,6 +2886,50 @@ _register(QuerySpec(
 ))
 
 
+def q_s10_corrupt_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """S10 hardening: JSON-lines ingestion that QUARANTINES malformed
+    payloads instead of dropping or failing. Writes the documents table as
+    JSONL, plants three undecodable lines (truncated object, non-JSON
+    text, bare array), reads back through the declared-schema PERMISSIVE
+    reader, and classifies every line: parsed rows count under their lang,
+    malformed lines under '__corrupt__' with the raw payload preserved for
+    replay. The oracle proves zero silent loss: per-lang counts match the
+    source exactly and the corrupt bucket is exactly the planted lines.
+    """
+    out = _scratch(sf, "documents_jsonl")
+    docs = _t(spark, sf, "documents")
+    docs.select("doc_id", "lang").write.mode("overwrite").json(out)
+    bad = os.path.join(out, "part-99999-planted-bad.json")
+    with open(bad, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 1, "lang": "en"\n')
+        fh.write("definitely not json\n")
+        fh.write('[1, 2, 3]\n')
+    typed = read_jsonl_typed(
+        spark, out, {"doc_id": "bigint", "lang": "string"}
+    )
+    category = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("lang"))
+    )
+    return typed.groupBy(category.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+_register(QuerySpec(
+    name="s10_corrupt_jsonl",
+    survey="S10 + malformed-row capture (glue_vehicle_sales_etl.py:59)",
+    build=q_s10_corrupt_jsonl,
+    oracle="""
+        SELECT lang AS category, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM documents GROUP BY 1
+        UNION ALL
+        SELECT '__corrupt__', CAST(3 AS BIGINT)
+    """,
+    tags=("source", "json", "quarantine"),
+))
+
+
 def q_p4_softdelete_optout(spark: SparkSession, sf: str) -> DataFrame:
     """P4/P7/F17: soft-delete + GDPR opt-out filtering with NULL-able flags.
 
@@ -3559,6 +3663,105 @@ _register(QuerySpec(
         FROM events GROUP BY 1, 2
     """,
     tags=("agg", "time_bucket"),
+))
+
+
+def q_w_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill: per-nation daily order revenue over
+    a fixed quarter, with missing days materialized from a generated date
+    spine, the last known revenue carried forward (LOCF), and a
+    days-since-last-sale staleness counter — the time-series resample the
+    reference's daily match_analytics rollup implies but Redshift cannot
+    express without a calendar table
+    (identity-resolution/database-schema.sql:196-229).
+
+    Scale shape: the only full-size work is the orders scan with the date
+    predicate pushed to parquet and ONE partial-aggregated exchange down to
+    (nation, day) grain; the spine is generated (25 nations x 90 days, no
+    stored calendar), the left join broadcasts the tiny daily aggregate,
+    and the LOCF window partitions by nation — calendar-grain rows only,
+    never documents. Revenue is exact (integer-cents sum, one end
+    division), so forward-filled values are bit-identical cross-engine.
+    """
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    start, end = "1995-01-01", "1995-03-31"
+    daily = (
+        orders.filter(F.to_date("o_orderdate").between(start, end))
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("o_totalprice", "rev"),
+        )
+    )
+    spine = nation.select(
+        "n_name",
+        F.explode(
+            F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+        ).alias("day"),
+    )
+    joined = spine.join(F.broadcast(daily), ["n_name", "day"], "left")
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_sale_day = F.last(
+        F.when(F.col("n").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w)
+    return joined.select(
+        "n_name",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("day_revenue"),
+        F.coalesce(
+            F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_revenue"),
+        F.datediff(F.col("day"), last_sale_day).cast("long").alias("days_since_sale"),
+    )
+
+
+_register(QuerySpec(
+    name="w_gap_fill",
+    survey="extension: calendar gap-fill + LOCF forward fill (time-series resample)",
+    build=q_w_gap_fill,
+    oracle="""
+        WITH spine AS (
+          SELECT n_name, CAST(gs AS DATE) AS day
+          FROM nation, generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                       INTERVAL 1 DAY) AS t(gs)
+        ), daily AS (
+          SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE CAST(o.o_orderdate AS DATE)
+                BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT s.n_name, s.day, d.n, d.rev
+          FROM spine s LEFT JOIN daily d USING (n_name, day)
+        )
+        SELECT n_name, day,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+               COALESCE(rev, 0.0) AS day_revenue,
+               COALESCE(last_value(rev IGNORE NULLS)
+                          OVER (PARTITION BY n_name ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0.0) AS filled_revenue,
+               CAST(date_diff('day',
+                    last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+                      OVER (PARTITION BY n_name ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    day) AS BIGINT) AS days_since_sale
+        FROM j
+    """,
+    tags=("window", "timeseries", "gapfill"),
 ))
 
 

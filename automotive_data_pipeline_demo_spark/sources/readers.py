@@ -82,6 +82,39 @@ def read_csv_typed(
     return raw.select(*cols)
 
 
+def read_jsonl_typed(
+    spark: SparkSession,
+    path: str,
+    schema: Mapping[str, str | T.DataType],
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """JSON-lines read with a declared schema and malformed-line capture.
+
+    The web-event capture path (S10, ``identity-resolution/api-server.js``
+    POST body -> row) receives attacker-controlled payloads; the
+    reference's posture is "quality over speed"
+    (``scripts/glue_vehicle_sales_etl.py:59``), so instead of dropping or
+    failing on bad lines (DROPMALFORMED / FAILFAST), PERMISSIVE mode lands
+    every undecodable line intact in ``_corrupt_record`` for quarantine
+    and replay. As with CSV, Spark only populates the corrupt column when
+    it appears in an explicit schema — never rely on schema inference to
+    surface it. Scale-free: schema is declared, no inference pass.
+    """
+    fields = [
+        f"{n} {t.simpleString() if isinstance(t, T.DataType) else t}"
+        for n, t in schema.items()
+    ]
+    if keep_corrupt:
+        fields.append(f"{CORRUPT_COL} string")
+    return (
+        spark.read.options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL
+        )
+        .schema(", ".join(fields))
+        .json(path)
+    )
+
+
 def write_partitioned_lake(
     df: DataFrame,
     path: str,
