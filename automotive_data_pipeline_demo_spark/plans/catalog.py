@@ -3632,6 +3632,54 @@ _register(QuerySpec(
 ))
 
 
+def q_a_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of a_pivot: a wide per-segment metrics
+    frame melts to long (segment, metric, value) form, the shape metric
+    stores and chart layers consume. Spark's native ``unpivot`` expands
+    rows inside the same stage (no shuffle beyond the feeding aggregate);
+    all measures cast to double first — unpivot requires one value type,
+    and every measure here is exact in double (counts < 2^53, money via
+    integer-cents sum).
+    """
+    c = _t(spark, sf, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        _dec_sum("c_acctbal", "total_acctbal"),
+        F.min(_cents("c_acctbal")).cast("double").alias("min_acctbal_cents"),
+        F.max(_cents("c_acctbal")).cast("double").alias("max_acctbal_cents"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_acctbal", "min_acctbal_cents", "max_acctbal_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_register(QuerySpec(
+    name="a_unpivot",
+    survey="extension: UNPIVOT/melt (wide metrics -> long form)",
+    build=q_a_unpivot,
+    oracle="""
+        WITH wide AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+                 CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   AS min_acctbal_cents,
+                 CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   AS max_acctbal_cents
+          FROM customer GROUP BY 1
+        )
+        SELECT c_mktsegment, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (n_customers, total_acctbal,
+                                      min_acctbal_cents, max_acctbal_cents))
+    """,
+    tags=("agg", "unpivot"),
+))
+
+
 def q_a_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style time_bucket rollup: events floored to 6-hour buckets
     (arbitrary width — not limited to calendar units), per-type counts and
@@ -4487,6 +4535,72 @@ _register(QuerySpec(
           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
     """,
     tags=("scale", "bloom", "semi-join"),
+))
+
+
+def q_scale_dpp_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact lake is hive-partitioned
+    by order month; the query joins it to a stored month-dimension filtered
+    on an ATTRIBUTE (quarter), so the surviving partition values are only
+    knowable at runtime — a literal month list would constant-fold into
+    static pruning and prove nothing. Spark inserts a
+    dynamicpruningexpression subquery on the fact scan that reuses the
+    dimension's broadcast to skip non-matching partitions before reading
+    them — the mechanism that turns a 100 TB star-join scan into reading
+    only the quarter actually joined. The plan shape is DRIVER-CHECKED:
+    plan_dpp rides in the output as 1 only when the executed plan contains
+    the runtime pruning subquery.
+    """
+    lake = _scratch(sf, "orders_dpp_lake")
+    dim_path = _scratch(sf, "month_dim")
+    orders = _t(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    orders.select("o_orderkey", "o_totalprice", month).write.mode(
+        "overwrite"
+    ).partitionBy("order_month").parquet(lake)
+    (
+        orders.select(month)
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("order_month", 1, 4),
+                F.lit("Q"),
+                F.expr("(cast(substring(order_month, 6, 2) as int) + 2) div 3"),
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = read_lake(spark, lake)
+    dim = spark.read.parquet(dim_path).filter(F.col("quarter") == "1995Q1")
+    out = (
+        fact.join(F.broadcast(dim), "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "revenue"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ok = "dynamicpruning" in plan.lower()
+    return out.withColumn("plan_dpp", F.lit(1 if ok else 0).cast("int"))
+
+
+_register(QuerySpec(
+    name="scale_dpp_prune",
+    survey="scale: dynamic partition pruning on a star join",
+    build=q_scale_dpp_prune,
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(1 AS INT) AS plan_dpp
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-01', '1995-02', '1995-03')
+        GROUP BY 1
+    """,
+    tags=("scale", "dpp", "pruning"),
 ))
 
 
