@@ -117,6 +117,7 @@ from automotive_data_pipeline_demo_spark.sources.readers import (
     read_lake_evolved,
     write_partitioned_lake,
 )
+from automotive_data_pipeline_demo_spark.sources.merge import scd2_merge
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 from automotive_data_pipeline_demo_spark.extensions.sampling import (
     hash_split,
@@ -3450,6 +3451,108 @@ _register(QuerySpec(
         FROM orders
     """,
     tags=("window", "scd2"),
+))
+
+
+def q_u_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 MERGE-apply: a change batch lands on a versioned
+    dimension — changed keys close their current row and open a new one,
+    unchanged updates are no-ops (idempotent re-delivery), brand-new keys
+    insert open rows, history rows pass through untouched. Completes the
+    type-2 story: w_scd2_history BUILDS intervals from history,
+    scd2_merge MAINTAINS them incrementally (the reference stops at SCD1
+    DELETE+INSERT, glue_vehicle_sales_etl.py:289-392).
+
+    Fixture-derived deterministic cases: every customer is current with
+    its mktsegment; keys %3==0 carry a closed 'OLD' history row; the
+    batch updates keys %5==0 (of which %10==0 keep their segment — no-op)
+    and inserts %100==0 under shifted NEW keys.
+    """
+    c = _t(spark, sf, "customer")
+    d95, d94, eff = "1995-01-01", "1994-01-01", "1995-06-01"
+    cur = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(d95).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("OLD").alias("segment"),
+        F.lit(d94).cast("date").alias("valid_from"),
+        F.lit(d95).cast("date").alias("valid_to"),
+        F.lit(0).cast("int").alias("is_current"),
+    )
+    target = hist.unionByName(cur)
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_mktsegment"))
+            .otherwise(F.lit("MOVED"))
+            .alias("segment"),
+            F.lit(eff).cast("date").alias("effective_at"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("custkey"),
+                F.lit("NEWKEY").alias("segment"),
+                F.lit(eff).cast("date").alias("effective_at"),
+            )
+        )
+    )
+    return scd2_merge(target, updates, keys=["custkey"], tracked=["segment"])
+
+
+_register(QuerySpec(
+    name="u_scd2_merge",
+    survey="S5/J7 type-2 companion: SCD2 MERGE-apply (close + open + insert)",
+    build=q_u_scd2_merge,
+    oracle="""
+        WITH cur AS (
+          SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                 DATE '1995-01-01' AS valid_from,
+                 CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+          FROM customer
+        ), hist AS (
+          SELECT c_custkey AS custkey, 'OLD' AS segment,
+                 DATE '1994-01-01' AS valid_from,
+                 DATE '1995-01-01' AS valid_to, 0 AS is_current
+          FROM customer WHERE c_custkey % 3 = 0
+        ), upd AS (
+          SELECT c_custkey AS custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+                      ELSE 'MOVED' END AS segment,
+                 DATE '1995-06-01' AS eff
+          FROM customer WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWKEY', DATE '1995-06-01'
+          FROM customer WHERE c_custkey % 100 = 0
+        ), j AS (
+          SELECT COALESCE(c.custkey, u.custkey) AS custkey,
+                 c.segment AS c_seg, c.valid_from AS c_vf,
+                 u.segment AS u_seg, u.eff,
+                 c.custkey IS NOT NULL AS has_c,
+                 u.custkey IS NOT NULL AS has_u
+          FROM cur c FULL OUTER JOIN upd u ON c.custkey = u.custkey
+        )
+        SELECT custkey, segment, valid_from, valid_to,
+               CAST(is_current AS INT) AS is_current
+        FROM (
+          SELECT custkey, segment, valid_from, valid_to, is_current FROM hist
+          UNION ALL
+          SELECT custkey, c_seg, c_vf, CAST(NULL AS DATE), 1
+          FROM j WHERE has_c AND (NOT has_u OR c_seg IS NOT DISTINCT FROM u_seg)
+          UNION ALL
+          SELECT custkey, c_seg, c_vf, eff, 0
+          FROM j WHERE has_c AND has_u AND c_seg IS DISTINCT FROM u_seg
+          UNION ALL
+          SELECT custkey, u_seg, eff, CAST(NULL AS DATE), 1
+          FROM j WHERE has_u AND (NOT has_c OR c_seg IS DISTINCT FROM u_seg)
+        )
+    """,
+    tags=("merge", "scd2", "upsert"),
 ))
 
 

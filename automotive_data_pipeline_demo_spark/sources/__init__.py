@@ -16,7 +16,7 @@ from automotive_data_pipeline_demo_spark.sources.inbox import (
     list_inbox,
     read_latest_encrypted_inbox,
 )
-from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert
+from automotive_data_pipeline_demo_spark.sources.merge import merge_upsert, scd2_merge
 from automotive_data_pipeline_demo_spark.sources.sinks import write_jsonl_events
 
 __all__ = [
@@ -31,5 +31,6 @@ __all__ = [
     "compact_parquet",
     "plan_compaction",
     "merge_upsert",
+    "scd2_merge",
     "write_jsonl_events",
 ]

@@ -176,3 +176,84 @@ def merge_upsert(
     # Success only: staging is no longer needed (for the unpartitioned swap
     # it was already renamed away, making this a no-op).
     fs.delete(staging_jpath, True)
+
+
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective_col: str = "effective_at",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a change batch to a type-2 SCD table (Kimball merge-apply).
+
+    The reference keeps latest-wins state only (SCD1 DELETE+INSERT,
+    ``scripts/glue_vehicle_sales_etl.py:289-392``); this is the type-2
+    companion: for every update whose ``tracked`` attributes differ
+    (null-safely) from the key's CURRENT row, the current row closes
+    (``valid_to`` = the update's ``effective_col``, ``is_current`` = 0) and
+    a new open row inserts; brand-new keys insert open rows; updates whose
+    attributes match the current row are no-ops, so re-delivered batches
+    are idempotent (ST1 discipline). History rows are never touched.
+
+    ``target`` columns: keys + tracked + the three interval columns.
+    ``updates`` columns: keys + tracked + ``effective_col`` (deduped to
+    latest-per-key first; pass ``tiebreakers`` if effective times can tie).
+
+    Scale shape: ONE full-outer equi-join of the CURRENT slice against the
+    (deduped, typically small) batch; each joined row then emits its 1-2
+    output rows through a conditional array + explode in the SAME stage —
+    no second join, no re-scan of the join to classify each case. History
+    unions in untouched, so the heavy side is read once. At 100 TB keep
+    the dimension partitioned so only touched partitions rewrite
+    (merge_upsert's pruning applies unchanged).
+    """
+    upd = dedup_latest(updates, keys, [effective_col], tiebreakers)
+    cur = target.filter(F.col(current_col) == 1)
+    hist = target.filter(F.col(current_col) != 1)
+    uu = upd.select(
+        *keys,
+        *[F.col(t).alias(f"__u_{t}") for t in tracked],
+        F.col(effective_col).alias("__u_eff"),
+    ).withColumn("__u", F.lit(1))
+    j = cur.withColumn("__c", F.lit(1)).join(uu, list(keys), "full_outer")
+    has_c, has_u = F.col("__c").isNotNull(), F.col("__u").isNotNull()
+    differs = F.lit(False)
+    for t in tracked:
+        differs = differs | ~F.col(t).eqNullSafe(F.col(f"__u_{t}"))
+
+    def row(attrs: dict, vf, vt, current: int):
+        fields = [F.col(k).alias(k) for k in keys]
+        fields += [attrs[t].alias(t) for t in tracked]
+        to_type = target.schema[valid_to_col].dataType.simpleString()
+        fields += [
+            vf.alias(valid_from_col),
+            vt.cast(to_type).alias(valid_to_col),
+            F.lit(current).cast(
+                target.schema[current_col].dataType.simpleString()
+            ).alias(current_col),
+        ]
+        return F.struct(*fields)
+
+    c_attrs = {t: F.col(t) for t in tracked}
+    u_attrs = {t: F.col(f"__u_{t}") for t in tracked}
+    unchanged = row(c_attrs, F.col(valid_from_col), F.col(valid_to_col), 1)
+    closed = row(c_attrs, F.col(valid_from_col), F.col("__u_eff"), 0)
+    opened = row(u_attrs, F.col("__u_eff"), F.lit(None), 1)
+    emitted = (
+        F.when(has_c & (~has_u | ~differs), F.array(unchanged))
+        .when(has_c & has_u & differs, F.array(closed, opened))
+        .otherwise(F.array(opened))  # new key
+    )
+    out_cols = list(keys) + list(tracked) + [
+        valid_from_col, valid_to_col, current_col,
+    ]
+    exploded = (
+        j.select(F.explode(emitted).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in out_cols])
+    )
+    return hist.select(*out_cols).unionByName(exploded)

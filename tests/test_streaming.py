@@ -52,6 +52,58 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert rows == {"D1": 150.0, "D2": 200.0}
 
 
+def test_scd2_merge_cases_and_idempotence(spark):
+    """One batch exercises all four SCD2 cases; re-applying the merged
+    result against the same batch changes nothing (ST1 idempotence)."""
+    from automotive_data_pipeline_demo_spark.sources.merge import scd2_merge
+
+    d = lambda s: datetime.fromisoformat(s).date()  # noqa: E731
+    target = spark.createDataFrame(
+        [
+            # K1: history row + current row (will change)
+            Row(k="K1", seg="OLD", valid_from=d("2024-01-01"),
+                valid_to=d("2025-01-01"), is_current=0),
+            Row(k="K1", seg="A", valid_from=d("2025-01-01"),
+                valid_to=None, is_current=1),
+            # K2: current row, update matches -> no-op
+            Row(k="K2", seg="B", valid_from=d("2025-01-01"),
+                valid_to=None, is_current=1),
+            # K3: current row, no update -> untouched
+            Row(k="K3", seg="C", valid_from=d("2025-01-01"),
+                valid_to=None, is_current=1),
+        ],
+        "k string, seg string, valid_from date, valid_to date, is_current int",
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k="K1", seg="A2", effective_at=d("2025-06-01")),
+            Row(k="K2", seg="B", effective_at=d("2025-06-01")),
+            Row(k="K4", seg="D", effective_at=d("2025-06-01")),  # new key
+        ],
+        "k string, seg string, effective_at date",
+    )
+    merged = scd2_merge(target, updates, keys=["k"], tracked=["seg"])
+    got = {
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in merged.collect()
+    }
+    assert got == {
+        ("K1", "OLD", "2024-01-01", "2025-01-01", 0),
+        ("K1", "A", "2025-01-01", "2025-06-01", 0),   # closed
+        ("K1", "A2", "2025-06-01", "None", 1),        # opened
+        ("K2", "B", "2025-01-01", "None", 1),         # no-op kept
+        ("K3", "C", "2025-01-01", "None", 1),         # untouched
+        ("K4", "D", "2025-06-01", "None", 1),         # new key
+    }
+    # idempotence: the same batch against the merged table is a no-op
+    again = scd2_merge(merged, updates, keys=["k"], tracked=["seg"])
+    got2 = {
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in again.collect()
+    }
+    assert got2 == got
+
+
 def test_merge_upsert_takes_latest_within_batch(spark, tmp_path):
     target = str(tmp_path / "sales2")
     batch = spark.createDataFrame(
