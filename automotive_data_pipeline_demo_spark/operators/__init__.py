@@ -29,6 +29,7 @@ from automotive_data_pipeline_demo_spark.operators.layout import (
 )
 from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
+    global_sequence,
     hash_prefilter_join,
     salted_groupby_sum,
     salted_join,
@@ -56,6 +57,7 @@ __all__ = [
     "dq_report",
     "range_join",
     "bucketed_join",
+    "global_sequence",
     "hash_prefilter_join",
     "salted_groupby_sum",
     "salted_join",

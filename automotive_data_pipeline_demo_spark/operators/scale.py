@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -255,4 +255,57 @@ def skew_report(
         "key",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+    )
+
+
+def global_sequence(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global 1-based row numbering WITHOUT a one-partition
+    sort.
+
+    The naive ``ROW_NUMBER() OVER (ORDER BY ...)`` plans as an exchange of
+    the ENTIRE dataset into a single partition — the canonical 100 TB
+    scale-killer (and exactly what the catalog's single-partition plan
+    guard exists to catch). The distributed recipe:
+
+    1. range-partition on ``order_by`` (each partition owns a disjoint,
+       ordered key range);
+    2. count rows per partition — at most ``num_partitions`` longs reach
+       the driver, independent of data size;
+    3. each partition locally sorts and numbers its own range, then adds
+       its predecessors' cumulative count as an offset (a broadcastable
+       literal map).
+
+    ``order_by`` must be a total order (unique; the module-wide tiebreaker
+    discipline) or numbering within ties is arbitrary. The range-tagged
+    frame is persisted so the count pass and the output pass see the SAME
+    sampled range boundaries — RangePartitioner samples its split points,
+    so recomputation could re-draw them between the two actions.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    tagged = parts.withColumn("__pid", F.spark_partition_id()).persist()
+    sizes = {r["__pid"]: r["n"] for r in
+             tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        tagged.withColumn(
+            out_col,
+            (F.row_number().over(w).cast("long") + off_map[F.col("__pid")]),
+        )
+        .drop("__pid")
     )

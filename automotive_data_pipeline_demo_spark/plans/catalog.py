@@ -45,6 +45,7 @@ from automotive_data_pipeline_demo_spark.operators.quality import dq_report
 from automotive_data_pipeline_demo_spark.operators.asof import asof_join, range_join
 from automotive_data_pipeline_demo_spark.operators.scale import (
     bucketed_join,
+    global_sequence,
     hash_prefilter_join,
     salted_groupby_sum,
     skew_report,
@@ -1332,6 +1333,32 @@ _register(QuerySpec(
         ORDER BY rev.open_revenue DESC NULLS LAST, c.c_custkey ASC LIMIT 500
     """,
     tags=("sort",),
+))
+
+
+def q_o_global_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global row numbering at scale: range-partition, count
+    partitions (<= num_partitions longs to the driver), number locally
+    with a cumulative offset — versus the naive ROW_NUMBER() OVER (ORDER
+    BY ...) whose plan collapses the whole dataset into ONE partition
+    (the exchange the single-partition plan guard bans). The oracle IS
+    that naive global window, so the driver proves the distributed
+    recipe numbers identically.
+    """
+    o = _t(spark, sf, "orders")
+    return global_sequence(o.select("o_orderkey"), ["o_orderkey"], out_col="seq")
+
+
+_register(QuerySpec(
+    name="o_global_sequence",
+    survey="O1 at scale: global sequence without a single-partition sort",
+    build=q_o_global_sequence,
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS seq
+        FROM orders
+    """,
+    tags=("sort", "scale"),
 ))
 
 

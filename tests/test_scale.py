@@ -226,3 +226,22 @@ def test_write_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
     assert z["o_day"] < 0.5 * glob_row["dy"], z
     # and no rows lost
     assert spark.read.parquet(z_out).count() == orders.count()
+
+
+def test_global_sequence_is_dense_and_deterministic(spark):
+    """The distributed numbering is a dense 1..n permutation in key order,
+    and two independent invocations agree even though range boundaries are
+    sampled (the persist pins one sampling per invocation; key order plus
+    per-partition counts make the RESULT boundary-independent)."""
+    from automotive_data_pipeline_demo_spark.operators.scale import (
+        global_sequence,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k")  # permuted unique keys
+    )
+    a = global_sequence(df, ["k"], num_partitions=7)
+    rows = sorted((r["k"], r["seq"]) for r in a.collect())
+    assert rows == [(k, k + 1) for k in range(1000)]
+    b = global_sequence(df, ["k"], num_partitions=3)
+    assert sorted((r["k"], r["seq"]) for r in b.collect()) == rows
