@@ -3106,6 +3106,79 @@ _register(QuerySpec(
 ))
 
 
+def q_p_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-exact per-group winsorization: order amounts clamped to their
+    priority class's [p05, p95] — the outlier-capping step a financial
+    rollup runs before averaging so one fat-fingered deal can't move a
+    segment metric. Percentiles are RANK-SELECTED values (the
+    x_corpus_quantiles discipline), never interpolated: k = ceil(p*n) via
+    pure integer math, so both engines pick the identical element and
+    clamping is selection, not float arithmetic.
+
+    One shuffle total: the rank window partitions by priority, the
+    threshold aggregate reuses that partitioning (no second exchange),
+    and the thresholds (one row per class) broadcast back onto the
+    already-partitioned rows.
+    """
+    o = _t(spark, sf, "orders")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_all = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = o.select("o_orderkey", "o_orderpriority", "o_totalprice").withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).withColumn("n", F.count(F.lit(1)).over(w_all))
+    k_lo = F.expr("(n * 5 + 99) div 100")    # ceil(0.05 n), exact ints
+    k_hi = F.expr("(n * 95 + 99) div 100")   # ceil(0.95 n)
+    thresholds = (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(F.col("rn") == k_lo, F.col("o_totalprice"))).alias("lo"),
+            F.min(F.when(F.col("rn") == k_hi, F.col("o_totalprice"))).alias("hi"),
+        )
+    )
+    return (
+        ranked.drop("rn", "n")
+        .join(F.broadcast(thresholds), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+            .alias("price_winsorized"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p_winsorize",
+    survey="extension: rank-exact per-group winsorization (outlier capping)",
+    build=q_p_winsorize,
+    oracle="""
+        WITH ranked AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        ), thresholds AS (
+          SELECT o_orderpriority,
+                 MIN(CASE WHEN rn = (n * 5 + 99) // 100
+                          THEN o_totalprice END) AS lo,
+                 MIN(CASE WHEN rn = (n * 95 + 99) // 100
+                          THEN o_totalprice END) AS hi
+          FROM ranked GROUP BY 1
+        )
+        SELECT r.o_orderkey, r.o_orderpriority, r.o_totalprice,
+               LEAST(GREATEST(r.o_totalprice, t.lo), t.hi) AS price_winsorized
+        FROM ranked r JOIN thresholds t USING (o_orderpriority)
+    """,
+    tags=("cleaning", "robust-stats"),
+))
+
+
 def q_f24_adf_parse(spark: SparkSession, sf: str) -> DataFrame:
     """F24/UD3: ADF/XML lead parsing — the engine's one genuine pandas UDF.
 
