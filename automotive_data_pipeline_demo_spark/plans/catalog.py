@@ -77,6 +77,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     simhash,
     simhash_dedup,
     simhash_near_pairs,
+    word_shingles,
 )
 from automotive_data_pipeline_demo_spark.extensions.classifier import (
     hashed_linear_score,
@@ -2025,6 +2026,123 @@ _register(QuerySpec(
         GROUP BY 1, 2
     """,
     tags=("text", "decontamination"),
+))
+
+
+def q_x_text_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source leakage matrix: for every source pair, how many
+    distinct 8-grams they share — the audit a curator runs before mixing
+    corpora (one source quoting another inflates dedup losses and
+    benchmark-contamination risk; decontamination's pairwise sibling).
+
+    Scale shape: grams materialize once inside the scan as DISTINCT
+    (source, gram) rows; a doc-frequency band [2, 10] drops both
+    single-source grams (no pair can share them) and boilerplate grams
+    BEFORE the self-join, exactly the hot-shingle capping discipline of
+    minhash_candidate_pairs — the join fan-out is bounded by band_width^2
+    per gram, never corpus^2. Output is one row per source pair (<=
+    sources^2 / 2 rows, calendar-grain tiny).
+    """
+    docs = _t(spark, sf, "documents")
+    g = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 8)).alias("g")
+    ).distinct()
+    kept = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 10))
+    )
+    banded = g.join(kept.select("g"), "g")
+    a = banded.select(F.col("source").alias("source_a"), "g")
+    b = banded.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_register(QuerySpec(
+    name="x_text_overlap_matrix",
+    survey="north-star: cross-source n-gram overlap matrix (mixing audit)",
+    build=q_x_text_overlap_matrix,
+    oracle="""
+        WITH tk AS (
+          SELECT source,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT source, array_to_string(toks[i : i + 7], ' ') AS g
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), kept AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING COUNT(*) BETWEEN 2 AND 10
+        ), banded AS (
+          SELECT grams.source, grams.g FROM grams JOIN kept USING (g)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM banded a JOIN banded b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    tags=("text", "decontamination", "audit"),
+))
+
+
+def q_x_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-dedup threshold sweep: pair counts at every candidate
+    cosine cutoff in ONE pass over the blocked pair set — the
+    knob-choosing report a curator reads before committing to a dedup
+    threshold (SemDeDup's epsilon sweep). Pairs enumerate once at the
+    loosest cutoff; each tighter cutoff is a conditional sum in the same
+    single aggregate, not a re-join.
+    """
+    emb = _t(spark, sf, "embeddings")
+    cuts = [0.20, 0.25, 0.30, 0.35, 0.40, 0.50]
+    pairs = embedding_near_dup_pairs(emb, threshold=min(cuts), block_col="label")
+    wide = pairs.agg(
+        *[
+            F.sum((F.col("score") >= F.lit(t)).cast("long")).alias(f"__n{i}")
+            for i, t in enumerate(cuts)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.coalesce(F.col(f"__n{i}"), F.lit(0)).alias("n_pairs"),
+            )
+            for i, t in enumerate(cuts)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.n_pairs").alias("n_pairs"),
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_threshold_sweep",
+    survey="north-star: dedup threshold sweep (epsilon-selection report)",
+    build=q_x_dedup_threshold_sweep,
+    oracle=f"""
+        WITH pairs AS (
+          SELECT ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4)
+                   AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT threshold, CAST(COALESCE(SUM(CASE WHEN score >= threshold
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+        FROM pairs, (SELECT UNNEST(CAST([0.20, 0.25, 0.30, 0.35, 0.40, 0.50]
+                                        AS DOUBLE[])) AS threshold) t
+        WHERE score >= 0.20
+        GROUP BY threshold
+    """,
+    tags=("dedup", "embedding", "report"),
 ))
 
 
