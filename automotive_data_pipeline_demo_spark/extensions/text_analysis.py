@@ -261,6 +261,11 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Per-term weights are quantized to integer micro-bits before the final
     sum, making the aggregate order-independent — bit-identical across
     partitionings and engines (float += is not associative; integer += is).
+    The 4-dp output rounding ALSO runs in integer space — half-up on the
+    exact rational S/(100 n) via one long division — because integer
+    micro-bit sums land exactly on decimal rounding boundaries (S/n/1e6 =
+    4.89955 at sf0.1), where Java's shortest-repr HALF_UP and a
+    scaled-double round() disagree by one final digit.
     """
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -283,8 +288,16 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.round(
-                (F.sum(F.col("tf") * F.col("w_micro")) / F.sum("tf")) / 1e6, 4
+            F.sum(F.col("tf") * F.col("w_micro")).alias("__s_micro"),
+        )
+        # round(S/n/1e6, 4) == round_half_up(S / (100 n)) / 1e4, done with
+        # long arithmetic: (2S + 100n) div (200n)
+        .select(
+            "id",
+            "n_tokens",
+            (
+                F.expr("(__s_micro * 2 + n_tokens * 100) div (n_tokens * 200)")
+                / F.lit(10000.0)
             ).alias("bits_per_token"),
         )
     )

@@ -5436,8 +5436,9 @@ _register(QuerySpec(
           FROM vocab
         ), scored AS (
           SELECT tf.id,
-                 ROUND((CAST(SUM(tf.tf * w.w_micro) AS BIGINT)
-                        / CAST(SUM(tf.tf) AS BIGINT)) / 1e6, 4)
+                 ((CAST(SUM(tf.tf * w.w_micro) AS BIGINT) * 2
+                   + CAST(SUM(tf.tf) AS BIGINT) * 100)
+                  // (CAST(SUM(tf.tf) AS BIGINT) * 200)) / 10000.0
                    AS bits_per_token
           FROM tf JOIN weighted w USING (term)
           GROUP BY tf.id
@@ -5488,8 +5489,11 @@ _register(QuerySpec(
         )
         SELECT tf.id,
                CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-               ROUND((CAST(SUM(tf.tf * w.w_micro) AS BIGINT)
-                      / CAST(SUM(tf.tf) AS BIGINT)) / 1e6, 4)
+               -- integer-space half-up 4dp rounding: (2S + 100n) // (200n)
+               -- (double round() straddles exact boundaries like 4.89955)
+               ((CAST(SUM(tf.tf * w.w_micro) AS BIGINT) * 2
+                 + CAST(SUM(tf.tf) AS BIGINT) * 100)
+                // (CAST(SUM(tf.tf) AS BIGINT) * 200)) / 10000.0
                  AS bits_per_token
         FROM tf JOIN weighted w USING (term)
         GROUP BY tf.id
