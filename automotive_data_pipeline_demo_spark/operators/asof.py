@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right_ts <= left_ts`` sharing the ``on`` keys (NULLs when none).
@@ -40,6 +41,12 @@ def asof_join(
     ``right_cols`` are emitted with a ``matched_`` prefix (plus
     ``matched_<right_ts>``). ``tiebreak`` orders tied right timestamps
     (greatest wins); omit only when (on, right_ts) is unique.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"90 days"``) bounds
+    match staleness, pandas ``merge_asof``-style: a right row older than
+    ``left_ts - tolerance`` is treated as no match (all ``matched_*``
+    NULL). Applied as a row-local predicate on the already-found match —
+    the union+window plan is unchanged, so the bound costs nothing.
     """
     on = list(on)
     keep_right = [right_ts, *[c for c in right_cols if c != right_ts]]
@@ -81,6 +88,13 @@ def asof_join(
         unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__is_left") == 1)
     )
+    if tolerance is not None:
+        fresh = F.col(f"__match.{right_ts}").cast("timestamp") >= (
+            F.col("__ts").cast("timestamp") - F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn(
+            "__match", F.when(fresh, F.col("__match"))
+        )
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
         F.col(f"__match.{c}").alias(f"matched_{c}") for c in keep_right

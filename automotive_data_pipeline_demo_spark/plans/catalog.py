@@ -3534,6 +3534,75 @@ _register(QuerySpec(
 ))
 
 
+def q_j5_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance):
+    each purchase event takes the user's latest PRIOR view event, but only
+    if it happened within the last hour — older views are treated as no
+    match, the attribution-window semantics of the reference's 24h
+    contact+time fallback (J5). The bound is a row-local predicate on the
+    already-found match, so the one-window as-of plan is unchanged.
+    """
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+        "value",
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["value", "view_id"],
+        tiebreak="view_id",
+        tolerance="1 hour",
+    )
+    return joined.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("matched_view_ts").alias("n_matched_1h"),
+        _dec_sum("matched_value", "sum_matched_value"),
+    )
+
+
+_register(QuerySpec(
+    name="j5_asof_tolerance",
+    survey="J5 (generalized): as-of join with staleness tolerance",
+    build=q_j5_asof_tolerance,
+    oracle="""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, ts AS vts, event_id AS vid, value FROM events
+          WHERE event_type = 'view'
+        ), best AS (
+          SELECT p.event_id, p.ts AS pts, v.vts, v.value,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.vts DESC, v.vid DESC) AS rn
+          FROM p JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts
+        ), m AS (
+          SELECT event_id,
+                 CASE WHEN vts >= pts - INTERVAL 1 HOUR THEN vts END AS mts,
+                 CASE WHEN vts >= pts - INTERVAL 1 HOUR THEN value END AS mval
+          FROM best WHERE rn = 1
+        )
+        SELECT CAST(p.ts AS DATE) AS day,
+               COUNT(*) AS n_purchases,
+               COUNT(m.mts) AS n_matched_1h,
+               CAST(SUM(CAST(m.mval AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_matched_value
+        FROM p LEFT JOIN m USING (event_id)
+        GROUP BY 1
+    """,
+    tags=("join", "asof", "tolerance"),
+))
+
+
 def q_j5_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Interval join (binned, no cross product): for each event, the other
     events of the same user in the following hour — the follow-up-activity
