@@ -107,6 +107,7 @@ from automotive_data_pipeline_demo_spark.streaming.identity import (
 )
 from automotive_data_pipeline_demo_spark.streaming.sessions import (
     match_analytics_breakdown,
+    sessionize_capped,
 )
 from automotive_data_pipeline_demo_spark.sources.inbox import (
     read_latest_encrypted_inbox,
@@ -4200,6 +4201,103 @@ _register(QuerySpec(
         FROM j
     """,
     tags=("window", "timeseries", "gapfill"),
+))
+
+
+def q_st5_capped_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization under an inactivity gap AND a hard duration cap
+    (GA-style "sessions end after N hours regardless") — a running reset
+    no fixed window frame expresses, folded per user in one JVM aggregate
+    (see sessionize_capped). The oracle replays the fold as a recursive
+    CTE stepping each user's event sequence, so the driver checks the
+    stateful recurrence itself, not just summary shapes.
+    """
+    e = _t(spark, sf, "events")
+    return sessionize_capped(e, gap_minutes=1440, cap_minutes=2880)
+
+
+_register(QuerySpec(
+    name="st5_capped_sessions",
+    survey="ST5 extension: duration-capped sessionization (running reset)",
+    build=q_st5_capped_sessions,
+    oracle="""
+        WITH RECURSIVE e AS (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), s AS (
+          SELECT user_id, rn, ts, ts AS sess_start,
+                 CAST(1 AS BIGINT) AS n_sessions,
+                 CAST(0 AS BIGINT) AS n_cap_splits
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.rn, e.ts,
+                 CASE WHEN e.ts > s.ts + INTERVAL 1440 MINUTE
+                        OR e.ts > s.sess_start + INTERVAL 2880 MINUTE
+                      THEN e.ts ELSE s.sess_start END,
+                 s.n_sessions
+                   + CASE WHEN e.ts > s.ts + INTERVAL 1440 MINUTE
+                            OR e.ts > s.sess_start + INTERVAL 2880 MINUTE
+                          THEN 1 ELSE 0 END,
+                 s.n_cap_splits
+                   + CASE WHEN NOT (e.ts > s.ts + INTERVAL 1440 MINUTE)
+                           AND e.ts > s.sess_start + INTERVAL 2880 MINUTE
+                          THEN 1 ELSE 0 END
+          FROM e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT user_id,
+               CAST(MAX(rn) AS BIGINT) AS n_events,
+               MAX(n_sessions) AS n_sessions,
+               MAX(n_cap_splits) AS n_cap_splits
+        FROM s GROUP BY user_id
+    """,
+    tags=("streaming", "session", "stateful"),
+))
+
+
+def q_p_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-limit audit — the batch twin of the reference's express-rate-
+    limit middleware (100 requests / 15-min fixed window per IP,
+    identity-resolution/api-server.js:60-68): events bucket into fixed
+    15-minute windows per user; windows over the limit report how many
+    events a live limiter would have rejected. Fixture traffic is sparse,
+    so the demo limit is 3/window (the operator is limit-parametric); the
+    aggregation is one partial-combined exchange on (user, window), the
+    same shape at any limit.
+    """
+    e = _t(spark, sf, "events")
+    width_us = 15 * 60 * 1_000_000
+    limit = 3
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / width_us) * width_us).cast("long")
+    )
+    return (
+        e.groupBy("user_id", bucket.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > limit)
+        .select(
+            "user_id",
+            "window_start",
+            "n_events",
+            (F.col("n_events") - limit).cast("long").alias("n_rejected"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="p_rate_limit",
+    survey="S10 hardening: rate-limit audit (api-server.js:60-68 batch twin)",
+    build=q_p_rate_limit,
+    oracle="""
+        SELECT user_id, time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) - 3 AS BIGINT) AS n_rejected
+        FROM events
+        GROUP BY 1, 2
+        HAVING COUNT(*) > 3
+    """,
+    tags=("filter", "rate-limit", "audit"),
 ))
 
 

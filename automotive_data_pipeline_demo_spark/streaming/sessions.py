@@ -122,3 +122,78 @@ def match_analytics_rollup(
         )
         .filter(F.col("date_period").isNotNull())
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    cap_minutes: int = 240,
+) -> DataFrame:
+    """Per-user session counts under BOTH an inactivity gap and a hard
+    duration cap (the GA-style "sessions end after 4 hours no matter
+    what" rule the plain ``session_window`` gap cannot express).
+
+    The cap is a RUNNING RESET: where the next session starts after a
+    cap split depends on every prior assignment, so no fixed window
+    frame computes it. Instead each user's events fold once, in
+    event-time order, inside a single JVM ``aggregate`` over the
+    collected (ts, id) array — one exchange on the user key, integer
+    microsecond state, no Python, no iteration. Returns (user, n_events,
+    n_sessions, n_cap_splits) where n_cap_splits counts sessions that
+    ended by cap rather than by gap.
+
+    Scale note: state per user is one struct; the collected array is the
+    user's own events (bounded by per-user activity, the same bound
+    session_window's state carries). For power users beyond memory,
+    pre-split by (user, day) and merge boundary sessions.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap_us = cap_minutes * 60 * 1_000_000
+    seq = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.struct(
+                # cast: parquet TIMESTAMP_NTZ is rejected by unix_micros
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                F.col(id_col).cast("long").alias("i"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("splits"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(0).cast("long").alias("prev"),
+    )
+
+    def step(acc, x):
+        first = acc["n"] == 0
+        gap_new = x["t"] - acc["prev"] > F.lit(gap_us)
+        cap_new = x["t"] - acc["start"] > F.lit(cap_us)
+        new_sess = first | gap_new | cap_new
+        return F.struct(
+            (acc["n"] + new_sess.cast("long")).alias("n"),
+            (
+                acc["splits"]
+                + (~first & ~gap_new & cap_new).cast("long")
+            ).alias("splits"),
+            F.when(new_sess, x["t"]).otherwise(acc["start"]).alias("start"),
+            x["t"].alias("prev"),
+        )
+
+    folded = seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.aggregate(F.col("seq"), init, step).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("acc.n").alias("n_sessions"),
+        F.col("acc.splits").alias("n_cap_splits"),
+    )

@@ -5,7 +5,7 @@ with late leads, ST5 session windows (streaming twin vs batch formulation).
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import Row
@@ -50,6 +50,42 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     merge_upsert(spark, target, update, keys=["dealno"], order_by=["updated"])
     rows = {r["dealno"]: r["price"] for r in spark.read.parquet(target).collect()}
     assert rows == {"D1": 150.0, "D2": 200.0}
+
+
+def test_sessionize_capped_boundaries(spark):
+    """Planted edges: gap split, cap split (within-gap), and the exact
+    boundary (ts == start + cap stays in-session — strict > semantics,
+    matching the oracle's recursive CTE)."""
+    from automotive_data_pipeline_demo_spark.streaming.sessions import (
+        sessionize_capped,
+    )
+
+    t0 = datetime.fromisoformat("2025-01-01T00:00:00")
+    mins = lambda m: t0 + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1: steady 20-min cadence (gap=30) crossing the 60-min cap:
+        # events at 0,20,40,60 (boundary: ts==start+cap stays), 80 (cap
+        # split), then 200 (gap split)
+        Row(user_id=1, event_id=1, ts=mins(0)),
+        Row(user_id=1, event_id=2, ts=mins(20)),
+        Row(user_id=1, event_id=3, ts=mins(40)),
+        Row(user_id=1, event_id=4, ts=mins(60)),
+        Row(user_id=1, event_id=5, ts=mins(80)),
+        Row(user_id=1, event_id=6, ts=mins(200)),
+        # u2: single event
+        Row(user_id=2, event_id=7, ts=mins(5)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["user_id"]: (r["n_events"], r["n_sessions"], r["n_cap_splits"])
+        for r in sessionize_capped(
+            df, gap_minutes=30, cap_minutes=60
+        ).collect()
+    }
+    # u1: session1 = 0..60 (60 == cap boundary, stays); 80 -> cap split
+    # (gap from 60 is 20 <= 30, but 80 - 0 > 60); 200 -> gap split
+    assert out[1] == (6, 3, 1)
+    assert out[2] == (1, 1, 0)
 
 
 def test_scd2_merge_cases_and_idempotence(spark):
