@@ -4256,6 +4256,73 @@ _register(QuerySpec(
 ))
 
 
+def q_a_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pre-aggregation pattern
+    exact COUNT(DISTINCT) cannot do: per-day HLL sketches (datasketches,
+    F.hll_sketch_agg) roll up to a monthly total via hll_union_agg
+    WITHOUT touching raw events again. At 100 TB this is the difference
+    between storing per-partition sketch bytes and re-scanning history
+    every time a coarser grain is asked for (the reference's
+    match_analytics daily/hourly dual-grain cache, database-schema.sql:
+    196-229, materializes both grains precisely because its COUNT
+    (DISTINCT) cannot merge).
+
+    Sketch estimates are not engine-portable, so the a_approx discipline
+    applies: the query emits the EXACT count plus an in-query flag that
+    the sketch estimate (daily, and the unioned month) lands within 5% —
+    the oracle recomputes the exact side and asserts every flag is 1.
+    """
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("scope_date")).agg(
+        F.hll_sketch_agg(F.col("user_id")).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact")
+        )
+        / F.col("n_exact")
+        <= 0.05
+    )
+    per_day = daily.select(
+        F.col("scope_date").cast("string").alias("scope"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        ok.cast("int").alias("sketch_ok"),
+    )
+    merged = daily.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+        F.sum(F.lit(0)).alias("__z"),
+    )
+    exact_all = e.agg(F.countDistinct("user_id").alias("n_all"))
+    all_row = merged.crossJoin(F.broadcast(exact_all)).select(
+        F.lit("ALL").alias("scope"),
+        F.col("n_all").cast("long").alias("n_exact"),
+        (
+            F.abs(F.hll_sketch_estimate("sk_all").cast("double") - F.col("n_all"))
+            / F.col("n_all")
+            <= 0.05
+        ).cast("int").alias("sketch_ok"),
+    )
+    return per_day.unionByName(all_row)
+
+
+_register(QuerySpec(
+    name="a_hll_mergeable",
+    survey="A6 at scale: mergeable HLL sketch rollup (union re-aggregation)",
+    build=q_a_hll_mergeable,
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(1 AS INT) AS sketch_ok
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), CAST(1 AS INT)
+        FROM events
+    """,
+    tags=("agg", "sketch", "mergeable"),
+))
+
+
 def q_p_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Rate-limit audit — the batch twin of the reference's express-rate-
     limit middleware (100 requests / 15-min fixed window per IP,

@@ -107,6 +107,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # one-row broadcast map / total (scalar-dimension crossJoins)
         "x_text_token_ids",
         "scale_skew_report",
+        "a_hll_mergeable",  # one-row union sketch x one-row exact total
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
