@@ -4256,6 +4256,91 @@ _register(QuerySpec(
 ))
 
 
+def q_x_text_quantile_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source score calibration: each document's quality score is
+    replaced by its WITHIN-SOURCE percentile rank, making scores
+    comparable across domains whose raw distributions differ (the
+    quantile-normalization step before a corpus-wide quality threshold —
+    a per-domain cutoff in disguise, cf. the DCLM top-fraction rule in
+    x_sample_top_frac). Percentiles are integer permille,
+    ((rank-1)*1000) div (n-1), computed from a total-ordered rank — no
+    float division, no rounding boundary, engine-exact.
+
+    Scale shape: one exchange on source for the rank window. A single
+    giant source would skew that partition; the fix at 100 TB is
+    two-pass rank (per-source counts broadcast + range-partitioned local
+    rank + offset, the o_global_sequence recipe applied per group).
+    """
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (quality_score("text") * 4).cast("long").alias("q4"),
+    )
+    w_rank = Window.partitionBy("source").orderBy("q4", "doc_id")
+    w_all = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .select(
+            "doc_id",
+            "source",
+            "q4",
+            F.expr(
+                "(cast((__rn - 1) as bigint) * 1000)"
+                " div greatest(cast((__n - 1) as bigint), 1)"
+            ).alias("pct_permille"),
+        )
+    )
+
+
+_register(QuerySpec(
+    name="x_text_quantile_norm",
+    survey="north-star: cross-source quantile normalization (score calibration)",
+    build=q_x_text_quantile_norm,
+    oracle="""
+        WITH q AS (
+          SELECT doc_id, source,
+                 CAST(
+                   (CASE WHEN len(list_filter(string_split_regex(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '')) >= 20
+                         THEN 1 ELSE 0 END) +
+                   (CASE WHEN length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+                          / greatest(length(text), 1) < 0.2
+                         THEN 1 ELSE 0 END) +
+                   (CASE WHEN len(list_filter(
+                           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> ''),
+                           x -> list_contains(['the','and','of','to','a','in',
+                                               'is','it','that','for'], x)))
+                          / greatest(len(list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.05
+                         THEN 1 ELSE 0 END) +
+                   (CASE WHEN CAST(len(list_distinct(list_filter(
+                              string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> ''))) AS DOUBLE)
+                          / greatest(len(list_filter(string_split_regex(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')), 1) >= 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS q4
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, source, q4,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY q4, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM q
+        )
+        SELECT doc_id, source, q4,
+               CAST((rn - 1) * 1000 // greatest(n - 1, 1) AS BIGINT)
+                 AS pct_permille
+        FROM ranked
+    """,
+    tags=("text", "calibration", "quality"),
+))
+
+
 def q_a_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
     """MERGEABLE distinct-count sketches — the pre-aggregation pattern
     exact COUNT(DISTINCT) cannot do: per-day HLL sketches (datasketches,
