@@ -7114,6 +7114,52 @@ def q_a_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the multi-grain
+    family (ROLLUP = hierarchy, CUBE = lattice, GROUPING SETS = exactly
+    the grains you pay for): per-status and per-priority totals in one
+    pass WITHOUT the (status, priority) cross grain CUBE would also
+    compute. Same map-side Expand, one exchange; at 100 TB skipping the
+    fine-grained cross grain is most of the cube's output volume.
+    """
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "g_status", "g_priority", "n_orders", "sum_price",
+        )
+    )
+
+
+_register(QuerySpec(
+    name="a_grouping_sets",
+    survey="A9 (generalized): explicit GROUPING SETS (pay-per-grain)",
+    build=q_a_grouping_sets,
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping-sets"),
+))
+
+
 _register(QuerySpec(
     name="a_cube",
     survey="A9 (generalized): CUBE full-lattice multi-grain with GROUPING flags",
