@@ -181,13 +181,18 @@ def tfidf_top_terms(
     (single-doc-exclusive terms score highest; corpus-wide terms score 0).
     Ties break by term asc; rounded to 4 dp for cross-engine determinism.
 
-    Three-shuffle shape, each on a different key — the minimum for exact
-    global document frequencies: groupBy(id, term) builds tf with map-side
-    partial counts (the only pass over raw tokens), a window over term
-    attaches df without materializing a separate dfreq table or join, and
-    the top-k window repartitions by id. N is one count() action (or pass
-    ``n_docs`` to stay fully lazy); docs whose token set is empty are
-    counted in N but emit no terms — identical on the oracle side.
+    Shuffle shape: groupBy(id, term) builds tf with map-side partial
+    counts (the only pass over raw tokens, persisted for its two
+    consumers); document frequencies partial-combine down to VOCABULARY
+    grain in a second exchange that moves one row per distinct term —
+    not one per (doc, term) — and broadcast-join back; the top-k window
+    repartitions the tf rows by id. The earlier formulation attached df
+    with a window over term, which shuffled AND sorted every tf row on
+    the term key; at corpus scale the vocabulary is orders of magnitude
+    smaller than the tf table, so that exchange now carries ~nothing.
+    N is one count() action (or pass ``n_docs`` to stay fully lazy);
+    docs whose token set is empty are counted in N but emit no terms —
+    identical on the oracle side.
     """
     if n_docs is None:
         n_docs = df.count()
@@ -198,10 +203,10 @@ def tfidf_top_terms(
         )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    scored = tf.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).select(
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
         "id",
         "term",
         F.round(
