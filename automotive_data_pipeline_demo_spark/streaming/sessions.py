@@ -197,3 +197,69 @@ def sessionize_capped(
         F.col("acc.n").alias("n_sessions"),
         F.col("acc.splits").alias("n_cap_splits"),
     )
+
+
+def capped_sessions_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    cap_minutes: int = 240,
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize_capped` on
+    ``applyInPandasWithState``: the same gap+cap recurrence, folded
+    incrementally per user across micro-batches with one integer state
+    struct per key. Emits one updated (user, n_events, n_sessions,
+    n_cap_splits) row per touched key per micro-batch; after the stream
+    drains, the last row per key equals the batch fold (agreement test
+    in tests/test_streaming.py).
+
+    Assumes event-time-ordered arrival per key across micro-batches
+    (rows within a batch are sorted here): a running reset cannot be
+    revised once folded, so out-of-order inputs belong on the batch
+    path after a watermark, not this operator — the same limitation the
+    reference's live session tracker has (website-tracker.js re-captures
+    every 30 s in order).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap_us = cap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, n_events long, n_sessions long, n_cap_splits long"
+    )
+    state_schema = "ne long, n long, splits long, start long, prev long"
+
+    def update(key, pdfs, state: GroupState):
+        ne, n, splits, start, prev = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        chunks = [pdf[[ts_col, id_col]] for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values([ts_col, id_col])
+        for t in batch[ts_col]:
+            tus = int(pd.Timestamp(t).value // 1_000)
+            first = n == 0
+            gap_new = tus - prev > gap_us
+            cap_new = tus - start > cap_us
+            new_sess = first or gap_new or cap_new
+            n += 1 if new_sess else 0
+            splits += 1 if (not first and not gap_new and cap_new) else 0
+            if new_sess:
+                start = tus
+            prev = tus
+            ne += 1
+        state.update((ne, n, splits, start, prev))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "n_events": [ne],
+                "n_sessions": [n],
+                "n_cap_splits": [splits],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

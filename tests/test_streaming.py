@@ -88,6 +88,75 @@ def test_sessionize_capped_boundaries(spark):
     assert out[2] == (1, 1, 0)
 
 
+def test_capped_sessions_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming twin agreement: after two ordered micro-batches drain,
+    the LAST updated row per user equals sessionize_capped over the same
+    events in one batch — cross-batch state carries the open session."""
+    from automotive_data_pipeline_demo_spark.streaming.sessions import (
+        capped_sessions_stream,
+        sessionize_capped,
+    )
+
+    t0 = datetime.fromisoformat("2025-01-01T00:00:00")
+    mins = lambda m: t0 + timedelta(minutes=m)  # noqa: E731
+    batch1 = [
+        Row(user_id=1, event_id=1, ts=mins(0)),
+        Row(user_id=1, event_id=2, ts=mins(20)),
+        Row(user_id=2, event_id=3, ts=mins(5)),
+    ]
+    batch2 = [
+        # u1: 40 and 60 continue the open session (gaps of 20 <= 30);
+        # 80 is within-gap of 60 but exceeds the 60-min cap from start 0
+        Row(user_id=1, event_id=4, ts=mins(40)),
+        Row(user_id=1, event_id=5, ts=mins(60)),
+        Row(user_id=1, event_id=6, ts=mins(80)),
+        # u2: 100 is a gap split (gap 30 < 95)
+        Row(user_id=2, event_id=7, ts=mins(100)),
+    ]
+    edir = str(tmp_path / "events_capped")
+    # one file per batch: each parquet file is one micro-batch, and rows
+    # within a batch are sorted by the operator — multi-file writes would
+    # split a batch into arbitrarily-ordered micro-batches (the
+    # out-of-order arrival the operator documents as unsupported)
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(edir)
+    schema = spark.read.parquet(edir).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(edir)
+    q = (
+        capped_sessions_stream(stream, gap_minutes=30, cap_minutes=60)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("capped_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(edir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM capped_out").collect()
+    finally:
+        q.stop()
+    # latest update per user = the row with the highest (monotone) event
+    # count — collect order over the memory sink is not chronological
+    last = {}
+    for r in rows:
+        cur = (r["n_events"], r["n_sessions"], r["n_cap_splits"])
+        if r["user_id"] not in last or cur[0] > last[r["user_id"]][0]:
+            last[r["user_id"]] = cur
+    expected = {
+        r["user_id"]: (r["n_events"], r["n_sessions"], r["n_cap_splits"])
+        for r in sessionize_capped(
+            spark.createDataFrame(batch1 + batch2),
+            gap_minutes=30,
+            cap_minutes=60,
+        ).collect()
+    }
+    assert last == expected
+    assert expected[1] == (5, 2, 1)  # cap split fired (80 within-gap of 60)
+    assert expected[2] == (2, 2, 0)  # gap split fired
+
+
 def test_scd2_merge_cases_and_idempotence(spark):
     """One batch exercises all four SCD2 cases; re-applying the merged
     result against the same batch changes nothing (ST1 idempotence)."""
