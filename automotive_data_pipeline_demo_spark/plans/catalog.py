@@ -950,8 +950,11 @@ def q_j_fuzzy_blocking(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, "block")
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.col("name_a") != F.col("name_b"))
-        .withColumn("lev", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("lev") <= 3)
+        # thresholded levenshtein abandons the DP once the distance is
+        # provably > 3 (returns -1) — on long strings the early exit cuts
+        # the per-pair cost from O(len^2) to O(len*threshold)
+        .withColumn("lev", F.levenshtein("name_a", "name_b", 3))
+        .filter(F.col("lev") >= 0)
     )
     return pairs.groupBy("name_a", "name_b", "lev").agg(
         F.count(F.lit(1)).alias("n_pairs")
