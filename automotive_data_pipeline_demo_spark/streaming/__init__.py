@@ -8,7 +8,11 @@ from automotive_data_pipeline_demo_spark.streaming.identity import (
     resolve_identities_batch,
     streaming_session_match,
 )
-from automotive_data_pipeline_demo_spark.streaming.sessions import session_rollup_stream
+from automotive_data_pipeline_demo_spark.streaming.sessions import (
+    capped_sessions_stream,
+    session_rollup_stream,
+    sessionize_capped,
+)
 from automotive_data_pipeline_demo_spark.streaming.dedup import (
     streaming_dedup_ingest,
     streaming_exact_dedup,
@@ -21,6 +25,8 @@ __all__ = [
     "resolve_identities_batch",
     "streaming_session_match",
     "session_rollup_stream",
+    "sessionize_capped",
+    "capped_sessions_stream",
     "streaming_upsert",
     "streaming_dedup_ingest",
     "streaming_exact_dedup",
