@@ -15,6 +15,16 @@ from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
 _SPECS = {s.name: s for s in CATALOG}
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # Hermetic plans: a cached subtree left by an earlier test (builders
+    # persist shared intermediates and CacheManager keys on the canonical
+    # plan) substitutes InMemoryTableScan nodes whose fill plan renders
+    # with fresh plan_ids per consumer, defeating the dedup in _shuffles.
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
