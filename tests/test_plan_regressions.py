@@ -71,7 +71,10 @@ def _shuffles(plan: str) -> int:
         ("x_text_contamination", 1),
         ("x_dedup_jaccard", 4),
         ("x_dedup_jaccard_capped", 4),
-        ("x_text_tfidf", 3),
+        # 2 = the vocabulary-grain df groupBy + the top-k window's id
+        # exchange; tf itself folds row-locally (it's a per-document
+        # quantity — no (id, term) exchange over raw token rows)
+        ("x_text_tfidf", 2),
         ("x_text_entropy", 0),
         ("x_sample_split", 0),
         ("x_sample_stratified", 0),
