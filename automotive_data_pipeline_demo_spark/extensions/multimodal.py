@@ -20,7 +20,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -142,4 +142,62 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ms"),
+    )
+
+
+def _be_int(payload: Column, pos: int, nbytes: int) -> Column:
+    """Big-endian unsigned int from ``nbytes`` at 1-based ``pos``."""
+    return F.conv(F.hex(F.substring(payload, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le_int(payload: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int: fold bytes with ascending place value."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _be_int(payload, pos + i, 1) * F.lit(1 << (8 * i))
+    return out
+
+
+def image_dimensions(payload: Column) -> Column:
+    """(format, width, height) struct parsed from fixed-offset image headers
+    — PNG (IHDR big-endian at byte 17), GIF87a/89a (little-endian at 7),
+    BMP (BITMAPINFOHEADER little-endian at 19) — entirely in JVM binary
+    expressions: substring on the binary column, hex, and integer
+    conversion. No Python, no decode library, no UDF.
+
+    This is the 100 TB metadata fast path: dimensions, aspect-ratio
+    filters, and resolution histograms over billions of stored images
+    read a few header bytes per row inside whole-stage codegen (parquet
+    can't prune the payload column, but nothing leaves the JVM and no
+    Arrow transfer happens). Formats whose dimensions need a real segment
+    scan (JPEG SOF markers sit behind variable-length segments) return a
+    NULL format here and route to ``decode_media``'s pluggable decoder.
+    """
+    hex8 = F.hex(F.substring(payload, 1, 8))
+    hex6 = F.hex(F.substring(payload, 1, 6))
+    hex2 = F.hex(F.substring(payload, 1, 2))
+    is_png = hex8 == F.lit("89504E470D0A1A0A")
+    is_gif = (hex6 == F.lit("474946383961")) | (hex6 == F.lit("474946383761"))
+    is_bmp = hex2 == F.lit("424D")
+    return (
+        F.when(is_png, F.struct(
+            F.lit("png").alias("format"),
+            _be_int(payload, 17, 4).cast("int").alias("width"),
+            _be_int(payload, 21, 4).cast("int").alias("height"),
+        ))
+        .when(is_gif, F.struct(
+            F.lit("gif").alias("format"),
+            _le_int(payload, 7, 2).cast("int").alias("width"),
+            _le_int(payload, 9, 2).cast("int").alias("height"),
+        ))
+        .when(is_bmp, F.struct(
+            F.lit("bmp").alias("format"),
+            _le_int(payload, 19, 4).cast("int").alias("width"),
+            _le_int(payload, 23, 4).cast("int").alias("height"),
+        ))
+        .otherwise(F.struct(
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ))
     )

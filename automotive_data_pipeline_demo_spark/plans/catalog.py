@@ -82,7 +82,10 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
 from automotive_data_pipeline_demo_spark.extensions.classifier import (
     hashed_linear_score,
 )
-from automotive_data_pipeline_demo_spark.extensions.multimodal import frame_sample_plan
+from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+    frame_sample_plan,
+    image_dimensions,
+)
 from automotive_data_pipeline_demo_spark.extensions.quantization import (
     quantized_rerank_topk,
     quantized_topk,
@@ -2638,6 +2641,78 @@ _register(QuerySpec(
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                sha256(text) AS sha
+        FROM documents
+    """,
+    tags=("multimodal",),
+))
+
+
+def q_x_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-offset image-header parse over binary payloads, pure JVM.
+
+    The testdata carries no image column, so the entry frames each
+    document's bytes as a synthetic PNG / GIF89a / opaque payload (by
+    doc_id mod 3, dimensions derived from doc_id) and then runs the REAL
+    operator — ``image_dimensions`` reads format magic plus
+    width/height straight out of the binary with substring/hex/conv
+    expressions, no UDF, no decode library (the same parser is pytest-ed
+    against byte-exact real PNG/GIF/BMP/JPEG headers). The oracle knows
+    the ground-truth dimensions arithmetically, so a green row proves
+    parse(frame(id)) round-trips: endianness, offsets, and magic
+    detection are all load-bearing.
+
+    Scale: header parsing is a narrow whole-stage-codegen projection —
+    a resolution histogram over billions of stored images never leaves
+    the JVM and shuffles only the final aggregate.
+    """
+    docs = _t(spark, sf, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 1905).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 1065).cast("long")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le16(c):
+        return F.unhex(
+            F.concat(
+                F.lpad(F.hex(c % 256), 2, "0"),
+                F.lpad(F.hex(F.shiftright(c, 8)), 2, "0"),
+            )
+        )
+
+    filler = F.encode(F.substring("text", 1, 32), "utf-8")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),          # IHDR length
+        F.encode(F.lit("IHDR"), "utf-8"),
+        be32(w),
+        be32(h),
+        filler,
+    )
+    gif = F.concat(F.encode(F.lit("GIF89a"), "utf-8"), le16(w), le16(h), filler)
+    raw = F.concat(F.unhex(F.lit("00")), filler)  # opaque: not an image
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(raw)
+    )
+    return docs.select(
+        "doc_id", image_dimensions(payload).alias("__m")
+    ).select("doc_id", "__m.format", "__m.width", "__m.height")
+
+
+_register(QuerySpec(
+    name="x_multimodal_image_meta",
+    survey="north-star: multimodal binary columns (typed metadata extract)",
+    build=q_x_multimodal_image_meta,
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'gif' END AS format,
+               CASE WHEN doc_id % 3 < 2
+                    THEN CAST(16 + doc_id % 1905 AS INT) END AS width,
+               CASE WHEN doc_id % 3 < 2
+                    THEN CAST(16 + (doc_id * 7) % 1065 AS INT) END AS height
         FROM documents
     """,
     tags=("multimodal",),

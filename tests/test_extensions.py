@@ -1424,3 +1424,40 @@ def test_tokenize_to_ids_unk_and_order(spark):
     assert out[0]["ids"] == "1,2,1,3,1,2,0"
     assert out[0]["n_tok"] == 7
     assert out[1]["ids"] == "2,1"
+
+
+def test_image_dimensions_real_headers(spark):
+    """image_dimensions against byte-exact real file headers: a valid
+    1-pixel PNG header, a GIF89a screen descriptor, a BMP info header,
+    plus JPEG and garbage (-> NULL format, routed to decode_media)."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    gif87 = b"GIF87a" + struct.pack("<HH", 12, 34) + b"\x80\x00\x00"
+    bmp = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+           + struct.pack("<IiiHH", 40, 1024, 768, 1, 24) + b"\x00" * 16)
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 16
+    junk = b"not an image at all, just bytes"
+
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, gif87), (4, bmp), (5, jpeg), (6, junk)],
+        schema="id int, payload binary",
+    )
+    from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+        image_dimensions,
+    )
+
+    rows = {
+        r["id"]: r
+        for r in df.select("id", image_dimensions(F.col("payload")).alias("m"))
+        .select("id", "m.*")
+        .collect()
+    }
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 200)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("gif", 12, 34)
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"]) == ("bmp", 1024, 768)
+    assert rows[5]["format"] is None and rows[5]["width"] is None
+    assert rows[6]["format"] is None and rows[6]["height"] is None
