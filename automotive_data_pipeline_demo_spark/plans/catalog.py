@@ -4486,6 +4486,135 @@ _register(QuerySpec(
 ))
 
 
+_CMS_D = 4       # hash rows
+_CMS_W = 1024    # buckets per row
+
+
+def _cms_bucket(r: int, term):
+    """Row-``r`` count-min bucket: md5 is the engine-shared hash (the same
+    parity trick as the LSH hyperplanes), 8 hex chars -> long -> mod w."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(r)), term)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def q_a_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: token frequencies estimated from a
+    d=4 x w=1024 counter grid built per SOURCE and merged by counter
+    addition — the mergeable-sketch story for frequency (the companion
+    to a_hll_mergeable's cardinality): at 100 TB each ingest shard keeps
+    a fixed 4 KB grid, merge is elementwise +, and no shard ever holds
+    the unbounded exact (term, count) table.
+
+    Plan shape: the sketch build explodes each token row into d (row,
+    bucket) pairs whose groupBy partial-combines down to <= d*w rows per
+    partition BEFORE the exchange — the shuffle carries the sketch, not
+    the token stream. Estimates for the exact top-k terms (the exact
+    side exists only as the verification harness; production reads the
+    sketch alone) come from a broadcast join of the tiny merged grid;
+    estimate = min over the d rows. CMS never underestimates
+    (over_estimate is a hard invariant); within_eps checks the standard
+    eN/w additive bound. The oracle replays the identical construction,
+    so every counter, estimate, and flag is bit-exact across engines.
+    """
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    n_total = toks.count()  # N for the additive error bound
+
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
+
+    # per-source sketch -> merged sketch (elementwise counter addition)
+    per_source = (
+        toks.select(
+            "source",
+            F.posexplode(
+                F.array(*[_cms_bucket(r, F.col("term")) for r in range(_CMS_D)])
+            ).alias("r", "bucket"),
+        )
+        .groupBy("source", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = per_source.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+
+    probes = topk.select(
+        "term",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(r, F.col("term")) for r in range(_CMS_D)])
+        ).alias("r", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.min("c").alias("cms_estimate"),
+        )
+    )
+    bound = (F.lit(math.e) * F.lit(float(n_total)) / F.lit(float(_CMS_W)))
+    return est.select(
+        "term",
+        "exact_cnt",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias("over_estimate"),
+        ((F.col("cms_estimate") - F.col("exact_cnt")).cast("double") <= bound)
+        .alias("within_eps"),
+    )
+
+
+_register(QuerySpec(
+    name="a_cms_heavy_hitters",
+    survey="A6/skew at scale: mergeable count-min frequency sketch",
+    build=q_a_cms_heavy_hitters,
+    oracle=f"""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ), n AS (SELECT COUNT(*) AS n_total FROM toks),
+        exact AS (
+          SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term
+        ), topk AS (
+          SELECT term, exact_cnt FROM exact
+          ORDER BY exact_cnt DESC, term LIMIT 20
+        ), rs AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        per_source AS (
+          SELECT source, r,
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term), 1, 8)
+                      AS BIGINT) % {_CMS_W} AS bucket,
+                 COUNT(*) AS c
+          FROM toks, rs GROUP BY 1, 2, 3
+        ), merged AS (
+          SELECT r, bucket, SUM(c) AS c FROM per_source GROUP BY 1, 2
+        ), probes AS (
+          SELECT t.term, t.exact_cnt, rs.r,
+                 CAST('0x' || substr(md5(CAST(rs.r AS VARCHAR) || '|' || t.term), 1, 8)
+                      AS BIGINT) % {_CMS_W} AS bucket
+          FROM topk t, rs
+        )
+        SELECT p.term,
+               CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(MIN(m.c) AS BIGINT) AS cms_estimate,
+               MIN(m.c) >= p.exact_cnt AS over_estimate,
+               CAST(MIN(m.c) - p.exact_cnt AS DOUBLE)
+                 <= 2.718281828459045 * (SELECT n_total FROM n) / {_CMS_W}
+                 AS within_eps
+        FROM probes p JOIN merged m ON m.r = p.r AND m.bucket = p.bucket
+        GROUP BY p.term, p.exact_cnt
+    """,
+    tags=("agg", "sketch", "mergeable", "heavy-hitters"),
+))
+
+
 def q_p_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Rate-limit audit — the batch twin of the reference's express-rate-
     limit middleware (100 requests / 15-min fixed window per IP,

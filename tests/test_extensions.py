@@ -1461,3 +1461,15 @@ def test_image_dimensions_real_headers(spark):
     assert (rows[4]["format"], rows[4]["width"], rows[4]["height"]) == ("bmp", 1024, 768)
     assert rows[5]["format"] is None and rows[5]["width"] is None
     assert rows[6]["format"] is None and rows[6]["height"] is None
+
+
+def test_cms_heavy_hitters_invariants(spark, sf_dir):
+    """CMS estimates can only overestimate, and on a corpus far smaller
+    than the grid (no forced collisions) the top-term estimate is exact."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+    spec = next(s for s in CATALOG if s.name == "a_cms_heavy_hitters")
+    rows = spec.build(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["over_estimate"] for r in rows)
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in rows)
