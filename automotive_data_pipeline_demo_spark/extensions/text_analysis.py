@@ -15,8 +15,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+import unicodedata
+
+import pandas as pd
 
 TOKEN_SPLIT = r"[^a-zA-Z0-9]+"
+
+
+@F.pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
 
 # tiny built-in stopword lists for the language heuristic
 STOPWORDS = {
@@ -564,3 +576,20 @@ def tokenize_to_ids(
             ),
         ).alias("ids"),
     )
+
+
+def nfc_normalize_text(col: Column | str) -> Column:
+    """Unicode NFC normalization — the web-corpus canonicalization step
+    that makes byte-level exact dedup see 'café' (composed) and 'café'
+    (e + combining acute) as the same document.
+
+    This is one of the few operations Spark SQL genuinely cannot express
+    (there is no normalization expression in Catalyst), so it is the
+    second sanctioned UDF in the engine after the ADF XML parser
+    (SURVEY §2.10): an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` — vectorized transfer, per-batch Python, never
+    row-at-a-time JVM<->Python. At 100 TB it is a narrow map inside the
+    scan stage: no shuffle, and downstream exact-dedup hashes
+    (md5/sha over the normalized text) stay pure JVM.
+    """
+    return _nfc_udf(_c(col))

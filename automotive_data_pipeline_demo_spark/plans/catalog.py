@@ -143,6 +143,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     ngram_repetition,
     quality_score,
     lm_cross_entropy,
+    nfc_normalize_text,
     rolling_fingerprint,
     tfidf_top_terms,
     unigram_entropy,
@@ -2644,6 +2645,43 @@ _register(QuerySpec(
         FROM documents
     """,
     tags=("multimodal",),
+))
+
+
+def q_x_text_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization ahead of exact dedup (x_dedup_exact):
+    composed vs decomposed forms of the same text must hash identically.
+
+    The fixture corpus is ASCII, so the builder appends a DECOMPOSED
+    suffix (e + U+0301) to every document — the driver row then proves
+    the UDF actually recomposes (changed is true everywhere and the
+    normalized hash differs from the raw one); the oracle replays with
+    DuckDB's native nfc_normalize. The normalization itself is the
+    engine's second sanctioned pandas UDF (Catalyst has no Unicode
+    normalization expression); the md5 stays JVM-side.
+    """
+    docs = _t(spark, sf, "documents")
+    decomposed = F.concat(F.col("text"), F.lit(" café"))
+    norm = nfc_normalize_text(decomposed)
+    return docs.select(
+        "doc_id",
+        (norm != decomposed).alias("changed"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+_register(QuerySpec(
+    name="x_text_nfc",
+    survey="north-star: text normalization (Unicode NFC, genuine-UDF class)",
+    build=q_x_text_nfc,
+    oracle="""
+        SELECT doc_id,
+               nfc_normalize(text || ' cafe' || chr(769))
+                 <> (text || ' cafe' || chr(769)) AS changed,
+               md5(nfc_normalize(text || ' cafe' || chr(769))) AS norm_hash
+        FROM documents
+    """,
+    tags=("text", "normalize", "udf"),
 ))
 
 

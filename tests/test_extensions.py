@@ -1473,3 +1473,30 @@ def test_cms_heavy_hitters_invariants(spark, sf_dir):
     assert len(rows) == 20
     assert all(r["over_estimate"] for r in rows)
     assert all(r["cms_estimate"] >= r["exact_cnt"] for r in rows)
+
+
+def test_nfc_normalize_planted_forms(spark):
+    """Composed and decomposed forms converge; exact-dedup hashes agree
+    after normalization and disagree before."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        nfc_normalize_text,
+    )
+
+    composed = "café résumé"
+    decomposed = "café résumé"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "id int, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            nfc_normalize_text("text").alias("norm"),
+            F.md5(nfc_normalize_text("text")).alias("h"),
+            F.md5("text").alias("raw_h"),
+        ).collect()
+    }
+    assert out[1]["norm"] == out[2]["norm"] == composed
+    assert out[1]["h"] == out[2]["h"]
+    assert out[1]["raw_h"] != out[2]["raw_h"]
+    assert out[3]["norm"] is None
