@@ -279,32 +279,30 @@ def embedding_near_dup_pairs(
     survives at 100 TB. Without it, a full self cross-pairing (exact, small
     corpora only). Score rounded to 4 dp, deterministic order columns.
     """
-    # norms are precomputed ONCE per vector in the projection: a vector in
-    # p pairs would otherwise pay the full |v|-element norm fold p times
-    # inside the per-pair cosine (~27x at sf1 cell sizes). The cosine is
-    # the same IEEE expression — dot/(norm_a*norm_b) over identical
-    # doubles — so scores are bit-identical to the fused form.
+    # norms AND the double-cast arrays are precomputed ONCE per vector in
+    # the projection: a vector in p pairs would otherwise pay the full
+    # |v|-element norm fold p times inside the per-pair cosine (~27x at
+    # sf1 cell sizes), and the float->double cast transform per pair was
+    # ~2x the whole pair stage (sf1: 3.4 s -> 1.9 s). The cosine is the
+    # same IEEE expression — dot/(norm_a*norm_b) over identical doubles —
+    # so scores are bit-identical to the fused form.
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     a = df.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+        F.col(id_col).alias("a_id"), v.alias("a_vec"),
         norm.alias("__na"),
         *([F.col(block_col)] if block_col else []),
     )
     b = df.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+        F.col(id_col).alias("b_id"), v.alias("b_vec"),
         norm.alias("__nb"),
         *([F.col(block_col)] if block_col else []),
     )
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
     dot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("a_vec"), lambda x: x.cast("double")),
-            F.transform(F.col("b_vec"), lambda x: x.cast("double")),
-            lambda x, y: x * y,
-        ),
+        F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
