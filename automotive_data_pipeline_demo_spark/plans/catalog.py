@@ -4653,6 +4653,134 @@ _register(QuerySpec(
 ))
 
 
+_HIST_W = 1024  # fixed histogram bins
+
+
+def q_a_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles + exact in-bin selection —
+    the quantile member of the mergeable-sketch trio (a_hll_mergeable =
+    cardinality, a_cms_heavy_hitters = frequency): each shard keeps a
+    fixed 1024-counter histogram over integer cents, merge is counter
+    addition, and a p-quantile estimate falls out of the merged
+    cumulative — with a HARD containment invariant (the exact value
+    provably lies inside the selected bin).
+
+    The exact side demonstrates distributed exact selection: the
+    histogram narrows the k-th smallest to ONE bin, so the full sort
+    collapses to ranking only that bin's rows (~N/1024) — the two-pass
+    quantile algorithm, not a global single-partition sort. All bin
+    math is integer (floor-div against the closed [lo, hi] range), so
+    every boundary is bit-exact across engines.
+    """
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        _cents("o_totalprice").alias("__c"),
+        F.col("o_orderpriority").alias("shard"),
+    )
+    lo, hi, n_total = base.agg(
+        F.min("__c"), F.max("__c"), F.count(F.lit(1))
+    ).first()
+    rng = hi - lo + 1
+    bin_expr = F.expr(
+        f"least(((__c - {lo}) * {_HIST_W}) div {rng}, {_HIST_W - 1})"
+    ).alias("bin")
+
+    per_shard = (
+        base.select("shard", bin_expr)
+        .groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = per_shard.groupBy("bin").agg(F.sum("c").alias("cnt"))
+    # 1024-row reduced-grain frame: the cumulative runs on the sketch,
+    # never on the data (whitelisted in the single-partition plan guard)
+    hist = merged.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+
+    qs = spark.createDataFrame(
+        [(p, (p * n_total + 99) // 100) for p in (50, 90, 99)],
+        "p int, k long",
+    )
+    tgt = (
+        qs.join(F.broadcast(hist), F.col("cum") >= F.col("k"))
+        .groupBy("p", "k")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(hist), "bin")
+        .select("p", "k", "bin", (F.col("cum") - F.col("cnt")).alias("cum_before"))
+    )
+    # exact in-bin selection: only target-bin rows rank (broadcast the
+    # 3-row target frame onto the binned fact side, window per quantile)
+    in_bin = base.select("__c", bin_expr).join(F.broadcast(tgt), "bin")
+    ranked = in_bin.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("p").orderBy("__c"))
+    ).filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+    return ranked.select(
+        F.col("p").alias("percent"),
+        F.lit(n_total).cast("long").alias("n"),
+        (F.lit(lo) + F.expr(f"(bin * {rng}) div {_HIST_W}")).cast("long").alias("est_lo_cents"),
+        (F.lit(lo) + F.expr(f"((bin + 1) * {rng}) div {_HIST_W}") - 1).cast("long").alias("est_hi_cents"),
+        F.col("__c").cast("long").alias("exact_cents"),
+        ((F.col("__c") >= F.lit(lo) + F.expr(f"(bin * {rng}) div {_HIST_W}"))
+         & (F.col("__c") <= F.lit(lo) + F.expr(f"((bin + 1) * {rng}) div {_HIST_W}") - 1)
+         ).alias("within_bin"),
+    )
+
+
+_register(QuerySpec(
+    name="a_hist_quantiles",
+    survey="A9 at scale: mergeable histogram quantile sketch + exact two-pass selection",
+    build=q_a_hist_quantiles,
+    oracle=f"""
+        WITH base AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderpriority AS shard
+          FROM orders
+        ), b AS (
+          SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n,
+                 MAX(c) - MIN(c) + 1 AS rng
+          FROM base
+        ), binned AS (
+          SELECT shard, c,
+                 least(((c - (SELECT lo FROM b)) * {_HIST_W})
+                         // (SELECT rng FROM b), {_HIST_W - 1}) AS bin
+          FROM base
+        ), per_shard AS (
+          SELECT shard, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+        ), merged AS (
+          SELECT bin, SUM(c) AS cnt FROM per_shard GROUP BY 1
+        ), hist AS (
+          SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM merged
+        ), qs AS (
+          SELECT p, (p * (SELECT n FROM b) + 99) // 100 AS k
+          FROM (VALUES (50), (90), (99)) t(p)
+        ), tgt AS (
+          SELECT q.p, q.k, MIN(h.bin) AS bin
+          FROM qs q JOIN hist h ON h.cum >= q.k
+          GROUP BY 1, 2
+        ), tgt2 AS (
+          SELECT t.p, t.k, t.bin, h.cum - h.cnt AS cum_before
+          FROM tgt t JOIN hist h ON h.bin = t.bin
+        ), ranked AS (
+          SELECT t.p, t.k, t.bin, t.cum_before, bb.c,
+                 ROW_NUMBER() OVER (PARTITION BY t.p ORDER BY bb.c) AS rn
+          FROM tgt2 t JOIN binned bb ON bb.bin = t.bin
+        )
+        SELECT CAST(p AS INT) AS percent,
+               CAST((SELECT n FROM b) AS BIGINT) AS n,
+               CAST((SELECT lo FROM b) + (bin * (SELECT rng FROM b)) // {_HIST_W}
+                    AS BIGINT) AS est_lo_cents,
+               CAST((SELECT lo FROM b) + ((bin + 1) * (SELECT rng FROM b)) // {_HIST_W} - 1
+                    AS BIGINT) AS est_hi_cents,
+               CAST(c AS BIGINT) AS exact_cents,
+               c >= (SELECT lo FROM b) + (bin * (SELECT rng FROM b)) // {_HIST_W}
+                 AND c <= (SELECT lo FROM b) + ((bin + 1) * (SELECT rng FROM b)) // {_HIST_W} - 1
+                 AS within_bin
+        FROM ranked WHERE rn = k - cum_before
+    """,
+    tags=("agg", "sketch", "mergeable", "quantile"),
+))
+
+
 def q_p_rate_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Rate-limit audit — the batch twin of the reference's express-rate-
     limit middleware (100 requests / 15-min fixed window per IP,

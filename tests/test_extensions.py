@@ -1500,3 +1500,17 @@ def test_nfc_normalize_planted_forms(spark):
     assert out[1]["h"] == out[2]["h"]
     assert out[1]["raw_h"] != out[2]["raw_h"]
     assert out[3]["norm"] is None
+
+
+def test_hist_quantiles_containment(spark, sf_dir):
+    """The exact quantile must land inside its histogram bin (hard
+    invariant of the two-pass selection), and estimates bracket it."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+    spec = next(s for s in CATALOG if s.name == "a_hist_quantiles")
+    rows = {r["percent"]: r for r in spec.build(spark, sf_dir).collect()}
+    assert set(rows) == {50, 90, 99}
+    for r in rows.values():
+        assert r["within_bin"]
+        assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
+    assert rows[50]["exact_cents"] <= rows[90]["exact_cents"] <= rows[99]["exact_cents"]

@@ -121,6 +121,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "x_text_token_ids",
         "scale_skew_report",
         "a_hll_mergeable",  # one-row union sketch x one-row exact total
+        # 3 quantile probes x the 1024-row merged histogram (cum >= k is
+        # inherently non-equi; both sides are sketch-grain, never data)
+        "a_hist_quantiles",
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
@@ -213,6 +216,9 @@ def test_single_partition_only_on_calendar_grain(spark, sf_dir):
         "st8_rolling_window",
         "a_metric_anomaly",  # trailing window over the day-grain rollup
         "a_ltv_deciles",
+        # cumulative over the merged 1024-bin histogram: the exchange
+        # carries the fixed-size sketch, never data rows
+        "a_hist_quantiles",
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
