@@ -5824,6 +5824,43 @@ _register(QuerySpec(
 ))
 
 
+def q_x_sample_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    GROUP (source), not the document — near-duplicate documents from one
+    crawl/site/user otherwise straddle train and test and the eval leaks
+    (the standard ML-ops failure that per-row splitting cannot prevent).
+    Same zero-shuffle content-addressed hash as x_sample_split, keyed on
+    the group column; every doc of a group lands in the same split by
+    construction, asserted in pytest and visible in the output grain.
+    """
+    docs = _t(spark, sf, "documents")
+    return hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "source", "split")
+
+
+_register(QuerySpec(
+    name="x_sample_group_split",
+    survey="north-star: leakage-safe group-granular splitting",
+    build=q_x_sample_group_split,
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CASE
+                 WHEN b < 8000 THEN 'train'
+                 WHEN b < 9000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM (
+          SELECT doc_id, source,
+                 CAST('0x' || substr(md5('split|' || source), 1, 8)
+                      AS BIGINT) % 10000 AS b
+          FROM documents
+        )
+    """,
+    tags=("sampling", "leakage"),
+))
+
+
 def q_x_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sample over documents: keep 50% of 'en',
     20% of every other language — a single hash-bucket filter pushed to the

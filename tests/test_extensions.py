@@ -1514,3 +1514,16 @@ def test_hist_quantiles_containment(spark, sf_dir):
         assert r["within_bin"]
         assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
     assert rows[50]["exact_cents"] <= rows[90]["exact_cents"] <= rows[99]["exact_cents"]
+
+
+def test_group_split_integrity(spark, sf_dir):
+    """Every document of a group lands in exactly one split — the
+    leakage-safety property per-row splitting cannot give."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+    spec = next(s for s in CATALOG if s.name == "x_sample_group_split")
+    out = spec.build(spark, sf_dir)
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
