@@ -2685,6 +2685,72 @@ _register(QuerySpec(
 ))
 
 
+def q_x_text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The BPE-training merge statistic: corpus-wide adjacent-symbol pair
+    frequencies (character bigrams within tokens, weighted by token
+    occurrence) — each merge round of byte-pair-encoding tokenizer
+    training picks argmax of exactly this table.
+
+    Scale shape mirrors x_text_tfidf: pair extraction is a row-local
+    higher-order fold inside the scan stage (split to chars, zip_with
+    the shifted slice); the only exchange is the pair-vocabulary-grain
+    groupBy whose map-side combine moves one row per distinct pair per
+    partition, and top-20 rides TakeOrderedAndProject — at 100 TB one
+    merge round is one narrow pass plus a sketch-sized shuffle.
+    """
+    docs = _t(spark, sf, "documents")
+
+    def pairs_of(w):
+        chars = F.split(w, "")
+        n = F.size(chars)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(chars, 1, n - 1),
+                F.slice(chars, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pairs = docs.select(
+        F.explode(
+            F.flatten(F.transform(tokenize(F.col("text")), pairs_of))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+_register(QuerySpec(
+    name="x_text_bpe_pairs",
+    survey="north-star: tokenizer training (BPE merge-pair statistics)",
+    build=q_x_text_bpe_pairs,
+    oracle="""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        ), pairs AS (
+          SELECT unnest(CASE WHEN length(w) >= 2
+                   THEN list_transform(range(1, length(w)),
+                          i -> substr(w, CAST(i AS INT), 1) || ' '
+                               || substr(w, CAST(i AS INT) + 1, 1))
+                   ELSE [] END) AS pair
+          FROM toks
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+))
+
+
 def q_x_multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-offset image-header parse over binary payloads, pure JVM.
 
