@@ -468,3 +468,52 @@ def kmeans_lloyd(
             for cid, svec in cents.items()
         }
     return assign_df().select(F.col(id_col), "centroid_id")
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Per-dimension QA statistics for an embedding column.
+
+    Returns (dim, n, mean, mean_sq, min_v, max_v) — the table-health check
+    run before any ANN/dedup pass: a dead dimension (zero variance), a
+    clipped dimension (hard min/max walls), or a scale-outlier dimension
+    all show up here before they silently poison cosine scores.
+
+    Scale shape: posexplode emits (dim, value) pairs, but the groupBy(dim)
+    partial aggregate folds them to one row PER DIMENSION PER PARTITION
+    map-side, so the single exchange carries ~dims x partitions rows, not
+    N x dims. No UDF, no driver collect.
+
+    Determinism: float sums are partial-fold-order dependent, so values
+    are quantized to ``1/scale`` units by ``floor`` first (exact: the
+    float32 value widens to double losslessly and ``scale`` is a power of
+    two, so ``v*scale`` and ``v*v*scale`` are exact IEEE products below
+    2^53) and summed as exact longs; mean/mean_sq are each ONE double
+    division at the end. min/max of floats are order-free already.
+    """
+    q = F.lit(float(scale))
+    v = F.col("v").cast("double")
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(v * q).cast("long")).alias("__sq"),
+            F.sum(F.floor(v * v * q).cast("long")).alias("__sq2"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            (F.col("__sq").cast("double") / (q * F.col("n"))).alias("mean"),
+            (F.col("__sq2").cast("double") / (q * F.col("n"))).alias(
+                "mean_sq"
+            ),
+            "min_v",
+            "max_v",
+        )
+    )

@@ -593,3 +593,163 @@ def nfc_normalize_text(col: Column | str) -> Column:
     (md5/sha over the normalized text) stay pure JVM.
     """
     return _nfc_udf(_c(col))
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a bag-of-terms query.
+
+    Returns (doc_id, dl, score) with the Lucene-style idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and length normalization
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Shuffle shape (single-pass, vocabulary never shuffles): per-term tf and
+    doc length fold ROW-LOCALLY inside the scan stage (|Q| is tiny, so the
+    per-row cost is O(|Q| x tokens)); the corpus constants N, total token
+    count, and per-term document frequencies partial-combine to ONE row
+    (conditional aggregates — one column per query term) that
+    broadcast-joins back to every doc; the final top-k is
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge). Two
+    scans of the corpus total, nothing data-sized ever moves.
+
+    Determinism: the per-doc score sums per-term contributions in the
+    listed query-term order (fixed left-assoc fold, identical in any
+    engine); dl/avgdl is computed as the single IEEE division
+    ``(dl*N)/total`` of exact integers; the score is rounded to 4 dp, and
+    doc_id breaks ties totally.
+    """
+    toks = tokenize(F.col(text_col))
+
+    def tf_of(t: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("long")
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        # dl/avgdl as one division of exact integer products
+        rel_len = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+            "total_dl"
+        ).cast("double")
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * rel_len
+        )
+        return idf * tf * F.lit(k1 + 1.0) / norm
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"),
+            "dl",
+            F.round(score, 4).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def source_drift_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: int = 100,
+    quant: float = 1e9,
+) -> DataFrame:
+    """Per-source distribution-drift report against the whole corpus.
+
+    Bins ``value_col`` by integer floor-division, compares each source's
+    bin distribution with the corpus distribution, and emits
+    (source, n_docs, tvd, chi2):
+
+    - ``tvd``  — total variation distance ``0.5 * sum |p_s - p_c|``
+    - ``chi2`` — chi-square drift statistic ``sum (p_s - p_c)^2 / p_c``
+
+    The monitoring primitive for data-mixture regression: a source whose
+    length profile drifts from the corpus shows up with a large tvd/chi2
+    before any downstream model metric moves.
+
+    Scale shape: raw rows partial-combine to (source, bin) grain in ONE
+    exchange; the corpus marginal reduces that frame again (bin grain);
+    the (source x bin) comparison grid is a broadcast product of two
+    POST-AGGREGATE frames (sources x bins, both orders of magnitude under
+    the corpus) so every per-bin contribution exists even where a source
+    has zero mass in a corpus bin.
+
+    Determinism: p_s and p_c are single IEEE divisions of exact counts;
+    per-bin contributions are quantized to ``1/quant`` units by ``floor``
+    (bit-identical both engines because the inputs are pure arithmetic on
+    identical integers) and summed as exact longs; one final division
+    rescales. The fold order of the bin sum therefore cannot change the
+    result.
+    """
+    binned = df.select(
+        F.col(group_col).alias("source"),
+        (F.floor(F.col(value_col) / bin_width) * bin_width)
+        .cast("long")
+        .alias("bin"),
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
+    s_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    c_bin = sb.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
+    c_tot = F.broadcast(c_bin.agg(F.sum("n_b").alias("n_c")))
+    grid = (
+        s_tot.join(F.broadcast(c_bin))
+        .join(c_tot)
+        .join(sb, ["source", "bin"], "left")
+        .select(
+            "source",
+            "n_s",
+            (
+                F.coalesce(F.col("n_sb"), F.lit(0)).cast("double")
+                / F.col("n_s").cast("double")
+            ).alias("p_s"),
+            (F.col("n_b").cast("double") / F.col("n_c").cast("double")).alias(
+                "p_c"
+            ),
+        )
+    )
+    q = F.lit(quant)
+    tvd_q = F.floor(F.abs(F.col("p_s") - F.col("p_c")) * q).cast("long")
+    chi_q = F.floor(
+        (F.col("p_s") - F.col("p_c"))
+        * (F.col("p_s") - F.col("p_c"))
+        / F.col("p_c")
+        * q
+    ).cast("long")
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            (F.sum(tvd_q).cast("double") / (q * 2)).alias("tvd"),
+            (F.sum(chi_q).cast("double") / q).alias("chi2"),
+        )
+        .select("source", "n_docs", "tvd", "chi2")
+    )

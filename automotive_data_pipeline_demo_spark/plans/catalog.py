@@ -97,6 +97,7 @@ from automotive_data_pipeline_demo_spark.operators.layout import (
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
     brute_force_topk,
+    embedding_dim_stats,
     embedding_near_dup_pairs,
     ivf_topk,
     kmeans_lloyd,
@@ -137,8 +138,10 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    bm25_topk,
     ccnet_bands,
     doc_fingerprint,
+    source_drift_report,
     language_id,
     ngram_repetition,
     quality_score,
@@ -7744,6 +7747,171 @@ _register(QuerySpec(
         FROM ranked
     """,
     tags=("sampling", "interleave"),
+))
+
+
+_BM25_TERMS = ["merge", "vector", "stream"]
+
+
+def q_x_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed 3-term query. Per-term tf and doc
+    length fold row-locally in the scan stage; N/avgdl/df partial-combine
+    to ONE broadcast row; top-k is TakeOrderedAndProject. Nothing
+    vocabulary- or corpus-sized ever shuffles.
+    """
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
+_register(QuerySpec(
+    name="x_text_bm25",
+    survey="north-star: BM25 relevance retrieval over the corpus",
+    build=q_x_text_bm25,
+    oracle="""
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), per AS (
+          SELECT id,
+                 CAST(len(toks) AS BIGINT) AS dl,
+                 CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT)
+                   AS tf_0,
+                 CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT)
+                   AS tf_1,
+                 CAST(len(list_filter(toks, x -> x = 'stream')) AS BIGINT)
+                   AS tf_2
+          FROM base
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_dl,
+                 CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_0,
+                 CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_1,
+                 CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_2
+          FROM per
+        ), scored AS (
+          SELECT id AS doc_id, dl,
+                 ROUND(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE)
+                             + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+                     * CAST(tf_0 AS DOUBLE) * 2.2
+                     / (CAST(tf_0 AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75 + 0.75
+                                 * (CAST(dl * n_docs AS DOUBLE)
+                                    / CAST(total_dl AS DOUBLE))))
+                   + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE)
+                             + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+                     * CAST(tf_1 AS DOUBLE) * 2.2
+                     / (CAST(tf_1 AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75 + 0.75
+                                 * (CAST(dl * n_docs AS DOUBLE)
+                                    / CAST(total_dl AS DOUBLE))))
+                   + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE)
+                             + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+                     * CAST(tf_2 AS DOUBLE) * 2.2
+                     / (CAST(tf_2 AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75 + 0.75
+                                 * (CAST(dl * n_docs AS DOUBLE)
+                                    / CAST(total_dl AS DOUBLE)))),
+                   4) AS score
+          FROM per, stats
+        )
+        SELECT doc_id, dl, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25"),
+))
+
+
+def q_x_embed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding QA stats. posexplode rows partial-combine to
+    dimension grain map-side, so the single exchange carries ~dims x
+    partitions rows; float sums are quantized to exact longs (fold-order
+    free) with one final division per stat.
+    """
+    emb = _t(spark, sf, "embeddings")
+    return embedding_dim_stats(emb, "embedding")
+
+
+_register(QuerySpec(
+    name="x_embed_stats",
+    survey="north-star: embedding-column QA statistics",
+    build=q_x_embed_stats,
+    oracle="""
+        WITH ex AS (
+          SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS t(i)
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS mean,
+               CAST(SUM(CAST(floor(v * v * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)) AS mean_sq,
+               MIN(v) AS min_v,
+               MAX(v) AS max_v
+        FROM ex GROUP BY 1
+    """,
+    tags=("similarity", "stats", "multimodal"),
+))
+
+
+def q_x_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length-distribution drift vs the corpus (TVD + chi2).
+    Raw rows reduce to (source, bin) grain in one exchange; the comparison
+    grid is a broadcast product of two post-aggregate frames; per-bin
+    contributions quantize to exact longs so the bin fold order cannot
+    change the hash.
+    """
+    docs = _t(spark, sf, "documents")
+    return source_drift_report(docs, "source", "n_chars", bin_width=100)
+
+
+_register(QuerySpec(
+    name="x_corpus_drift",
+    survey="north-star: per-source distribution-drift monitoring",
+    build=q_x_corpus_drift,
+    oracle="""
+        WITH b AS (
+          SELECT source,
+                 CAST((n_chars // 100) * 100 AS BIGINT) AS bin
+          FROM documents
+        ), sb AS (
+          SELECT source, bin, COUNT(*) AS n_sb FROM b GROUP BY 1, 2
+        ), s_tot AS (
+          SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1
+        ), c_bin AS (
+          SELECT bin, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1
+        ), c_tot AS (
+          SELECT CAST(SUM(n_b) AS BIGINT) AS n_c FROM c_bin
+        ), grid AS (
+          SELECT st.source, st.n_s,
+                 CAST(COALESCE(x.n_sb, 0) AS DOUBLE)
+                   / CAST(st.n_s AS DOUBLE) AS p_s,
+                 CAST(cb.n_b AS DOUBLE) / CAST(ct.n_c AS DOUBLE) AS p_c
+          FROM s_tot st
+          CROSS JOIN c_bin cb
+          CROSS JOIN c_tot ct
+          LEFT JOIN sb x ON x.source = st.source AND x.bin = cb.bin
+        )
+        SELECT source,
+               CAST(MAX(n_s) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(floor(abs(p_s - p_c) * 1000000000.0)
+                             AS BIGINT)) AS DOUBLE)
+                 / 2000000000.0 AS tvd,
+               CAST(SUM(CAST(floor((p_s - p_c) * (p_s - p_c) / p_c
+                                   * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0 AS chi2
+        FROM grid GROUP BY 1
+    """,
+    tags=("text", "stats", "monitoring"),
 ))
 
 

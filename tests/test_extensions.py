@@ -1527,3 +1527,70 @@ def test_group_split_integrity(spark, sf_dir):
         F.countDistinct("split").alias("n_splits")
     )
     assert per_group.filter(F.col("n_splits") > 1).count() == 0
+
+
+def test_bm25_planted_ranking(spark):
+    """A doc saturated with a rare query term must outrank one that merely
+    mentions it; docs without any query term are absent; dl is the full
+    token length (not just query-term hits)."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra yak"),
+            (2, "zebra cow cow cow cow cow cow cow"),
+            (3, "cow cow cow"),
+            (4, "yak hut"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["zebra", "yak"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 3 not in rows  # no query term
+    assert rows[1]["dl"] == 4 and rows[2]["dl"] == 8
+    # doc 1: 3x zebra + 1x yak in a short doc beats everything
+    assert rows[1]["score"] > rows[4]["score"] > rows[2]["score"]
+
+
+def test_embedding_dim_stats_exact_on_known_vectors(spark):
+    """Quantized mean/mean_sq must be exact for values representable in
+    1/2^20 units, and min/max are the true extremes."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_dim_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 0.5]), (3, [5.0, 1.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert rows[0]["n"] == 3 and rows[1]["n"] == 3
+    assert rows[0]["mean"] == 3.0 and rows[0]["mean_sq"] == 35.0 / 3
+    assert rows[1]["mean"] == 0.0
+    assert rows[0]["min_v"] == 1.0 and rows[0]["max_v"] == 5.0
+    assert rows[1]["min_v"] == -2.0 and rows[1]["max_v"] == 1.5
+
+
+def test_source_drift_zero_for_identical_distributions(spark):
+    """A source whose bin distribution equals the corpus marginal must
+    report (near-)zero drift; a disjoint-length source must not."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        source_drift_report,
+    )
+
+    rows = []
+    # two sources with the SAME length profile, one wildly different
+    for src in ("a", "b"):
+        rows += [(src, 50)] * 10 + [(src, 250)] * 10
+    rows += [("c", 950)] * 20
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in
+           source_drift_report(df, "source", "n_chars").collect()}
+    assert out["a"]["n_docs"] == 20
+    # a and b match each other but not the corpus (c skews the marginal);
+    # by symmetry their drift is equal, and c's is strictly larger
+    assert abs(out["a"]["tvd"] - out["b"]["tvd"]) < 1e-9
+    assert out["c"]["tvd"] > out["a"]["tvd"] > 0
+    assert out["c"]["chi2"] > out["a"]["chi2"]

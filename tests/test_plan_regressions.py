@@ -124,6 +124,10 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # 3 quantile probes x the 1024-row merged histogram (cum >= k is
         # inherently non-equi; both sides are sketch-grain, never data)
         "a_hist_quantiles",
+        "x_text_bm25",  # ONE-ROW corpus stats (N/avgdl/df) x every doc
+        # sources x corpus-bins comparison grid: a broadcast product of two
+        # POST-AGGREGATE frames, both orders of magnitude under the corpus
+        "x_corpus_drift",
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))
