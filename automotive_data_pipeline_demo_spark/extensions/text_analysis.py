@@ -753,3 +753,63 @@ def source_drift_report(
         )
         .select("source", "n_docs", "tvd", "chi2")
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Dataset-version audit between two corpus snapshots.
+
+    Returns one row per source: (source, n_added, n_removed, n_changed,
+    n_unchanged) — the "what changed between crawl v1 and v2" report a
+    training-data pipeline runs before re-processing: ``added`` ids exist
+    only in ``new``, ``removed`` only in ``old``, ``changed`` ids exist in
+    both with different content digests.
+
+    Scale shape: each snapshot scan projects to (id, source, md5(text)) —
+    digests cross the wire, never documents; the full-outer join shuffles
+    both digest streams once on id; the status classification folds to
+    source grain with conditional partial aggregates, so the final
+    exchange carries a handful of rows per source. No UDF, no collect;
+    at 100 TB the cost is two narrow scans plus one co-partitioned join.
+    """
+    o = old.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(group_col).alias("__g_old"),
+        F.md5(F.col(text_col)).alias("__h_old"),
+    )
+    n = new.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(group_col).alias("__g_new"),
+        F.md5(F.col(text_col)).alias("__h_new"),
+    )
+    j = o.join(n, "id", "full_outer")
+    st = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__g_new"), F.col("__g_old")).alias("source"),
+            st.alias("__st"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("__st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("__st") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("__st") == "changed").cast("long")).alias(
+                "n_changed"
+            ),
+            F.sum((F.col("__st") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+        )
+    )

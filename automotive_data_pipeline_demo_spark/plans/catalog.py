@@ -140,6 +140,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     bm25_topk,
     ccnet_bands,
+    corpus_snapshot_diff,
     doc_fingerprint,
     source_drift_report,
     language_id,
@@ -7912,6 +7913,59 @@ _register(QuerySpec(
         FROM grid GROUP BY 1
     """,
     tags=("text", "stats", "monitoring"),
+))
+
+
+def q_x_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-version audit: two deterministic corpus versions derived
+    from ``documents`` (v1 drops doc_id%10==0, v2 drops doc_id%10==1 and
+    rewrites doc_id%7==0 texts), diffed to per-source added/removed/
+    changed/unchanged counts. Digests cross the join, never documents.
+    """
+    docs = _t(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0)
+    v2 = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_snapshot_diff(v1, v2, "doc_id", "text")
+
+
+_register(QuerySpec(
+    name="x_corpus_diff",
+    survey="north-star: dataset-version snapshot diff audit",
+    build=q_x_corpus_diff,
+    oracle="""
+        WITH v1 AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, source, md5(text) AS h
+          FROM documents WHERE doc_id % 10 <> 0
+        ), v2 AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, source,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 10 <> 1
+        ), j AS (
+          SELECT COALESCE(v2.source, v1.source) AS source,
+                 CASE WHEN v1.h IS NULL THEN 'added'
+                      WHEN v2.h IS NULL THEN 'removed'
+                      WHEN v1.h <> v2.h THEN 'changed'
+                      ELSE 'unchanged' END AS st
+          FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unchanged
+        FROM j GROUP BY 1
+    """,
+    tags=("text", "versioning", "audit"),
 ))
 
 

@@ -1594,3 +1594,25 @@ def test_source_drift_zero_for_identical_distributions(spark):
     assert abs(out["a"]["tvd"] - out["b"]["tvd"]) < 1e-9
     assert out["c"]["tvd"] > out["a"]["tvd"] > 0
     assert out["c"]["chi2"] > out["a"]["chi2"]
+
+
+def test_corpus_snapshot_diff_classification(spark):
+    """Planted add/remove/change/unchanged cases classify correctly and
+    sources with no surviving id still appear via the coalesced group."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        corpus_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "a", "old text"), (3, "b", "gone")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "a", "new text"), (4, "b", "fresh")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in
+           corpus_snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out["a"]["n_unchanged"] == 1 and out["a"]["n_changed"] == 1
+    assert out["b"]["n_removed"] == 1 and out["b"]["n_added"] == 1
+    assert out["a"]["n_added"] == 0 and out["a"]["n_removed"] == 0
