@@ -76,6 +76,7 @@ def is_marketable_contact(
 # the Java-regex/RE2 common subset so the DuckDB oracle runs them verbatim.
 EMAIL_SCAN_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_SCAN_RE = r"\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+IPV4_SCAN_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
 def count_emails(col: Column | str) -> Column:
@@ -96,17 +97,24 @@ def redact_pii(
     col: Column | str,
     email_token: str = "[EMAIL]",
     phone_token: str = "[PHONE]",
+    ip_token: str | None = None,
 ) -> Column:
-    """Replace email- then phone-shaped substrings with fixed tokens.
+    """Replace email- then (optionally) IP- then phone-shaped substrings
+    with fixed tokens.
 
     Training-corpus PII scrub as pure JVM regexp_replace (no UDF, stays in
-    whole-stage codegen). Email pass runs first so the phone pass can never
-    fire on digit runs inside an address; the operation is idempotent —
-    the tokens contain no digits or '@', so a second pass is a no-op.
+    whole-stage codegen). Email pass runs first so later passes can never
+    fire on digit runs inside an address; the optional IPv4 pass
+    (``ip_token``, the web-corpus third PII class alongside emails and
+    phones) runs BEFORE the phone pass so dotted quads are never half-
+    consumed as phone shapes; the operation is idempotent — the tokens
+    contain no digits or '@', so a second pass is a no-op.
     """
     c = F.col(col) if isinstance(col, str) else col
-    no_email = F.regexp_replace(c, EMAIL_SCAN_RE, email_token)
-    return F.regexp_replace(no_email, PHONE_SCAN_RE, phone_token)
+    out = F.regexp_replace(c, EMAIL_SCAN_RE, email_token)
+    if ip_token is not None:
+        out = F.regexp_replace(out, IPV4_SCAN_RE, ip_token)
+    return F.regexp_replace(out, PHONE_SCAN_RE, phone_token)
 
 
 def not_soft_deleted(is_deleted: Column | str, delete_flag: Column | str) -> Column:

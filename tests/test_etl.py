@@ -320,3 +320,29 @@ def test_read_lake_evolved_nulls_for_predrift_rows(spark, tmp_path):
     # re-running the writes is idempotent (dynamic partition overwrite)
     write_partitioned_lake(new, out, ("yr",))
     assert read_lake_evolved(spark, out).count() == 3
+
+
+def test_redact_pii_ip_pass_order_and_idempotence(spark):
+    """With ip_token set, dotted quads redact before the phone pass can
+    half-consume them; emails keep priority; a second pass is a no-op."""
+    from automotive_data_pipeline_demo_spark.operators.cleaning import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "from 192.168.001.100 call 555-123-4567"),
+            (2, "mail a.b@c1.co at 10.0.0.1"),
+            (3, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id", redact_pii("t", ip_token="[IP]").alias("r")
+    )
+    rows = {r["id"]: r["r"] for r in out.collect()}
+    assert rows[1] == "from [IP] call [PHONE]"
+    assert rows[2] == "mail [EMAIL] at [IP]"
+    assert rows[3] == "no pii here"
+    twice = out.select(
+        "id", (redact_pii("r", ip_token="[IP]") == F.col("r")).alias("same")
+    )
+    assert twice.filter(~F.col("same")).count() == 0
