@@ -216,3 +216,94 @@ def test_quantize_int8_bounds_and_scale_invariance(spark, vecs):
         assert all(c is not None and -127 <= c <= 127 for c in q), (v, q)
         m = max(range(len(v)), key=lambda j: (abs(v[j]), -j))
         assert abs(q[m]) == 127, (v, q)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_source_drift_bounds_and_python_reference(spark, rows):
+    """tvd in [0, 1) quantized, chi2 >= 0, and both match a pure-Python
+    recomputation of the quantized definition on arbitrary groupings."""
+    import math
+
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        source_drift_report,
+    )
+
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in source_drift_report(df, "source", "n_chars").collect()
+    }
+
+    # pure-Python reference of the documented quantized semantics
+    from collections import Counter
+
+    binned = [(s, (v // 100) * 100) for s, v in rows]
+    sb = Counter(binned)
+    s_tot = Counter(s for s, _ in binned)
+    c_bin = Counter(b for _, b in binned)
+    n_c = sum(c_bin.values())
+    for s in s_tot:
+        tvd_q = chi_q = 0
+        for b, n_b in c_bin.items():
+            p_s = sb.get((s, b), 0) / s_tot[s]
+            p_c = n_b / n_c
+            tvd_q += math.floor(abs(p_s - p_c) * 1e9)
+            chi_q += math.floor((p_s - p_c) * (p_s - p_c) / p_c * 1e9)
+        assert got[s]["n_docs"] == s_tot[s]
+        assert got[s]["tvd"] == tvd_q / 2e9
+        assert got[s]["chi2"] == chi_q / 1e9
+        assert 0.0 <= got[s]["tvd"] <= 1.0
+        assert got[s]["chi2"] >= 0.0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_embedding_dim_stats_matches_python_reference(spark, vecs):
+    """Quantized per-dimension mean/mean_sq and exact min/max match a pure
+    Python fold for arbitrary float32 vectors."""
+    import math
+    import struct
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_dim_stats,
+    )
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    vecs = [[f32(x) for x in v] for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    q = float(1 << 20)
+    for d in range(3):
+        col = [v[d] for v in vecs]
+        sq = sum(math.floor(x * q) for x in col)
+        sq2 = sum(math.floor(x * x * q) for x in col)
+        assert got[d]["n"] == len(col)
+        assert got[d]["mean"] == sq / (q * len(col))
+        assert got[d]["mean_sq"] == sq2 / (q * len(col))
+        assert got[d]["min_v"] == min(col)
+        assert got[d]["max_v"] == max(col)
