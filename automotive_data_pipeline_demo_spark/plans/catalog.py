@@ -7767,6 +7767,7 @@ def q_x_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_text_bm25",
     survey="north-star: BM25 relevance retrieval over the corpus",
+    bench=True,
     build=q_x_text_bm25,
     oracle="""
         WITH base AS (
@@ -7936,6 +7937,7 @@ def q_x_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
 _register(QuerySpec(
     name="x_corpus_diff",
     survey="north-star: dataset-version snapshot diff audit",
+    bench=True,
     build=q_x_corpus_diff,
     oracle="""
         WITH v1 AS (
