@@ -2297,16 +2297,19 @@ _register(QuerySpec(
 
 def q_x_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 via pigeonhole
-    banding (4 disjoint 8-bit bands; pairs within radius 3 must agree on
-    >= 1 band exactly). One exchange on (band, band_bits); Hamming verify
-    is bit_count(xor) computed during JVM-side bucket expansion — the
-    scale path that turns x_dedup_simhash's fingerprints into dedup pairs
-    without an all-pairs comparison. ``max_bucket_size=None`` keeps the
-    entry declarative for the oracle (the default caps hot buckets).
+    banding (4 disjoint 15-bit bands over a 60-bit fingerprint; pairs
+    within radius 3 must agree on >= 1 band exactly). One exchange on
+    (band, band_bits); Hamming verify is bit_count(xor) computed during
+    JVM-side bucket expansion. 60-bit/15-bit-band geometry matters at
+    scale: 8-bit bands give only 256 buckets/band, which exhausts once
+    the corpus passes a few thousand docs and sends expansion quadratic
+    (measured 233 s at sf1 vs ~6 s with 32k buckets/band).
+    ``max_bucket_size=None`` keeps the entry declarative for the oracle
+    (the default caps hot buckets).
     """
     docs = _t(spark, sf, "documents")
     return simhash_near_pairs(
-        docs, "doc_id", "text", bits=32, max_hamming=3, max_bucket_size=None
+        docs, "doc_id", "text", bits=60, max_hamming=3, max_bucket_size=None
     )
 
 
@@ -2321,10 +2324,10 @@ _register(QuerySpec(
                                     t -> t <> '')) AS tok
           FROM documents
         ), hashed AS (
-          SELECT id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+          SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
         ), votes AS (
           SELECT id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
-          FROM hashed, UNNEST(range(0, 32)) AS u(j)
+          FROM hashed, UNNEST(range(0, 60)) AS u(j)
           GROUP BY 1, 2
         ), fp AS (
           SELECT id,
@@ -2332,7 +2335,8 @@ _register(QuerySpec(
                           ELSE 0 END) AS BIGINT) AS simhash
           FROM votes GROUP BY id
         ), bands AS (
-          SELECT id, simhash, j AS band, (simhash >> (j * 8)) & 255 AS band_bits
+          SELECT id, simhash, j AS band,
+                 (simhash >> (j * 15)) & 32767 AS band_bits
           FROM fp, UNNEST(range(0, 4)) AS u(j)
         )
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
