@@ -32,11 +32,21 @@ def quantize_int8(vec: Column) -> Column:
     Returns NULL (not a zero array) for all-zero vectors — callers must
     treat NULL codes as "no similarity defined", which mirrors cosine being
     undefined on the zero vector.
+
+    The max|x| scale is LET-BOUND (single-element transform): captured as
+    a bare tree inside the per-element lambda it would re-run the O(d)
+    array_max once per element — O(d^2) per vector, measured 6x on the
+    quantized scan at sf1.
     """
     v = F.transform(vec, lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs))
-    safe = F.when(scale != 0.0, scale)  # NULL when the vector is all zeros
-    return F.transform(v, lambda x: F.round(x * 127.0 / safe).cast("long"))
+
+    def over(scale: Column) -> Column:
+        safe = F.when(scale != 0.0, scale)  # NULL when all zeros
+        return F.transform(
+            v, lambda x: F.round(x * 127.0 / safe).cast("long")
+        )
+
+    return F.transform(F.array(F.array_max(F.transform(v, F.abs))), over)[0]
 
 
 def _idot(a: Column, b: Column) -> Column:
@@ -78,21 +88,35 @@ def quantized_topk(
     Output: (query_id, vec_id, score_q) with score_q rounded to 4 dp and
     vec_id as the deterministic tiebreaker.
     """
+    # norms ride in the per-side projections so the post-join score
+    # references each code array once (for the dot product); inlined
+    # whole-cosine references re-ran the quantizer per reference per pair
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             quantize_int8(F.col(vec_col)).alias("q_qv"),
+        ).select(
+            "query_id", "q_qv", _inorm2(F.col("q_qv")).alias("q_n2")
         )
     )
     scored = (
         corpus.select(
-            F.col(id_col).alias("vec_id"), quantize_int8(F.col(vec_col)).alias("c_qv")
+            F.col(id_col).alias("vec_id"),
+            quantize_int8(F.col(vec_col)).alias("c_qv"),
         )
+        .select("vec_id", "c_qv", _inorm2(F.col("c_qv")).alias("c_n2"))
         .crossJoin(q)
         .select(
             "query_id",
             "vec_id",
-            F.round(quantized_cosine(F.col("c_qv"), F.col("q_qv")), 4).alias("score_q"),
+            F.round(
+                _idot(F.col("c_qv"), F.col("q_qv")).cast("double")
+                / (
+                    F.sqrt(F.col("c_n2").cast("double"))
+                    * F.sqrt(F.col("q_n2").cast("double"))
+                ),
+                4,
+            ).alias("score_q"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -138,6 +138,7 @@ from automotive_data_pipeline_demo_spark.extensions.sampling import (
     uniform_sample_k,
 )
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    bind_once,
     bm25_topk,
     ccnet_bands,
     corpus_snapshot_diff,
@@ -2523,16 +2524,27 @@ def q_x_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     regex), distinct ratio, quality score — all codegen'd expressions.
     """
     docs = _t(spark, sf, "documents")
-    toks = tokenize(F.col("text"))
+
+    def tok_stats(toks: F.Column) -> F.Column:
+        nd = F.size(F.array_distinct(toks))
+        return F.struct(
+            nd.cast("int").alias("nd"),
+            F.round(
+                nd.cast("double")
+                / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+                4,
+            ).alias("ratio"),
+        )
+
+    # the distinct/ratio pair folds over ONE let-bound token array;
+    # inlined, each reference re-tokenizes the document
+    ts = bind_once(tokenize(F.col("text")), tok_stats)
     return docs.select(
         "doc_id",
         token_count_ws("text").cast("int").alias("n_tokens_ws"),
         token_count_bpe("text").cast("int").alias("n_tokens_bpe"),
-        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)).cast("double"), 4
-        ).alias("distinct_ratio"),
+        ts["nd"].alias("n_distinct_tokens"),
+        ts["ratio"].alias("distinct_ratio"),
         F.round(quality_score("text").cast("double"), 2).alias("quality"),
     )
 
@@ -4086,14 +4098,23 @@ def q_a_approx(spark: SparkSession, sf: str) -> DataFrame:
     driver-checked property instead of a pytest-only one.
     """
     li = _t(spark, sf, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two aggregates joined at group grain, NOT one: mixing a DISTINCT
+    # aggregate with plain ones makes the planner Expand-duplicate every
+    # input row (one copy per aggregate family), which doubled 60M rows
+    # through two exchanges and ran 152 s at sf1. Split, each side plans
+    # its own partial-aggregated single pass (4.5 s + 5 s), and the join
+    # is three rows per side.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hll_orders"),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("apx_median"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("apx_median"),
         F.expr("percentile(l_quantity, 0.45)").alias("p45"),
         F.expr("percentile(l_quantity, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    agg = exact.join(F.broadcast(sketches), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_orders",
@@ -6135,28 +6156,63 @@ def q_x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.md5("text").alias("h"),
         (quality_score("text") * 4).cast("long").alias("q4"),
     )
+    # Stage membership as FLAGS folded by one aggregate, not one union'd
+    # count() per stage: the union form re-derived the quality/dedup
+    # chain once per stage (4 corpus scans, 25 s at sf1); here the corpus
+    # is scanned twice (flag frame + contamination gram input) and every
+    # stage count is a conditional sum over the same rows (~10 s).
     s2 = base.filter(F.col("q4") >= 3)
-    keep = s2.groupBy("h").agg(F.min("id").alias("id"))
-    s3 = s2.join(keep, ["h", "id"], "semi")
-    hits = ngram_contamination(
-        s3.select(F.col("id").alias("doc_id"), "text"),
-        bench, "doc_id", "text", n=8,
-    ).select("id").distinct()
-    s4 = s3.join(hits, "id", "anti")
-
-    def stage(n: int, label: str, d: DataFrame) -> DataFrame:
-        return d.agg(
-            F.lit(n).cast("int").alias("stage_no"),
-            F.lit(label).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-
-    return (
-        stage(1, "total", base)
-        .unionByName(stage(2, "quality_ok", s2))
-        .unionByName(stage(3, "exact_deduped", s3))
-        .unionByName(stage(4, "decontaminated", s4))
+    keep = (
+        s2.groupBy("h")
+        .agg(F.min("id").alias("id"))
+        .withColumn("__keep", F.lit(1))
     )
+    s3 = s2.join(keep, ["h", "id"], "semi")
+    hits = (
+        ngram_contamination(
+            s3.select(F.col("id").alias("doc_id"), "text"),
+            bench, "doc_id", "text", n=8,
+        )
+        .select("id")
+        .distinct()
+        .withColumn("__cont", F.lit(1))
+    )
+    flags = (
+        base.join(keep.select("h", "id", "__keep"), ["h", "id"], "left")
+        .join(hits, "id", "left")
+        .select(
+            (F.col("q4") >= 3).alias("__q"),
+            F.col("__keep").isNotNull().alias("__k"),
+            F.col("__cont").isNull().alias("__c"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("__q").cast("long")).alias("n2"),
+        F.sum((F.col("__q") & F.col("__k")).cast("long")).alias("n3"),
+        F.sum(
+            (F.col("__q") & F.col("__k") & F.col("__c")).cast("long")
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_no"),
+                        F.lit(label).alias("stage"),
+                        F.col(f"n{i}").alias("n_docs"),
+                    )
+                    for i, label in [
+                        (1, "total"),
+                        (2, "quality_ok"),
+                        (3, "exact_deduped"),
+                        (4, "decontaminated"),
+                    ]
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.*")
 
 
 _register(QuerySpec(
