@@ -7722,13 +7722,15 @@ def q_x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Containment (overlap-coefficient) near-dup scoring: intersection /
     min set size. Catches doc-inside-doc duplication — a page embedded in
     a larger page scores ~1.0 here but falls under a Jaccard threshold
-    because the union denominator grows with the big doc. Same capped
-    co-shingle plan as x_dedup_jaccard; only the final arithmetic differs.
+    because the union denominator grows with the big doc. Runs with the
+    default doc-frequency cap (the 100 TB fan-out bound — the uncapped
+    exact baseline is represented by x_dedup_jaccard); the oracle
+    recomputes the capped shingle universe, same as x_dedup_jaccard_capped.
     """
     docs = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.5, shingle_n=3,
-        max_doc_freq=None, metric="containment",
+        max_doc_freq=5, metric="containment",
     )
 
 
@@ -7748,11 +7750,16 @@ _register(QuerySpec(
             FROM toks,
                  UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
           )
+        ), capped AS (
+          SELECT id, sh FROM (
+            SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfreq
+            FROM shingles
+          ) WHERE dfreq <= 5
         ), sizes AS (
-          SELECT id, COUNT(*) AS n_shingles FROM shingles GROUP BY 1
+          SELECT id, COUNT(*) AS n_shingles FROM capped GROUP BY 1
         ), pairs AS (
           SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
-          FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+          FROM capped x JOIN capped y ON x.sh = y.sh AND x.id < y.id
           GROUP BY 1, 2
         )
         SELECT p.id_a, p.id_b,
@@ -7763,7 +7770,7 @@ _register(QuerySpec(
         JOIN sizes sb ON p.id_b = sb.id
         WHERE p.n_common / least(sa.n_shingles, sb.n_shingles) >= 0.5
     """,
-    tags=("dedup", "containment"),
+    tags=("dedup", "containment", "scale"),
 ))
 
 
