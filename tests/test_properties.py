@@ -307,3 +307,53 @@ def test_embedding_dim_stats_matches_python_reference(spark, vecs):
         assert got[d]["mean_sq"] == sq2 / (q * len(col))
         assert got[d]["min_v"] == min(col)
         assert got[d]["max_v"] == max(col)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["zebra", "yak", "cow", "hut", "elk"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    """BM25 scores match a pure-Python implementation of the documented
+    formula (Lucene idf, fixed-order term fold, 4-dp rounding) on
+    arbitrary corpora, including all-query-term and no-query-term docs."""
+    import math
+
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        bm25_topk,
+    )
+
+    terms = ["zebra", "yak"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bm25_topk(df, "doc_id", "text", terms, k=100).collect()
+    }
+
+    n = len(docs)
+    total = sum(len(t) for t in docs)
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    for i, toks in enumerate(docs):
+        score = 0.0
+        for t in terms:
+            tf = float(toks.count(t))
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            rel = float(len(toks) * n) / float(total)
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * rel))
+        expected = round(score, 4)
+        if expected > 0:
+            assert got[i]["score"] == expected and got[i]["dl"] == len(toks)
+        else:
+            assert i not in got
