@@ -44,8 +44,15 @@ def _c(col: Column | str) -> Column:
 
 
 def tokenize(text: Column | str) -> Column:
-    """Lowercased word tokens; empty strings from the split removed."""
-    toks = F.split(F.lower(_c(text)), TOKEN_SPLIT)
+    """Lowercased word tokens; empty strings from the split removed.
+
+    NULL text tokenizes as the EMPTY document (not a NULL array): a NULL
+    array turns every downstream ``F.size`` into the -1 sentinel, which
+    silently leaks negative token counts into stats and corrupts corpus
+    sums on dirty data. The clean test corpora have no NULLs, so oracle
+    parity is unaffected.
+    """
+    toks = F.split(F.lower(F.coalesce(_c(text), F.lit(""))), TOKEN_SPLIT)
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
@@ -62,8 +69,14 @@ def bind_once(col: Column, fn) -> Column:
 
 
 def token_count_ws(text: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(F.filter(F.split(_c(text), r"\s+"), lambda t: t != F.lit("")))
+    """Whitespace token count. NULL text counts as 0, not the -1 that
+    ``F.size(NULL)`` would leak (see :func:`tokenize`)."""
+    return F.size(
+        F.filter(
+            F.split(F.coalesce(_c(text), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
 
 
 def token_count_bpe(text: Column | str) -> Column:
@@ -73,7 +86,7 @@ def token_count_bpe(text: Column | str) -> Column:
     cluster-side: counts maximal runs of letters (split every 4 chars, the
     rough BPE piece length), digit runs, and single punctuation marks.
     """
-    t = _c(text)
+    t = F.coalesce(_c(text), F.lit(""))  # NULL counts as 0, not 3 * -1
     letters = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}"), F.lit(0)))
     digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]{1,3}"), F.lit(0)))
     punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
@@ -138,7 +151,7 @@ def quality_score(text: Column | str) -> Column:
     inlined, the five token references each re-evaluated it (measured
     ~1.9x at sf1 on the quality rollups), with values unchanged.
     """
-    t = _c(text)
+    t = F.coalesce(_c(text), F.lit(""))  # NULL scores like the empty doc
     punct_ratio = F.length(F.regexp_replace(t, r"[\sA-Za-z0-9]", "")) / F.greatest(
         F.length(t), F.lit(1)
     )

@@ -1,0 +1,85 @@
+"""Poison-corpus robustness: every documents-based catalog entry must
+survive dirty data — NULL text, empty/whitespace-only docs, unicode,
+punctuation-only docs, a 10k-token doc, NULL lang/source — without
+raising, and the per-doc stats entries must never emit the ``F.size(NULL)``
+-1 sentinel as a count. The driver's synthetic corpora are clean, so this
+class of defect is invisible to the oracle sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+_POISON_TAGS = {
+    "text", "dedup", "sampling", "stats", "similarity", "tfidf", "quality",
+    "index", "containment", "simhash", "jaccard", "retrieval", "bm25",
+    "versioning", "monitoring", "curation", "pipeline", "interleave",
+}
+
+_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog and it is a day", "en", "web"),
+    (2, "", "en", "web"),
+    (3, "x", "en", "mail"),
+    (4, " ".join("tok%d" % (i % 97) for i in range(10000)), "en", "crawl"),
+    (5, "café résumé naïve café café café", "fr", "web"),
+    (6, "   \t  ", "en", "web"),
+    (7, "!!! ??? ... ;;; :::", "en", "mail"),
+    (8, "中文文本 没有 空格分词 测试", "zh", "crawl"),
+    (9, None, "en", "web"),
+    (10, "dup dup dup dup dup dup dup dup", None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def poison_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("poison_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, ?, ?, NULL)", _ROWS
+    )
+    con.execute("UPDATE docs SET n_chars = coalesce(length(text), 0)")
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _poison_specs():
+    return [s for s in CATALOG if set(s.tags) & _POISON_TAGS]
+
+
+@pytest.mark.parametrize("spec", _poison_specs(), ids=lambda s: s.name)
+def test_entry_survives_poison_corpus(spark, poison_dir, spec):
+    # must not raise; row count is unconstrained (filters may drop all)
+    spec.build(spark, poison_dir).count()
+
+
+def test_stats_never_emit_negative_counts(spark, poison_dir):
+    """NULL text is the EMPTY document: counts are 0, never the -1
+    F.size(NULL) sentinel, and corpus totals are not silently reduced."""
+    stats = next(s for s in CATALOG if s.name == "x_text_stats")
+    rows = {r["doc_id"]: r for r in stats.build(spark, poison_dir).collect()}
+    assert rows[9]["n_tokens_ws"] == 0
+    assert rows[9]["n_tokens_bpe"] == 0
+    assert rows[9]["n_distinct_tokens"] == 0
+    assert rows[9]["quality"] == rows[2]["quality"]  # NULL scores like ""
+    assert all(
+        r["n_tokens_ws"] >= 0 and r["n_distinct_tokens"] >= 0
+        for r in rows.values()
+    )
+    corpus = next(s for s in CATALOG if s.name == "x_corpus_stats")
+    en = {r["lang"]: r for r in corpus.build(spark, poison_dir).collect()}["en"]
+    # en docs: 14 + 0 + 1 + 10000 + 0 + 5 + 0 (NULL doc) ws tokens
+    assert en["total_tokens"] == 10020
