@@ -383,6 +383,15 @@ def kmeans_lloyd(
         for r in seed_rows
     }
 
+    # NULL or wrong-dimension vectors are EXCLUDED, not crashed on: cosine
+    # against a d-dim centroid is undefined for them, and a ragged batch
+    # breaks the numpy path's rectangular matmul (poison-corpus audit).
+    # Dimension comes from the seeds, which are always well-formed.
+    seed_dims = len(next(iter(cents.values())))
+    corpus = corpus.filter(
+        F.col("__mv").isNotNull() & (F.size("__mv") == seed_dims)
+    )
+
     id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
         id_col
     ].dataType.simpleString()

@@ -83,3 +83,52 @@ def test_stats_never_emit_negative_counts(spark, poison_dir):
     en = {r["lang"]: r for r in corpus.build(spark, poison_dir).collect()}["en"]
     # en docs: 14 + 0 + 1 + 10000 + 0 + 5 + 0 (NULL doc) ws tokens
     assert en["total_tokens"] == 10020
+
+
+_EMB_ENTRIES = [
+    "x_sim_bruteforce", "x_sim_lsh", "x_sim_ivf", "x_sim_quantized",
+    "x_sim_rerank", "x_sim_kmeans", "x_dedup_embed", "x_dedup_semdedup",
+    "x_dedup_threshold_sweep", "x_embed_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def poison_emb_dir(tmp_path_factory):
+    """sf0.001 tables with a poisoned embeddings column: an all-zero
+    vector, a NULL embedding, a ragged (2-dim) vector, and a 1e30
+    magnitude vector appended to the clean 64-dim corpus."""
+    d = str(tmp_path_factory.mktemp("poison_emb"))
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    dim = con.execute("SELECT len(embedding) FROM emb LIMIT 1").fetchone()[0]
+    con.execute(
+        f"INSERT INTO emb VALUES (900001, list_transform(range(1, {dim}+1),"
+        " x -> CAST(0.0 AS FLOAT)), 0)"
+    )
+    con.execute("INSERT INTO emb VALUES (900002, NULL, 1)")
+    con.execute(
+        "INSERT INTO emb VALUES (900003,"
+        " [CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT)], 2)"
+    )
+    con.execute(
+        f"INSERT INTO emb VALUES (900004, list_transform(range(1, {dim}+1),"
+        " x -> CAST(1e30 AS FLOAT)), 3)"
+    )
+    con.execute(f"COPY emb TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    return d
+
+
+@pytest.mark.parametrize("name", _EMB_ENTRIES)
+def test_entry_survives_poison_embeddings(spark, poison_emb_dir, name):
+    """Zero / NULL / ragged / huge-magnitude vectors must not crash any
+    similarity entry (kmeans excludes NULL and wrong-dimension vectors —
+    cosine against a d-dim centroid is undefined for them)."""
+    spec = next(s for s in CATALOG if s.name == name)
+    spec.build(spark, poison_emb_dir).count()
