@@ -132,3 +132,54 @@ def test_entry_survives_poison_embeddings(spark, poison_emb_dir, name):
     cosine against a d-dim centroid is undefined for them)."""
     spec = next(s for s in CATALOG if s.name == name)
     spec.build(spark, poison_emb_dir).count()
+
+
+@pytest.fixture(scope="module")
+def poison_ev_dir(tmp_path_factory):
+    """sf0.001 tables with poisoned events: NULL ts, NULL user_id/props,
+    NULL event_type/value, malformed and truncated JSON props, an epoch
+    timestamp, and a -1e308 value."""
+    d = str(tmp_path_factory.mktemp("poison_ev"))
+    for t in (
+        "region nation customer supplier part orders lineitem documents"
+        " embeddings"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    con.execute(
+        "INSERT INTO ev VALUES (900001, NULL, 42, 'click', 1.0, '{}')"
+    )
+    con.execute(
+        "INSERT INTO ev VALUES (900002, TIMESTAMP '2024-01-05 00:00:00',"
+        " NULL, 'click', 1.0, NULL)"
+    )
+    con.execute(
+        "INSERT INTO ev VALUES (900003, TIMESTAMP '2024-01-05 00:00:00',"
+        " 43, NULL, NULL, 'not json at all')"
+    )
+    con.execute(
+        "INSERT INTO ev VALUES (900004, TIMESTAMP '1970-01-01 00:00:00',"
+        " 44, 'click', -1e308, '{\"k\":')"
+    )
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _events_specs():
+    import inspect
+
+    return [
+        s
+        for s in CATALOG
+        if '"events"' in inspect.getsource(s.build)
+        or "'events'" in inspect.getsource(s.build)
+    ]
+
+
+@pytest.mark.parametrize("spec", _events_specs(), ids=lambda s: s.name)
+def test_entry_survives_poison_events(spark, poison_ev_dir, spec):
+    spec.build(spark, poison_ev_dir).count()
