@@ -940,23 +940,27 @@ def q_j_fuzzy_blocking(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: block cardinality bounds the fan-out (pairs per block ~
     (n/b)^2, tunable by block key choice exactly like MinHash bands bound
     x_dedup_minhash); the edit distance runs only on in-block pairs, and
-    the final aggregate partial-combines on the name pair. 100 TB path:
-    compose the block key from multiple attributes (brand x size) or a
-    phonetic key to keep blocks bounded.
+    the final aggregate partial-combines on the name pair. The block key
+    is COMPOSITE (brand x size, ~1250 blocks) — size alone leaves 50
+    blocks whose quadratic expansion grows 25x faster with the corpus
+    (measured 36 s vs 2 s at sf1); composing attributes is exactly how
+    blocking stays bounded at 100 TB (or swap in a phonetic key).
     """
     part = _t(spark, sf, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
-        F.col("p_size").alias("block"),
+        F.col("p_brand").alias("block_b"),
+        F.col("p_size").alias("block_s"),
     )
     b = part.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
-        F.col("p_size").alias("block"),
+        F.col("p_brand").alias("block_b"),
+        F.col("p_size").alias("block_s"),
     )
     pairs = (
-        a.join(b, "block")
+        a.join(b, ["block_b", "block_s"])
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.col("name_a") != F.col("name_b"))
         # thresholded levenshtein abandons the DP once the distance is
@@ -979,7 +983,8 @@ _register(QuerySpec(
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM part a JOIN part b
-          ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
              AND a.p_name <> b.p_name
              AND levenshtein(a.p_name, b.p_name) <= 3
         GROUP BY 1, 2, 3
