@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+    bind_once,
+)
+
 
 def quantize_int8(vec: Column) -> Column:
     """Symmetric per-vector int8 codes: round(x * 127 / max|x|) as long.
@@ -33,10 +37,10 @@ def quantize_int8(vec: Column) -> Column:
     treat NULL codes as "no similarity defined", which mirrors cosine being
     undefined on the zero vector.
 
-    The max|x| scale is LET-BOUND (single-element transform): captured as
-    a bare tree inside the per-element lambda it would re-run the O(d)
-    array_max once per element — O(d^2) per vector, measured 6x on the
-    quantized scan at sf1.
+    The max|x| scale is LET-BOUND (``bind_once``): captured as a bare
+    tree inside the per-element lambda it would re-run the O(d) array_max
+    once per element — O(d^2) per vector, measured 6x on the quantized
+    scan at sf1.
     """
     v = F.transform(vec, lambda x: x.cast("double"))
 
@@ -46,7 +50,7 @@ def quantize_int8(vec: Column) -> Column:
             v, lambda x: F.round(x * 127.0 / safe).cast("long")
         )
 
-    return F.transform(F.array(F.array_max(F.transform(v, F.abs))), over)[0]
+    return bind_once(F.array_max(F.transform(v, F.abs)), over)
 
 
 def _idot(a: Column, b: Column) -> Column:

@@ -502,16 +502,31 @@ def embedding_dim_stats(
     two, so ``v*scale`` and ``v*v*scale`` are exact IEEE products below
     2^53) and summed as exact longs; mean/mean_sq are each ONE double
     division at the end. min/max of floats are order-free already.
+
+    Saturation: quantized units clamp to ±2^40 per element so a single
+    pathological value (e.g. 1e30 — whose square would silently WRAP the
+    long sum into garbage, even negative mean_sq) saturates the mean
+    stats instead; the exact ``min_v``/``max_v`` columns carry the true
+    extremes, which is where outlier detection reads anyway. The clamp
+    keeps the sum exact through ~2^22 rows per dimension at full
+    saturation and is a no-op for |v| < 2^20 (any normalized embedding).
     """
     q = F.lit(float(scale))
+    cap = F.lit(float(1 << 40))
     v = F.col("v").cast("double")
+
+    def quant(x):
+        return (
+            F.least(F.greatest(F.floor(x * q), -cap), cap).cast("long")
+        )
+
     exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
     return (
         exploded.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(v * q).cast("long")).alias("__sq"),
-            F.sum(F.floor(v * v * q).cast("long")).alias("__sq2"),
+            F.sum(quant(v)).alias("__sq"),
+            F.sum(quant(v * v)).alias("__sq2"),
             F.min(v).alias("min_v"),
             F.max(v).alias("max_v"),
         )

@@ -762,6 +762,11 @@ def source_drift_report(
     rescales. The fold order of the bin sum therefore cannot change the
     result.
     """
+    # NULL group/bin values are real report rows (a NULL source is its own
+    # cohort; a NULL value lands in a NULL bin), so the grid-to-counts
+    # join must match them null-safely — a plain equality join silently
+    # zeroes p_s for the NULL source and strands the NULL bin's corpus
+    # mass, inflating every source's drift.
     binned = df.select(
         F.col(group_col).alias("source"),
         (F.floor(F.col(value_col) / bin_width) * bin_width)
@@ -772,10 +777,20 @@ def source_drift_report(
     s_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     c_bin = sb.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
     c_tot = F.broadcast(c_bin.agg(F.sum("n_b").alias("n_c")))
+    cell = sb.select(
+        F.col("source").alias("__cs"),
+        F.col("bin").alias("__cb"),
+        "n_sb",
+    )
     grid = (
         s_tot.join(F.broadcast(c_bin))
         .join(c_tot)
-        .join(sb, ["source", "bin"], "left")
+        .join(
+            cell,
+            F.col("source").eqNullSafe(F.col("__cs"))
+            & F.col("bin").eqNullSafe(F.col("__cb")),
+            "left",
+        )
         .select(
             "source",
             "n_s",
@@ -829,21 +844,29 @@ def corpus_snapshot_diff(
     exchange carries a handful of rows per source. No UDF, no collect;
     at 100 TB the cost is two narrow scans plus one co-partitioned join.
     """
+    # presence is a dedicated marker, NOT digest NULL-ness: md5(NULL text)
+    # is NULL, so a NULL-text doc present in both snapshots would otherwise
+    # be misclassified as added/removed; digests compare null-safely so
+    # NULL<->NULL is unchanged and NULL<->'x' is changed
     o = old.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(group_col).alias("__g_old"),
         F.md5(F.col(text_col)).alias("__h_old"),
+        F.lit(1).alias("__in_old"),
     )
     n = new.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(group_col).alias("__g_new"),
         F.md5(F.col(text_col)).alias("__h_new"),
+        F.lit(1).alias("__in_new"),
     )
     j = o.join(n, "id", "full_outer")
     st = (
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__h_old").eqNullSafe(F.col("__h_new")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (

@@ -7925,9 +7925,13 @@ _register(QuerySpec(
         )
         SELECT CAST(dim AS INT) AS dim,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(least(greatest(floor(v * 1048576.0),
+                        -1099511627776.0), 1099511627776.0) AS BIGINT))
+                    AS DOUBLE)
                  / (1048576.0 * COUNT(*)) AS mean,
-               CAST(SUM(CAST(floor(v * v * 1048576.0) AS BIGINT)) AS DOUBLE)
+               CAST(SUM(CAST(least(greatest(floor(v * v * 1048576.0),
+                        -1099511627776.0), 1099511627776.0) AS BIGINT))
+                    AS DOUBLE)
                  / (1048576.0 * COUNT(*)) AS mean_sq,
                MIN(v) AS min_v,
                MAX(v) AS max_v
@@ -7973,7 +7977,8 @@ _register(QuerySpec(
           FROM s_tot st
           CROSS JOIN c_bin cb
           CROSS JOIN c_tot ct
-          LEFT JOIN sb x ON x.source = st.source AND x.bin = cb.bin
+          LEFT JOIN sb x ON x.source IS NOT DISTINCT FROM st.source
+                        AND x.bin IS NOT DISTINCT FROM cb.bin
         )
         SELECT source,
                CAST(MAX(n_s) AS BIGINT) AS n_docs,
@@ -8022,9 +8027,9 @@ _register(QuerySpec(
           FROM documents WHERE doc_id % 10 <> 1
         ), j AS (
           SELECT COALESCE(v2.source, v1.source) AS source,
-                 CASE WHEN v1.h IS NULL THEN 'added'
-                      WHEN v2.h IS NULL THEN 'removed'
-                      WHEN v1.h <> v2.h THEN 'changed'
+                 CASE WHEN v1.id IS NULL THEN 'added'
+                      WHEN v2.id IS NULL THEN 'removed'
+                      WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed'
                       ELSE 'unchanged' END AS st
           FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
         )

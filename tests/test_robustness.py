@@ -183,3 +183,58 @@ def _events_specs():
 @pytest.mark.parametrize("spec", _events_specs(), ids=lambda s: s.name)
 def test_entry_survives_poison_events(spark, poison_ev_dir, spec):
     spec.build(spark, poison_ev_dir).count()
+
+
+def test_snapshot_diff_classifies_null_text(spark):
+    """NULL-text docs present in both snapshots are unchanged (presence is
+    a marker, not digest NULL-ness); NULL <-> text transitions are
+    changed."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        corpus_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "a", "x")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "now text"), (3, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    row = corpus_snapshot_diff(old, new, "doc_id", "text").collect()[0]
+    assert row["n_unchanged"] == 1  # NULL <-> NULL
+    assert row["n_changed"] == 2    # NULL -> text and text -> NULL
+    assert row["n_added"] == 0 and row["n_removed"] == 0
+
+
+def test_drift_report_handles_null_keys(spark):
+    """A NULL source is a real cohort with a correct p_s (null-safe grid
+    join), and NULL values land in a NULL bin credited to their source."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        source_drift_report,
+    )
+
+    rows = [("a", 50)] * 10 + [(None, 50)] * 10
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in
+           source_drift_report(df, "source", "n_chars").collect()}
+    # both cohorts have the identical (single-bin) distribution == corpus
+    assert out["a"]["tvd"] == 0.0 and out[None]["tvd"] == 0.0
+    assert out[None]["n_docs"] == 10
+
+    rows2 = [("a", 50)] * 10 + [("b", None)] * 10
+    df2 = spark.createDataFrame(rows2, "source string, n_chars long")
+    out2 = {r["source"]: r for r in
+            source_drift_report(df2, "source", "n_chars").collect()}
+    # each source fully owns its bin: tvd = |1-0.5|/2 + |0-0.5|/2 = 0.5
+    assert out2["a"]["tvd"] == 0.5 and out2["b"]["tvd"] == 0.5
+
+
+def test_embed_stats_saturate_instead_of_wrapping(spark, poison_emb_dir):
+    """The 1e30-magnitude poison vector saturates the quantized sums; the
+    impossible negative mean_sq of a wrapped long sum must never appear,
+    and max_v still exposes the outlier."""
+    spec = next(s for s in CATALOG if s.name == "x_embed_stats")
+    rows = spec.build(spark, poison_emb_dir).collect()
+    assert all(r["mean_sq"] >= 0.0 for r in rows)
+    assert max(r["max_v"] for r in rows) == pytest.approx(1e30, rel=1e-6)
