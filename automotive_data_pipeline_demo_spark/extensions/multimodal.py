@@ -172,13 +172,28 @@ def image_dimensions(payload: Column) -> Column:
     Arrow transfer happens). Formats whose dimensions need a real segment
     scan (JPEG SOF markers sit behind variable-length segments) return a
     NULL format here and route to ``decode_media``'s pluggable decoder.
+
+    Robustness: each branch is gated on the format's minimum header length
+    (PNG 24, GIF 10, BMP 26 bytes), so a payload truncated mid-header —
+    magic intact, dimension bytes missing — returns the NULL-format row
+    instead of garbage dims under a confident format tag. BMP height is a
+    SIGNED little-endian int32 (negative = top-down DIB, BITMAPINFOHEADER
+    biHeight); the magnitude is the pixel height, so the two's-complement
+    value is folded to abs() rather than surfacing as a wrapped negative.
     """
+    n = F.length(payload)
     hex8 = F.hex(F.substring(payload, 1, 8))
     hex6 = F.hex(F.substring(payload, 1, 6))
     hex2 = F.hex(F.substring(payload, 1, 2))
-    is_png = hex8 == F.lit("89504E470D0A1A0A")
-    is_gif = (hex6 == F.lit("474946383961")) | (hex6 == F.lit("474946383761"))
-    is_bmp = hex2 == F.lit("424D")
+    is_png = (n >= 24) & (hex8 == F.lit("89504E470D0A1A0A"))
+    is_gif = (n >= 10) & (
+        (hex6 == F.lit("474946383961")) | (hex6 == F.lit("474946383761"))
+    )
+    is_bmp = (n >= 26) & (hex2 == F.lit("424D"))
+    bmp_h_raw = _le_int(payload, 23, 4)  # unsigned fold of a signed field
+    bmp_h = F.when(
+        bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw
+    ).otherwise(bmp_h_raw)
     return (
         F.when(is_png, F.struct(
             F.lit("png").alias("format"),
@@ -193,7 +208,7 @@ def image_dimensions(payload: Column) -> Column:
         .when(is_bmp, F.struct(
             F.lit("bmp").alias("format"),
             _le_int(payload, 19, 4).cast("int").alias("width"),
-            _le_int(payload, 23, 4).cast("int").alias("height"),
+            bmp_h.cast("int").alias("height"),
         ))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),

@@ -666,6 +666,9 @@ def bm25_topk(
     evaluates the token array exactly once per row per pass.
     """
 
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
     def _eq(t: str):
         # NB: a default-arg capture (lambda x, t=t: ...) would make this a
         # TWO-parameter lambda, which pyspark binds as (element, index)

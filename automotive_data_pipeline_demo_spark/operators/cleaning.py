@@ -76,7 +76,12 @@ def is_marketable_contact(
 # the Java-regex/RE2 common subset so the DuckDB oracle runs them verbatim.
 EMAIL_SCAN_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_SCAN_RE = r"\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
-IPV4_SCAN_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# Octet-bounded dotted quad: each octet <= 255, leading zeros allowed
+# (log formats zero-pad: 192.168.001.100). Strings that are ALSO valid
+# quads (version-like "1.2.3.4") still match — that ambiguity is inherent
+# to a shape-based scrub and redacting them is the safe default for PII.
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})"
+IPV4_SCAN_RE = r"\b" + _IPV4_OCTET + r"(?:\." + _IPV4_OCTET + r"){3}\b"
 
 
 def count_emails(col: Column | str) -> Column:

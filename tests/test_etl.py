@@ -346,3 +346,32 @@ def test_redact_pii_ip_pass_order_and_idempotence(spark):
         "id", (redact_pii("r", ip_token="[IP]") == F.col("r")).alias("same")
     )
     assert twice.filter(~F.col("same")).count() == 0
+
+
+def test_ipv4_scan_octet_bounded(spark):
+    """ADVICE r4: the IP pass must reject dotted quads with octets > 255
+    while keeping zero-padded log-format quads; value-valid version-like
+    strings (1.2.3.4) still redact by design (documented over-match)."""
+    from automotive_data_pipeline_demo_spark.operators.cleaning import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "bogus 999.999.999.999 quad"),
+            (2, "octet 256.1.1.1 too big"),
+            (3, "padded 192.168.001.100 ok"),
+            (4, "edge 255.255.255.255 ok"),
+            (5, "version 1.2.3.4 ambiguous"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", redact_pii("t", ip_token="[IP]").alias("r")
+        ).collect()
+    }
+    assert rows[1] == "bogus 999.999.999.999 quad"
+    assert rows[2] == "octet 256.1.1.1 too big"
+    assert rows[3] == "padded [IP] ok"
+    assert rows[4] == "edge [IP] ok"
+    assert rows[5] == "version [IP] ambiguous"

@@ -1463,6 +1463,40 @@ def test_image_dimensions_real_headers(spark):
     assert rows[6]["format"] is None and rows[6]["height"] is None
 
 
+def test_image_dimensions_truncated_and_topdown(spark):
+    """Robustness (ADVICE r4): magic-intact-but-truncated headers return the
+    NULL-format row, never garbage dims; BMP top-down DIBs (negative signed
+    biHeight) surface as the positive pixel height."""
+    import struct
+
+    png_trunc = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x02"
+    gif_trunc = b"GIF89a" + b"\x40"
+    bmp_trunc = b"BM" + struct.pack("<IHHI", 70, 0, 0, 54) + b"\x00" * 6
+    bmp_topdown = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                   + struct.pack("<Iii", 40, 1024, -768)
+                   + struct.pack("<HH", 1, 24) + b"\x00" * 16)
+
+    from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+        image_dimensions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, png_trunc), (2, gif_trunc), (3, bmp_trunc), (4, bmp_topdown)],
+        schema="id int, payload binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select("id", image_dimensions(F.col("payload")).alias("m"))
+        .select("id", "m.*")
+        .collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i]["format"] is None and rows[i]["width"] is None, i
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"]) == (
+        "bmp", 1024, 768,
+    )
+
+
 def test_cms_heavy_hitters_invariants(spark, sf_dir):
     """CMS estimates can only overestimate, and on a corpus far smaller
     than the grid (no forced collisions) the top-term estimate is exact."""
@@ -1552,6 +1586,12 @@ def test_bm25_planted_ranking(spark):
     assert rows[1]["dl"] == 4 and rows[2]["dl"] == 8
     # doc 1: 3x zebra + 1x yak in a short doc beats everything
     assert rows[1]["score"] > rows[4]["score"] > rows[2]["score"]
+
+    # empty query is a caller error, not an IndexError (ADVICE r4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(docs, "doc_id", "text", [], k=10)
 
 
 def test_embedding_dim_stats_exact_on_known_vectors(spark):
