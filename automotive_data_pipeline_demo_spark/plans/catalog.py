@@ -8048,6 +8048,277 @@ _register(QuerySpec(
 ))
 
 
+def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE training-data curation DAG chained on one engine, one
+    entry — the ``x_curation_funnel`` pattern widened to the full flow:
+
+      ingest -> NFC canonicalize -> quality gate -> near-dup dedup
+      (MinHash-LSH bands -> Jaccard verify -> connected components)
+      -> benchmark decontamination (8-gram) -> leakage-safe group split
+      -> fixed-budget sequence packing
+
+    Emits one audit row per stage (stage_no, stage, n_rows) — the
+    dataset-card trail a production curation run ships. Every stage is
+    the engine's first-class operator applied to the PREVIOUS stage's
+    survivors: canonicalized text feeds the quality expressions, quality
+    survivors feed shingling, only near-dup winners are decontaminated,
+    only clean docs are split, and only the train split is packed.
+
+    Scale shape: the corpus is scanned once into a persisted flag frame
+    (NFC + quality + split are scan-stage projections over it); dedup
+    adds the banded-candidate exchanges bounded exactly as
+    x_dedup_pipeline; decontamination broadcasts the fixed-size
+    benchmark gram set; the split is a zero-shuffle hash expression;
+    packing's single exchange feeds the (lang, shard)-bounded window.
+    Stage counts fold as conditional sums over one frame — never one
+    re-derived count() per stage (the 4-scan trap the funnel docstring
+    records). The distinct-hash stage and the distinct-sequence stage
+    run as SEPARATE one-row aggregates unioned in (mixing
+    COUNT(DISTINCT) into the plain-sum groupBy would Expand-duplicate
+    every input row).
+    """
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    bench = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nfc_normalize_text(F.col("text")).alias("text"),
+    )
+    base = hash_split(
+        corpus.select(
+            F.col("doc_id").cast("long").alias("id"),
+            nfc_normalize_text(F.col("text")).alias("ntext"),
+            "lang",
+            "source",
+        ),
+        "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).withColumn(
+        "q4", (quality_score(F.col("ntext")) * 4).cast("long")
+    ).persist()
+
+    qdocs = base.filter(F.col("q4") >= 3).select("id", "ntext")
+    kept = (
+        near_dup_dedup(
+            qdocs, "id", "ntext", threshold=0.8,
+            max_doc_freq=None, max_bucket_size=None,
+        )
+        .select("id")
+        .withColumn("__s", F.lit(1))
+        .persist()
+    )
+    hits = (
+        ngram_contamination(
+            qdocs.join(kept.select("id"), "id", "semi").select(
+                F.col("id").alias("doc_id"), F.col("ntext").alias("text")
+            ),
+            bench,
+            "doc_id",
+            "text",
+            n=8,
+        )
+        .select("id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    flags = (
+        base.join(kept, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            "lang",
+            "ntext",
+            (F.col("q4") >= 3).alias("__q"),
+            F.col("__s").isNotNull().alias("__k"),
+            (F.col("__s").isNotNull() & F.col("__c").isNull()).alias("__cl"),
+            (
+                F.col("__s").isNotNull()
+                & F.col("__c").isNull()
+                & (F.col("split") == "train")
+            ).alias("__tr"),
+        )
+        .persist()
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("__q").cast("long")).alias("n3"),
+        F.sum(F.col("__k").cast("long")).alias("n4"),
+        F.sum(F.col("__cl").cast("long")).alias("n5"),
+        F.sum(F.col("__tr").cast("long")).alias("n6"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_no"),
+                        F.lit(label).alias("stage"),
+                        F.col(f"n{i}").alias("n_rows"),
+                    )
+                    for i, label in [
+                        (1, "ingested"),
+                        (3, "quality_ok"),
+                        (4, "near_deduped"),
+                        (5, "decontaminated"),
+                        (6, "train_split"),
+                    ]
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.*")
+    canon = flags.agg(
+        F.count_distinct(F.md5("ntext")).alias("n_rows")
+    ).select(
+        F.lit(2).cast("int").alias("stage_no"),
+        F.lit("canonical_distinct").alias("stage"),
+        "n_rows",
+    )
+    packed = pack_sequences(
+        flags.filter("__tr").select("id", "lang", "ntext"),
+        "id",
+        "lang",
+        token_count_ws(F.col("ntext")),
+        budget=256,
+        n_shards=4,
+    )
+    n_seq = packed.agg(
+        F.count_distinct(F.struct("lang", "shard", "seq_bin")).alias("n_rows")
+    ).select(
+        F.lit(7).cast("int").alias("stage_no"),
+        F.lit("packed_sequences").alias("stage"),
+        "n_rows",
+    )
+    return counts.unionByName(canon).unionByName(n_seq)
+
+
+# the quality-gate SQL applied to the NFC-normalized column: the snippet
+# references the raw column only as the bare word `text`, so a word-boundary
+# substitution is exact (plain .replace would also corrupt `ntext)` matches)
+_Q4_NTEXT_SQL = __import__("re").sub(r"\btext\b", "ntext", _Q4_SQL)
+
+
+_register(QuerySpec(
+    name="x_curation_e2e",
+    survey="north-star: full curation DAG (ingest->NFC->quality->dedup->decontaminate->split->pack)",
+    build=q_x_curation_e2e,
+    oracle=f"""
+        WITH RECURSIVE raw AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 nfc_normalize(text) AS ntext, lang, source
+          FROM documents WHERE doc_id >= 100
+        ), base AS (
+          SELECT id, ntext, lang, source,
+                 {_Q4_NTEXT_SQL} AS q4,
+                 CAST('0x' || substr(md5('split|' || source), 1, 8)
+                      AS BIGINT) % 10000 AS b
+          FROM raw
+        ), qd AS (
+          SELECT id, ntext FROM base WHERE q4 >= 3
+        ), tk AS (
+          SELECT id, list_filter(string_split_regex(lower(ntext),
+                                 '[^a-z0-9]+'), t -> t <> '') AS toks
+          FROM qd
+        ), shingles AS (
+          SELECT DISTINCT id, sh FROM (
+            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
+            FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+          )
+        ), salted AS (
+          SELECT id, hash_idx, md5(CAST(hash_idx AS VARCHAR) || '|' || sh) AS h
+          FROM shingles, UNNEST(range(0, 8)) AS s(hash_idx)
+        ), sigs AS (
+          SELECT id, hash_idx, MIN(h) AS min_hash FROM salted GROUP BY 1, 2
+        ), bands AS (
+          SELECT id, CAST(hash_idx // 2 AS INT) AS band,
+                 string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
+                            ORDER BY hash_idx) AS band_key
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        ), sizes AS (
+          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN shingles sa ON sa.id = c.id_a
+          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes za ON za.id = i.id_a
+          JOIN sizes zb ON zb.id = i.id_b
+          WHERE ROUND(i.n_common / (za.n + zb.n - i.n_common), 4) >= 0.8
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ), reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ), losers AS (
+          SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach
+                          GROUP BY id)
+          WHERE id <> component
+        ), kept AS (
+          SELECT qd.id, qd.ntext FROM qd
+          LEFT JOIN losers l ON qd.id = l.id WHERE l.id IS NULL
+        ), btk AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 list_filter(string_split_regex(lower(nfc_normalize(text)),
+                             '[^a-z0-9]+'), t -> t <> '') AS toks
+          FROM documents WHERE doc_id < 100
+        ), bgrams AS (
+          SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
+          FROM btk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), ktk AS (
+          SELECT id, list_filter(string_split_regex(lower(ntext),
+                                 '[^a-z0-9]+'), t -> t <> '') AS toks
+          FROM kept
+        ), kgrams AS (
+          SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
+          FROM ktk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
+        ), contaminated AS (
+          SELECT DISTINCT id FROM kgrams JOIN bgrams USING (g)
+        ), clean AS (
+          SELECT k.id FROM kept k
+          LEFT JOIN contaminated c ON k.id = c.id WHERE c.id IS NULL
+        ), train AS (
+          SELECT b.id, b.lang, b.ntext FROM base b
+          JOIN clean USING (id) WHERE b.b < 8000
+        ), ptk AS (
+          SELECT id, lang, CAST(id % 4 AS INT) AS shard,
+                 CAST(len(list_filter(string_split_regex(ntext, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM train
+        ), packed AS (
+          SELECT lang, shard,
+                 CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                                 ORDER BY id) - n_tokens)
+                            / 256.0) AS BIGINT) AS seq_bin
+          FROM ptk
+        )
+        SELECT 1 AS stage_no, 'ingested' AS stage,
+               COUNT(*) AS n_rows FROM base
+        UNION ALL
+        SELECT 2, 'canonical_distinct', COUNT(DISTINCT md5(ntext)) FROM base
+        UNION ALL
+        SELECT 3, 'quality_ok', COUNT(*) FROM qd
+        UNION ALL
+        SELECT 4, 'near_deduped', COUNT(*) FROM kept
+        UNION ALL
+        SELECT 5, 'decontaminated', COUNT(*) FROM clean
+        UNION ALL
+        SELECT 6, 'train_split', COUNT(*) FROM train
+        UNION ALL
+        SELECT 7, 'packed_sequences',
+               COUNT(DISTINCT (lang, shard, seq_bin)) FROM packed
+    """,
+    tags=("text", "pipeline", "curation", "e2e"),
+))
+
+
 # The driver verifies the FIRST 50 entries of ``queries()`` each round. To
 # keep every catalog entry driver-verified over time, ``queries()`` orders by
 # LEAST-RECENTLY-GREEN: entries with no fully hash-green driver row ever
