@@ -20,6 +20,7 @@ _POISON_TAGS = {
     "text", "dedup", "sampling", "stats", "similarity", "tfidf", "quality",
     "index", "containment", "simhash", "jaccard", "retrieval", "bm25",
     "versioning", "monitoring", "curation", "pipeline", "interleave",
+    "multimodal", "json", "heavy-hitters",
 }
 
 _ROWS = [
@@ -183,6 +184,120 @@ def _events_specs():
 @pytest.mark.parametrize("spec", _events_specs(), ids=lambda s: s.name)
 def test_entry_survives_poison_events(spark, poison_ev_dir, spec):
     spec.build(spark, poison_ev_dir).count()
+
+
+@pytest.fixture(scope="module")
+def poison_rel_dir(tmp_path_factory):
+    """sf0.001 tables with poisoned RELATIONAL facts/dims — the families
+    the documents/embeddings/events passes never touch: NULL join keys,
+    duplicate primary and composite keys, NULL measures, and
+    timezone/epoch-edge timestamps through customer, orders, lineitem."""
+    d = str(tmp_path_factory.mktemp("poison_rel"))
+    for t in (
+        "region nation supplier documents embeddings events"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    )
+    # NULL key, duplicate key (PK violation), NULL FK, NULL measure/name
+    con.execute(
+        "INSERT INTO customer VALUES (NULL, 'null-key', 0, 1.0, 'BUILDING')"
+    )
+    con.execute(
+        "INSERT INTO customer SELECT c_custkey, 'dup-' || c_name,"
+        " c_nationkey, c_acctbal + 1, c_mktsegment FROM customer"
+        " WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer)"
+    )
+    con.execute(
+        "INSERT INTO customer VALUES (900001, NULL, NULL, NULL, NULL)"
+    )
+    con.execute(f"COPY customer TO '{d}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    # NULL cust FK, duplicate orderkey, NULL date, epoch + far-future dates
+    con.execute(
+        "INSERT INTO orders VALUES (900001, NULL, 'O', 10.0,"
+        " TIMESTAMP '2024-01-05 00:00:00', '1-URGENT')"
+    )
+    con.execute(
+        "INSERT INTO orders SELECT o_orderkey, o_custkey, 'F',"
+        " o_totalprice, o_orderdate, o_orderpriority FROM orders"
+        " WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)"
+    )
+    con.execute(
+        "INSERT INTO orders VALUES (900002, 1, 'O', NULL, NULL, NULL)"
+    )
+    con.execute(
+        "INSERT INTO orders VALUES (900003, 1, 'O', 0.0,"
+        " TIMESTAMP '1970-01-01 00:00:00', '5-LOW')"
+    )
+    con.execute(
+        "INSERT INTO orders VALUES (900004, 1, 'O', 1e12,"
+        " TIMESTAMP '9999-12-31 23:59:59', '5-LOW')"
+    )
+    con.execute(f"COPY orders TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    # duplicate composite (orderkey, linenumber), NULL measures/date/flags
+    con.execute(
+        "INSERT INTO lineitem SELECT * FROM lineitem"
+        " WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)"
+        " AND l_linenumber = 1"
+    )
+    con.execute(
+        "INSERT INTO lineitem VALUES (900001, 1, 1, 1, NULL, NULL, NULL,"
+        " NULL, NULL, NULL, NULL)"
+    )
+    con.execute(
+        "INSERT INTO lineitem VALUES (NULL, NULL, NULL, NULL, 1.0, 1.0,"
+        " 0.0, 0.0, 'N', 'O', TIMESTAMP '1970-01-01 00:00:00')"
+    )
+    con.execute(f"COPY lineitem TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE part AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/part.parquet')"
+    )
+    # NULL blocking keys (brand/size), duplicate partkey, NULL name/price
+    con.execute(
+        "INSERT INTO part VALUES (900001, NULL, NULL, NULL, NULL, NULL)"
+    )
+    con.execute(
+        "INSERT INTO part SELECT p_partkey, 'dup ' || p_name, p_brand,"
+        " p_type, p_size, p_retailprice FROM part"
+        " WHERE p_partkey = (SELECT MIN(p_partkey) FROM part)"
+    )
+    con.execute(f"COPY part TO '{d}/part.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _rel_specs():
+    """Catalog entries whose builders read the relational tables (and no
+    fixture-file side inputs — the reader entries build their own files)."""
+    import inspect
+
+    out = []
+    for s in CATALOG:
+        src = inspect.getsource(s.build)
+        if any(
+            f'"{t}"' in src or f"'{t}'" in src
+            for t in ("customer", "orders", "lineitem", "part")
+        ):
+            out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("spec", _rel_specs(), ids=lambda s: s.name)
+def test_entry_survives_poison_relational(spark, poison_rel_dir, spec):
+    """NULL/duplicate keys and epoch/far-future timestamps must not raise
+    through any join/window/merge/aggregate entry."""
+    spec.build(spark, poison_rel_dir).count()
 
 
 def test_snapshot_diff_classifies_null_text(spark):
