@@ -141,6 +141,10 @@ def _prev_round_bench(root: str) -> dict | None:
             data = json.load(fh)
     except (OSError, ValueError):
         return None
+    # the driver records bench output wrapped in its own envelope with the
+    # actual JSON line under "parsed" — unwrap so the gate sees the queries
+    if isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
     data["_round"] = best_n
     return data
 
