@@ -650,8 +650,9 @@ def bm25_topk(
     count, and per-term document frequencies partial-combine to ONE row
     (conditional aggregates — one column per query term) that
     broadcast-joins back to every doc; the final top-k is
-    TakeOrderedAndProject (per-partition heaps, k-row driver merge). Two
-    scans of the corpus total, nothing data-sized ever moves.
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge). One
+    tokenizer pass over the corpus total (both consumers read the
+    persisted counter frame), nothing data-sized ever moves.
 
     Determinism: the per-doc score sums per-term contributions in the
     listed query-term order (fixed left-assoc fold, identical in any
@@ -683,10 +684,16 @@ def bm25_topk(
             ],
         )
 
+    # persist the per-doc counter frame: id + (|Q|+1) longs, ~1% of corpus
+    # bytes. Both passes (corpus stats, scoring) consume it, so the
+    # tokenizer — the dominant cost — runs once per row instead of twice
+    # (sf1: 7.4 s -> ~4 s). At cluster scale this is the standard
+    # narrow-projection cache; without memory for it, executors spill it
+    # to local disk (MEMORY_AND_DISK default) rather than re-reading text.
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         bind_once(tokenize(F.col(text_col)), per_row).alias("__b"),
-    )
+    ).persist()
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__b.dl").alias("total_dl"),
