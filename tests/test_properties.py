@@ -357,3 +357,89 @@ def test_bm25_matches_python_reference(spark, docs):
             assert got[i]["score"] == expected and got[i]["dl"] == len(toks)
         else:
             assert i not in got
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["png", "gif87", "gif89", "bmp", "bmp_topdown"]),
+            st.integers(min_value=1, max_value=65535),
+            st.integers(min_value=1, max_value=65535),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_image_dimensions_roundtrip_random_headers(spark, specs):
+    """Any struct-packed valid header round-trips through the JVM binary
+    parser: format detected, width/height exact, BMP top-down (negative
+    signed biHeight) folded to the positive magnitude."""
+    import struct
+
+    from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+        image_dimensions,
+    )
+
+    rows = []
+    for i, (fmt, w, h) in enumerate(specs):
+        if fmt == "png":
+            payload = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                       + struct.pack(">II", w, h))
+            want = ("png", w, h)
+        elif fmt in ("gif87", "gif89"):
+            magic = b"GIF87a" if fmt == "gif87" else b"GIF89a"
+            payload = magic + struct.pack("<HH", w, h)
+            want = ("gif", w, h)
+        else:
+            signed_h = -h if fmt == "bmp_topdown" else h
+            payload = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                       + struct.pack("<Iii", 40, w, signed_h))
+            want = ("bmp", w, h)
+        rows.append((i, payload, want[0], want[1], want[2]))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in rows], "id int, payload binary"
+    )
+    got = {
+        r["id"]: r
+        for r in df.select("id", image_dimensions(F.col("payload")).alias("m"))
+        .select("id", "m.*")
+        .collect()
+    }
+    for i, _, fmt, w, h in rows:
+        assert (got[i]["format"], got[i]["width"], got[i]["height"]) == (
+            fmt, w, h,
+        ), (i, fmt, w, h)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_ipv4_scan_matches_octet_rule(spark, quads):
+    """The redaction regex fires on a bare dotted quad iff every octet is
+    <= 255 — exactly the shape rule the octet-bounded pattern encodes."""
+    from automotive_data_pipeline_demo_spark.operators.cleaning import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, "ip %d.%d.%d.%d end" % q) for i, q in enumerate(quads)],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", redact_pii("t", ip_token="[IP]").alias("r")
+        ).collect()
+    }
+    for i, q in enumerate(quads):
+        redacted = got[i] == "ip [IP] end"
+        assert redacted == all(o <= 255 for o in q), (q, got[i])
