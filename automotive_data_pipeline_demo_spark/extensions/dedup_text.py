@@ -711,15 +711,16 @@ def connected_components(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
     spark = pairs.sparkSession
-    raw = raw.cache()  # fallback path must not re-run the verify chain
-    # ONE job decides the path AND lands the edges: pulling bound+1 rows via
-    # Arrow subsumes the separate limit().count() bound probe, whose own job
-    # re-ran the whole upstream banding/verify chain (measured ~0.7 s of
-    # fixed overhead per job on local[32] — a quarter of the simhash-dedup
-    # entry's total). Over-bound corpora pay one wasted bounded transfer and
-    # take the distributed loop from cache.
-    pdf = raw.limit(max_driver_edges + 1).toPandas()
-    if len(pdf) <= max_driver_edges:
+    raw = raw.cache()  # both paths read it; neither may re-run the verify chain
+    # The path decision is a count() on the cached frame: it materializes the
+    # cache (which the chosen path reads anyway, so the upstream banding/
+    # verify chain runs exactly once) and moves NOTHING to the driver. The
+    # Arrow transfer happens only once the graph is KNOWN to fit the driver
+    # bound — an over-bound corpus, the path that fires at scale, pays zero
+    # wasted transfer and takes the distributed loop straight from cache.
+    n_edges = raw.count()
+    if n_edges <= max_driver_edges:
+        pdf = raw.toPandas()
         parent: dict[int, int] = {}
         verts: set[int] = set()
 
@@ -759,6 +760,7 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    raw.unpersist()  # edges cache is materialized now; the loop reads only it
     for _ in range(max_iter):
         # neighbor hop: every vertex sees its neighbors' labels
         cand = labels.unionByName(

@@ -422,6 +422,46 @@ def test_connected_components_and_dedup_corpus(spark):
     assert kept == [1, 5, 7]  # cluster reps 1 and 7, singleton 5
 
 
+def test_connected_components_over_bound_no_driver_transfer(spark, monkeypatch):
+    """Past the driver union-find bound, the path decision is a count() on
+    the cached edge frame — NO edge rows are serialized to the driver.
+    (Regression pin: an earlier revision merged the probe with the landing
+    as limit(bound+1).toPandas(), which over the bound pulled bound+1 rows
+    through Arrow just to throw them away.) Under the bound, toPandas runs
+    exactly once."""
+    try:  # pyspark>=4: the runtime class lives under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pyspark<4
+        from pyspark.sql import DataFrame
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        connected_components,
+    )
+
+    calls: list[int] = []
+    orig = DataFrame.toPandas
+
+    def spying(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "toPandas", spying)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (9, 7)], "a_id long, b_id long")
+
+    comps = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_driver_edges=1).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    assert calls == []  # over-bound: zero Arrow transfers of edge data
+
+    under = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_driver_edges=10).collect()
+    }
+    assert under == comps
+    assert calls == [1]  # under-bound: exactly one landing, after the probe
+
+
 def test_near_dup_dedup_pipeline(spark):
     """One-call pipeline: LSH candidates -> Jaccard verify -> cluster ->
     drop. Exact copies and light edits collapse; distinct docs survive."""
