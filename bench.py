@@ -125,28 +125,127 @@ def run_suite(spark: SparkSession, sf_dir: str, bench_specs) -> dict[str, float]
 REGRESSION_PCT = 25.0
 
 
-def _prev_round_bench(root: str) -> dict | None:
-    """Parse the highest-numbered BENCH_r*.json in the repo root."""
-    import glob
+def _recover_from_tail(tail: str) -> dict | None:
+    """Best-effort recovery of the bench JSON line from a driver envelope
+    whose "parsed" is null because the captured output tail truncated the
+    line mid-stream. Three shapes, in order: (1) the full line survives in
+    the tail -> parse it whole; (2) the FRONT of the line is cut inside
+    the queries map (the r5 shape) -> regex the surviving "name": sec
+    pairs before the top-level "sf" key, and parse the balanced "sf1"
+    object, which sits later in the line and survives intact; (3) nothing
+    usable -> None so the caller falls to an older round instead of
+    comparing against an empty dict."""
+    i = tail.rfind('{"metric"')
+    if i >= 0:
+        try:
+            full = json.loads(tail[i:])
+            if isinstance(full.get("queries"), dict):
+                return full
+        except ValueError:
+            pass
+    m = re.search(r'"sf": ([0-9.]+)', tail)
+    if not m:
+        return None
+    # everything before the first top-level "sf" key is (a suffix of) the
+    # queries map; drop names that are really envelope/top-level scalars
+    not_queries = {
+        "value", "sf", "n", "rc", "cpus", "total_sec", "gen_sec",
+        "prev_sec", "now_sec", "delta_pct",
+    }
+    out: dict = {
+        "sf": float(m.group(1)),
+        "queries": {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)\s*[,}]', tail[: m.start()]
+            )
+            if k not in not_queries
+        },
+    }
+    j = tail.find('"sf1":')
+    start = tail.find("{", j) if j >= 0 else -1
+    if start >= 0:
+        depth = 0
+        for end in range(start, len(tail)):  # names never contain braces
+            if tail[end] == "{":
+                depth += 1
+            elif tail[end] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        sf1 = json.loads(tail[start : end + 1])
+                        if isinstance(sf1.get("queries"), dict):
+                            out["sf1"] = sf1
+                    except ValueError:
+                        pass
+                    break
+    return out if (out["queries"] or "sf1" in out) else None
 
-    best_n, best_path = -1, None
-    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), path
-    if best_path is None:
-        return None
-    try:
-        with open(best_path, encoding="utf-8") as fh:
-            data = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    # the driver records bench output wrapped in its own envelope with the
-    # actual JSON line under "parsed" — unwrap so the gate sees the queries
+
+def _payload_of(data: dict) -> dict | None:
+    """Comparable bench payload from one round file's JSON, or None. The
+    driver wraps the bench line in an envelope under "parsed"; a payload
+    MUST carry a queries dict — r5's truncated envelope had a top-level
+    "sf" but no "queries", and accepting it made the gate silently diff
+    against {} (zero regressions, no error)."""
     if isinstance(data.get("parsed"), dict):
         data = data["parsed"]
-    data["_round"] = best_n
-    return data
+    if isinstance(data.get("queries"), dict):
+        return data
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        return _recover_from_tail(tail)
+    return None
+
+
+def _prev_round_bench(root: str) -> dict | None:
+    """Most recent comparable bench payload: walk BENCH_r*.json from the
+    newest round down, unwrapping the driver envelope and recovering from
+    a truncated one. If the NEWEST round's file is unusable, prefer
+    BENCH_LOCAL.json — bench.py's own durable record of its last completed
+    run (written at the end of main, so the driver's round-N run leaves it
+    behind even when the round-N envelope truncates) — before dropping to
+    an older round's envelope."""
+    import glob
+
+    rounds = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    rounds.sort(reverse=True)
+
+    local = None
+    try:
+        with open(os.path.join(root, "BENCH_LOCAL.json"), encoding="utf-8") as fh:
+            cand = json.load(fh)
+        if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
+            local = cand
+    except (OSError, ValueError):
+        pass
+
+    for n, path in rounds:
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            data = None
+        payload = _payload_of(data) if isinstance(data, dict) else None
+        if payload is not None:
+            payload["_round"] = n
+            return payload
+        if local is not None:
+            # the newest round's envelope is unusable; the local record
+            # was written by that round's own bench run (or later), so it
+            # is closer to "last round" than any older envelope
+            local["_round"] = n
+            local["_source"] = "local"
+            return local
+    if local is not None:
+        local.setdefault("_round", None)
+        local["_source"] = "local"
+        return local
+    return None
 
 
 def gate_regressions(
@@ -242,6 +341,22 @@ def main() -> None:
 
     result["regressions"] = regressions
     result["vs_round"] = prev_comparable["_round"] if prev_comparable else None
+    if prev_comparable and prev_comparable.get("_source") == "local":
+        result["vs_source"] = "local"
+    # durable self-record: the driver's envelope capture can truncate the
+    # printed line (r5 did), so the gate's next run prefers this file over
+    # an unusable newest envelope
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            ),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass
     print(json.dumps(result))
     spark.stop()
 
