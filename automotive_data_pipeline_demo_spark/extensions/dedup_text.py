@@ -25,6 +25,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     bind_once,
     tokenize,
 )
+from automotive_data_pipeline_demo_spark.functions.caching import register_caches
 
 # Default shingle document-frequency cap for Jaccard fan-out. A shingle in d
 # docs yields d(d-1)/2 pairs, so an uncapped hot shingle is quadratic; the
@@ -475,10 +476,15 @@ def ngram_jaccard_pairs(
         score = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
     else:
         raise ValueError(f"unknown metric: {metric!r}")
-    return (
+    # the internal persists (shingle rows / array table / sized shingles)
+    # must outlive the caller's action; tag them for release_caches. Frames
+    # that took an unpersisted branch are skipped by the is_cached gate.
+    return register_caches(
         scored.withColumn(metric, F.round(score, 4))
         .filter(F.col(metric) >= threshold)
-        .select("id_a", "id_b", metric)
+        .select("id_a", "id_b", metric),
+        *[f for f in (locals().get("shingle_rows"), locals().get("arr"),
+                      locals().get("sized")) if f is not None],
     )
 
 
@@ -666,8 +672,11 @@ def simhash_dedup(
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("__loser")
     )
-    return df.join(
-        losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
+    return register_caches(
+        df.join(
+            losers, df[id_col].cast("long") == F.col("__loser"), "left_anti"
+        ),
+        fp,
     )
 
 
@@ -850,7 +859,13 @@ def near_dup_dedup(
         max_doc_freq=max_doc_freq,
         shingle_arrays_df=arrs,
     )
-    return dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b")
+    # hand the shared shingle table (and verify's internal persists) to the
+    # caller via the returned frame's cache tag
+    return register_caches(
+        dedup_corpus(df, verified, id_col, a_col="id_a", b_col="id_b"),
+        arrs,
+        verified,
+    )
 
 
 def dedup_cluster_stats(
@@ -1165,4 +1180,4 @@ def minhash_jaccard_estimate(
         )
         .filter(F.col("est_jaccard") >= F.lit(min_estimate))
     )
-    return est
+    return register_caches(est, packed)

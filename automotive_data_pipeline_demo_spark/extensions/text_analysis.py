@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from automotive_data_pipeline_demo_spark.functions.caching import register_caches
+
 import unicodedata
 
 import pandas as pd
@@ -275,10 +277,11 @@ def tfidf_top_terms(
         ).alias("tfidf"),
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
+    return register_caches(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn"),
+        tf,
     )
 
 
@@ -535,7 +538,7 @@ def vocab_oov_rate(
         .agg(F.sort_array(F.collect_list("term")).alias("__vocab"))
     )
     scored = arrs.filter(F.size("__toks") > 0).crossJoin(F.broadcast(vocab_arr))
-    return scored.select(
+    out = scored.select(
         "id",
         F.size("__toks").cast("long").alias("n_tok"),
         F.size(
@@ -552,6 +555,7 @@ def vocab_oov_rate(
         "n_oov",
         F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
     )
+    return register_caches(out, arrs)
 
 
 def tokenize_to_ids(
@@ -665,6 +669,14 @@ def bm25_topk(
     tokenizer once per reference after projection collapse (measured 4x
     per pass / 16x superlinear end-to-end at sf1), while a bound struct
     evaluates the token array exactly once per row per pass.
+
+    Cache lifetime: the counter frame must stay persisted until the
+    CALLER's action (both the stats aggregate and the scoring join read
+    it), so this function cannot unpersist it. The returned frame is
+    tagged for ``functions.caching.release_caches`` — long-lived driver
+    sessions issuing many retrievals should call it after each top-k
+    action, or rely on ``spark.catalog.clearCache()`` between queries as
+    bench.py does per-trial.
     """
 
     if not query_terms:
@@ -726,7 +738,7 @@ def bm25_topk(
             score = score + term_score(i)
         return F.round(score, 4)
 
-    return (
+    out = (
         scored.select(
             F.col("id").alias("doc_id"),
             F.col("__b.dl").alias("dl"),
@@ -736,6 +748,7 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+    return register_caches(out, base)
 
 
 def source_drift_report(

@@ -23,6 +23,9 @@ from automotive_data_pipeline_demo_spark.plans.catalog_sources import (  # noqa:
 from automotive_data_pipeline_demo_spark.plans.catalog_scale_extensions import (  # noqa: F401
     _Q4_SQL,
 )
+from automotive_data_pipeline_demo_spark.functions.caching import (  # noqa: F401
+    register_caches,
+)
 
 
 # --------------------------------------------------------------------------
@@ -937,15 +940,11 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     ).persist()
 
     qdocs = base.filter(F.col("q4") >= 3).select("id", "ntext")
-    kept = (
-        near_dup_dedup(
-            qdocs, "id", "ntext", threshold=0.8,
-            max_doc_freq=None, max_bucket_size=None,
-        )
-        .select("id")
-        .withColumn("__s", F.lit(1))
-        .persist()
+    ndd = near_dup_dedup(
+        qdocs, "id", "ntext", threshold=0.8,
+        max_doc_freq=None, max_bucket_size=None,
     )
+    kept = ndd.select("id").withColumn("__s", F.lit(1)).persist()
     hits = (
         ngram_contamination(
             qdocs.join(kept.select("id"), "id", "semi").select(
@@ -1026,7 +1025,13 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("packed_sequences").alias("stage"),
         "n_rows",
     )
-    return counts.unionByName(canon).unionByName(n_seq)
+    # the persisted stage frames must outlive the caller's action (each
+    # feeds 2+ branches of the returned union); tag them — plus the dedup
+    # stage's internal shingle-table holdings, adopted from ndd — so a
+    # long-lived session can release_caches() after collecting the audit
+    return register_caches(
+        counts.unionByName(canon).unionByName(n_seq), base, kept, flags, ndd
+    )
 
 
 # the quality-gate SQL applied to the NFC-normalized column: the snippet

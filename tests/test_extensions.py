@@ -1634,6 +1634,54 @@ def test_bm25_planted_ranking(spark):
         bm25_topk(docs, "doc_id", "text", [], k=10)
 
 
+def test_bm25_release_caches_frees_counter_frame(spark):
+    """bm25_topk persists a counter frame both plan branches read; the
+    returned frame is tagged so a long-lived session can release it after
+    its action. release_caches drops the persisted blocks, is idempotent,
+    and is a no-op on untagged frames."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        bm25_topk,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    spark.catalog.clearCache()
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = spark.createDataFrame(
+        [(1, "zebra yak"), (2, "cow zebra"), (3, "hut")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["zebra"], k=5)
+    assert out.count() == 2  # the terminal action materializes the cache
+    assert n_cached() == 1  # the counter frame is held
+    assert release_caches(out, blocking=True) == 1
+    assert n_cached() == 0
+    assert release_caches(out) == 0  # idempotent
+    assert release_caches(docs) == 0  # untagged frame: no-op
+
+
+def test_curation_e2e_release_caches(spark):
+    """The curation DAG entry tags its three persisted stage frames on the
+    returned audit frame."""
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_x_curation_e2e,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    spark.catalog.clearCache()
+    out = q_x_curation_e2e(spark, "/root/testdata/sf0.001")
+    assert out.count() == 7
+    # 3 stage frames + the dedup stage's shared shingle table (adopted)
+    assert release_caches(out, blocking=True) == 4
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_embedding_dim_stats_exact_on_known_vectors(spark):
     """Quantized mean/mean_sq must be exact for values representable in
     1/2^20 units, and min/max are the true extremes."""
