@@ -176,29 +176,49 @@ def image_dimensions(payload: Column) -> Column:
     Robustness: each branch is gated on the format's minimum header length
     (PNG 24, GIF 10, BMP 26 bytes), so a payload truncated mid-header —
     magic intact, dimension bytes missing — returns the NULL-format row
-    instead of garbage dims under a confident format tag. BMP height is a
-    SIGNED little-endian int32 (negative = top-down DIB, BITMAPINFOHEADER
-    biHeight); the magnitude is the pixel height, so the two's-complement
-    value is folded to abs() rather than surfacing as a wrapped negative.
+    instead of garbage dims under a confident format tag. The BMP branch
+    additionally requires the DIB size field (offset 14) to be 40 —
+    BITMAPINFOHEADER, the variant whose dims live at offsets 18/22; a
+    12-byte BITMAPCOREHEADER stores 16-bit dims at offset 18 and would
+    misparse here, so it routes to the NULL-format/decode_media path
+    instead. BMP height is a SIGNED little-endian int32 (negative =
+    top-down DIB, biHeight); the magnitude is the pixel height, so the
+    two's-complement value is folded to abs() rather than surfacing as a
+    wrapped negative. The fold's one unrepresentable edge (biHeight =
+    INT32_MIN, magnitude 2^31) and any width >= 2^31 would wrap through
+    the final int cast — such dims surface as NULL under the 'bmp' tag
+    rather than as confident negatives.
     """
     n = F.length(payload)
     hex8 = F.hex(F.substring(payload, 1, 8))
     hex6 = F.hex(F.substring(payload, 1, 6))
     hex2 = F.hex(F.substring(payload, 1, 2))
+    int_max = F.lit((1 << 31) - 1)
     is_png = (n >= 24) & (hex8 == F.lit("89504E470D0A1A0A"))
     is_gif = (n >= 10) & (
         (hex6 == F.lit("474946383961")) | (hex6 == F.lit("474946383761"))
     )
-    is_bmp = (n >= 26) & (hex2 == F.lit("424D"))
+    is_bmp = (
+        (n >= 26)
+        & (hex2 == F.lit("424D"))
+        & (_le_int(payload, 15, 4) == F.lit(40))  # BITMAPINFOHEADER only
+    )
+    bmp_w = _le_int(payload, 19, 4)
     bmp_h_raw = _le_int(payload, 23, 4)  # unsigned fold of a signed field
     bmp_h = F.when(
         bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw
     ).otherwise(bmp_h_raw)
+    bmp_dims_ok = (bmp_w <= int_max) & (bmp_h <= int_max)
+    # same wrap hazard for PNG: IHDR dims are 4-byte big-endian and the spec
+    # caps them at 2^31-1, so an over-limit (hostile) header NULLs its dims
+    png_w = _be_int(payload, 17, 4)
+    png_h = _be_int(payload, 21, 4)
+    png_dims_ok = (png_w <= int_max) & (png_h <= int_max)
     return (
         F.when(is_png, F.struct(
             F.lit("png").alias("format"),
-            _be_int(payload, 17, 4).cast("int").alias("width"),
-            _be_int(payload, 21, 4).cast("int").alias("height"),
+            F.when(png_dims_ok, png_w.cast("int")).alias("width"),
+            F.when(png_dims_ok, png_h.cast("int")).alias("height"),
         ))
         .when(is_gif, F.struct(
             F.lit("gif").alias("format"),
@@ -207,8 +227,8 @@ def image_dimensions(payload: Column) -> Column:
         ))
         .when(is_bmp, F.struct(
             F.lit("bmp").alias("format"),
-            _le_int(payload, 19, 4).cast("int").alias("width"),
-            bmp_h.cast("int").alias("height"),
+            F.when(bmp_dims_ok, bmp_w.cast("int")).alias("width"),
+            F.when(bmp_dims_ok, bmp_h.cast("int")).alias("height"),
         ))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),

@@ -1537,6 +1537,49 @@ def test_image_dimensions_truncated_and_topdown(spark):
     )
 
 
+def test_image_dimensions_bmp_edge_headers(spark):
+    """BMP edge cases (ADVICE r5): biHeight = INT32_MIN has magnitude 2^31,
+    unrepresentable as int — dims go NULL under the 'bmp' tag instead of
+    wrapping negative; a 12-byte BITMAPCOREHEADER (16-bit dims at a
+    different offset) must NOT be parsed as BITMAPINFOHEADER — it routes to
+    the NULL-format/decode_media path; an over-limit PNG width NULLs the
+    PNG dims the same way."""
+    import struct
+
+    from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+        image_dimensions,
+    )
+
+    bmp_hmin = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                + struct.pack("<Iii", 40, 1024, -(1 << 31))
+                + struct.pack("<HH", 1, 24) + b"\x00" * 16)
+    bmp_core = (b"BM" + struct.pack("<IHHI", 38, 0, 0, 26)
+                + struct.pack("<IHHHH", 12, 320, 200, 1, 24) + b"\x00" * 16)
+    bmp_wide = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                + struct.pack("<IIi", 40, (1 << 31) + 5, 600)
+                + struct.pack("<HH", 1, 24) + b"\x00" * 16)
+    png_wide = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", (1 << 31) + 5, 480) + b"\x00" * 8)
+
+    df = spark.createDataFrame(
+        [(1, bmp_hmin), (2, bmp_core), (3, bmp_wide), (4, png_wide)],
+        schema="id int, payload binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select("id", image_dimensions(F.col("payload")).alias("m"))
+        .select("id", "m.*")
+        .collect()
+    }
+    assert rows[1]["format"] == "bmp"
+    assert rows[1]["width"] is None and rows[1]["height"] is None
+    assert rows[2]["format"] is None and rows[2]["width"] is None
+    assert rows[3]["format"] == "bmp"
+    assert rows[3]["width"] is None and rows[3]["height"] is None
+    assert rows[4]["format"] == "png"
+    assert rows[4]["width"] is None and rows[4]["height"] is None
+
+
 def test_cms_heavy_hitters_invariants(spark, sf_dir):
     """CMS estimates can only overestimate, and on a corpus far smaller
     than the grid (no forced collisions) the top-term estimate is exact."""
