@@ -1203,3 +1203,77 @@ def minhash_jaccard_estimate(
         .filter(F.col("est_jaccard") >= F.lit(min_estimate))
     )
     return register_caches(est, packed)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level line dedup — the CCNet / RefinedWeb / Dolma
+    boilerplate-removal stage: drop every line whose EXACT content appears
+    in at least ``min_doc_freq`` DISTINCT documents (navigation chrome,
+    cookie banners, repeated headers/footers), and reassemble each
+    document's surviving lines in their original order.
+
+    Returns (``id_col``, cleaned_text, n_lines, n_removed) — one row per
+    input document, ``cleaned_text = ""`` when every line was boilerplate.
+
+    ``delim`` is a Java regex for the split; the same string joins the
+    survivors back (use a literal delimiter unless reassembly fidelity
+    doesn't matter). Within-document repeats do NOT count toward the
+    threshold (document frequency is COUNT DISTINCT id), matching the
+    published pipelines: a chorus repeated inside one lyric sheet is
+    content, the same line across thousands of pages is boilerplate.
+
+    Scale shape: lines posexplode inside the scan stage; the
+    document-frequency aggregate runs at md5(line) grain (the shuffle
+    carries a 32-char digest + doc id, never line text) with map-side
+    partial combine; the over-threshold digest set — the boilerplate
+    fraction, a shrinking share of any real corpus — comes back as a
+    BROADCAST anti-join against the exploded stream, so the corpus is
+    never re-shuffled to be filtered; one groupBy(id) reassembles
+    survivors via a position-sorted struct fold (deterministic order).
+    If the boilerplate set ever outgrows broadcast (pathological corpora),
+    the anti-join degrades gracefully to a shuffle join — still equi, no
+    pair blow-up anywhere.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.split(F.col(text_col), delim).alias("__lines"),
+    )
+    lines = base.select("id", F.posexplode("__lines").alias("pos", "line"))
+    hot = (
+        lines.select("id", F.md5("line").alias("__h"))
+        .groupBy("__h")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("__h")
+    )
+    kept = lines.withColumn("__h", F.md5("line")).join(
+        F.broadcast(hot), "__h", "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("__cleaned"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select("id", F.size("__lines").alias("__n"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+            F.col("__n").cast("long").alias("n_lines"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -911,3 +911,148 @@ def corpus_snapshot_diff(
             ),
         )
     )
+
+
+# the Gopher repetition-free quality ruleset's stopword probe set
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> DataFrame:
+    """The Gopher rule-based document quality gate (Rae et al. 2021,
+    App. A1.1; reused by MassiveText / Dolma / RefinedWeb):
+
+    - word count within [``min_words``, ``max_words``];
+    - mean word length within [``min_mean_word_len``, ``max_mean_word_len``];
+    - (#-or-ellipsis symbol)-to-word ratio at most ``max_symbol_ratio``;
+    - at least ``min_alpha_frac`` of words contain an alphabetic char;
+    - at least ``min_stop_hits`` DISTINCT probe stopwords present;
+    - at most ``max_bullet_frac`` of lines start with a bullet and at most
+      ``max_ellipsis_frac`` of lines end with an ellipsis.
+
+    Returns per doc: the measured statistics (ratios rounded half-up to
+    4 dp IN INTEGER SPACE — ``(a*20000 + b) div (b*2) / 1e4`` — so the
+    values and the flags derived from them are bit-identical in any
+    engine; double ``round()`` straddles exact decimal boundaries) and a
+    boolean per rule plus the conjunction ``gopher_pass``.
+
+    Scale shape: a pure narrow projection — every measure folds row-locally
+    over ONE let-bound word array (``bind_once``; re-deriving the split per
+    measure would re-split the document 4x after projection collapse), no
+    shuffle, no UDF, whole-stage codegen end to end. At 100 TB this runs
+    inside the scan stage at I/O speed, which is exactly why the published
+    pipelines run the rule gate FIRST and the expensive model/dedup stages
+    on its survivors.
+    """
+    text = F.col(text_col)
+
+    def word_measures(w: Column) -> Column:
+        nw = F.size(w).cast("long")
+        chars = F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+        stops = F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(w, F.lower)),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast("long")
+        return F.struct(
+            nw.alias("nw"), chars.alias("chars"),
+            alpha.alias("alpha"), stops.alias("stops"),
+        )
+
+    def line_measures(ls: Column) -> Column:
+        nl = F.size(ls).cast("long")
+        bullets = F.size(
+            F.filter(
+                ls,
+                lambda x: x.startswith("- ") | x.startswith("* ")
+                | x.startswith("•"),
+            )
+        ).cast("long")
+        ellipses = F.size(F.filter(ls, lambda x: x.endswith("..."))).cast(
+            "long"
+        )
+        return F.struct(
+            nl.alias("nl"), bullets.alias("bullets"), ellipses.alias("ellipses")
+        )
+
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    raw = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        bind_once(words, word_measures).alias("__w"),
+        bind_once(F.split(text, "\n"), line_measures).alias("__l"),
+        (
+            F.regexp_count(text, F.lit("#"))
+            + F.regexp_count(text, F.lit(r"\.\.\."))
+        ).cast("long").alias("__symbols"),
+    ).select(
+        "id",
+        F.col("__w.nw").alias("n_words"),
+        F.col("__w.chars").alias("__chars"),
+        F.col("__w.alpha").alias("__alpha"),
+        F.col("__w.stops").alias("stop_hits"),
+        F.col("__l.nl").alias("__nl"),
+        F.col("__l.bullets").alias("__bullets"),
+        F.col("__l.ellipses").alias("__ellipses"),
+        "__symbols",
+    )
+
+    def r4(a: str, b: str) -> Column:
+        # round4(a/b) half-up as one exact long division
+        return F.expr(f"({a} * 20000 + {b}) div ({b} * 2)") / F.lit(10000.0)
+
+    nz = F.col("n_words") > 0
+    scored = raw.select(
+        "id",
+        "n_words",
+        F.when(nz, r4("__chars", "n_words")).alias("mean_word_len"),
+        F.when(nz, r4("__symbols", "n_words")).alias("symbol_ratio"),
+        F.when(nz, r4("__alpha", "n_words")).alias("alpha_frac"),
+        "stop_hits",
+        r4("__bullets", "__nl").alias("bullet_frac"),
+        r4("__ellipses", "__nl").alias("ellipsis_frac"),
+    )
+    flags = scored.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("ok_words"),
+        F.coalesce(
+            F.col("mean_word_len").between(
+                min_mean_word_len, max_mean_word_len
+            ),
+            F.lit(False),
+        ).alias("ok_word_len"),
+        F.coalesce(
+            F.col("symbol_ratio") <= max_symbol_ratio, F.lit(False)
+        ).alias("ok_symbols"),
+        F.coalesce(F.col("alpha_frac") >= min_alpha_frac, F.lit(False)).alias(
+            "ok_alpha"
+        ),
+        (F.col("stop_hits") >= min_stop_hits).alias("ok_stopwords"),
+        (
+            (F.col("bullet_frac") <= max_bullet_frac)
+            & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        ).alias("ok_lines"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_words") & F.col("ok_word_len") & F.col("ok_symbols")
+            & F.col("ok_alpha") & F.col("ok_stopwords") & F.col("ok_lines")
+        ).alias("gopher_pass"),
+    )

@@ -1164,3 +1164,172 @@ _register(QuerySpec(
 ))
 
 
+
+
+# --------------------------------------------------------------------------
+# Round-6 extensions: corpus-level line dedup (CCNet/RefinedWeb boilerplate
+# removal) and the Gopher rule-based quality gate
+# --------------------------------------------------------------------------
+
+from automotive_data_pipeline_demo_spark.extensions.dedup_text import (  # noqa: E402
+    line_dedup,
+)
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (  # noqa: E402
+    gopher_quality_rules,
+)
+
+
+def q_x_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level line dedup — the CCNet / RefinedWeb / Dolma
+    boilerplate-removal stage, as one oracled entry. The testdata's
+    documents carry no newlines, so the entry first FRAMES each document
+    into 8-word lines (a deterministic arithmetic reshaping, mirrored
+    exactly by the oracle — the same fixture-framing pattern the
+    multimodal entries use) and then runs the REAL operator: every line
+    whose exact content appears in >= 2 distinct documents is dropped and
+    the survivors reassemble in original order. The planted near-dup
+    cohorts make this bite: shared 8-word segments across copies are
+    exactly the repeated-boilerplate shape the published pipelines strip.
+
+    Scale shape (see ``line_dedup``): document frequency at md5(line)
+    grain with map-side combine, broadcast anti-join back (the corpus is
+    never re-shuffled to be filtered), one position-sorted groupBy(id)
+    reassembly.
+    """
+    docs = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    framed = bind_once(
+        words,
+        lambda w: F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(w) / F.lit(8)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
+            ),
+            "\n",
+        ),
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), framed.alias("ftext")
+    )
+    return line_dedup(base, "doc_id", "ftext", delim="\n", min_doc_freq=2)
+
+
+_register(QuerySpec(
+    name="x_text_line_dedup",
+    survey="north-star: corpus-level line dedup (CCNet/RefinedWeb boilerplate removal)",
+    build=q_x_text_line_dedup,
+    oracle="""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+          FROM documents
+        ), framed AS (
+          SELECT doc_id,
+                 list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)),
+                    i -> array_to_string(list_slice(w, CAST(i*8+1 AS BIGINT),
+                                                    CAST(i*8+8 AS BIGINT)),
+                                         ' ')) AS lines
+          FROM d
+        ), lx AS (
+          SELECT doc_id, unnest(lines) AS line FROM framed
+        ), hot AS (
+          SELECT line FROM lx GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hotl AS (
+          SELECT COALESCE(list(line), []) AS hl FROM hot
+        )
+        SELECT f.doc_id,
+               -- duckdb's array_to_string([]) is NULL; the engine returns ''
+               -- for a fully-boilerplate doc
+               COALESCE(array_to_string(list_filter(f.lines,
+                                            x -> NOT list_contains(h.hl, x)),
+                                        chr(10)), '') AS cleaned_text,
+               CAST(len(f.lines) AS BIGINT) AS n_lines,
+               CAST(len(f.lines)
+                    - len(list_filter(f.lines, x -> NOT list_contains(h.hl, x)))
+                    AS BIGINT) AS n_removed
+        FROM framed f CROSS JOIN hotl h
+    """,
+    tags=("text", "dedup", "lines", "boilerplate"),
+))
+
+
+def q_x_text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher rule-based quality gate (Rae et al. 2021, App. A1.1)
+    over the documents table: per-doc word/length/symbol/stopword/line
+    statistics, a boolean per rule, and the conjunction ``gopher_pass``.
+    All ratios are rounded half-up to 4 dp in INTEGER space so values and
+    flags are bit-identical across engines. A pure narrow projection —
+    zero shuffles; at 100 TB the gate runs inside the scan at I/O speed,
+    which is why published pipelines run it before dedup/model scoring.
+    """
+    docs = _t(spark, sf, "documents")
+    return gopher_quality_rules(docs, "doc_id", "text")
+
+
+_register(QuerySpec(
+    name="x_text_gopher_rules",
+    survey="north-star: rule-based quality gate (Gopher rules)",
+    build=q_x_text_gopher_rules,
+    oracle="""
+        WITH w AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(COALESCE(list_aggregate(
+                        list_transform(words, x -> length(x)), 'sum'), 0)
+                      AS BIGINT) AS chars,
+                 CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+                 CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                      AS BIGINT) AS stop_hits,
+                 CAST(len(lines) AS BIGINT) AS nl,
+                 CAST(len(list_filter(lines,
+                        x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                             OR starts_with(x, '•'))) AS BIGINT) AS bullets,
+                 CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                      AS BIGINT) AS ellipses,
+                 CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\\.\\.\\.'))
+                      AS BIGINT) AS symbols
+          FROM w
+        ), s AS (
+          SELECT id, n_words,
+                 CASE WHEN n_words > 0
+                      THEN ((chars*20000 + n_words) // (n_words*2)) / 10000.0
+                 END AS mean_word_len,
+                 CASE WHEN n_words > 0
+                      THEN ((symbols*20000 + n_words) // (n_words*2)) / 10000.0
+                 END AS symbol_ratio,
+                 CASE WHEN n_words > 0
+                      THEN ((alpha*20000 + n_words) // (n_words*2)) / 10000.0
+                 END AS alpha_frac,
+                 stop_hits,
+                 ((bullets*20000 + nl) // (nl*2)) / 10000.0 AS bullet_frac,
+                 ((ellipses*20000 + nl) // (nl*2)) / 10000.0 AS ellipsis_frac
+          FROM m
+        ), f AS (
+          SELECT *,
+                 (n_words BETWEEN 50 AND 100000) AS ok_words,
+                 COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+                   AS ok_word_len,
+                 COALESCE(symbol_ratio <= 0.1, FALSE) AS ok_symbols,
+                 COALESCE(alpha_frac >= 0.8, FALSE) AS ok_alpha,
+                 (stop_hits >= 2) AS ok_stopwords,
+                 (bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS ok_lines
+          FROM s
+        )
+        SELECT *,
+               (ok_words AND ok_word_len AND ok_symbols AND ok_alpha
+                AND ok_stopwords AND ok_lines) AS gopher_pass
+        FROM f
+    """,
+    tags=("text", "quality", "gopher"),
+))

@@ -462,6 +462,92 @@ def test_connected_components_over_bound_no_driver_transfer(spark, monkeypatch):
     assert calls == [1]  # under-bound: exactly one landing, after the probe
 
 
+def test_line_dedup_boilerplate_removal(spark):
+    """CCNet-style line dedup: a line shared by >= min_doc_freq DISTINCT
+    docs is dropped everywhere; within-doc repeats do not count toward the
+    threshold; surviving lines keep their original order; a doc that was
+    all boilerplate comes back as the empty string (never disappears)."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nCOOKIE BANNER\nbeta\ngamma"),
+            (2, "COOKIE BANNER\ndelta"),
+            (3, "solo content"),
+            (4, "COOKIE BANNER"),
+            # 'chorus' repeats WITHIN doc 5 only -> document frequency 1,
+            # stays; doc 6 shares nothing
+            (5, "chorus\nverse\nchorus"),
+            (6, "bridge\noutro"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, "doc_id", "text", min_doc_freq=2).collect()
+    }
+    assert rows[1]["cleaned_text"] == "alpha\nbeta\ngamma"
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_removed"] == 1
+    assert rows[2]["cleaned_text"] == "delta"
+    assert rows[3]["cleaned_text"] == "solo content"
+    assert rows[3]["n_removed"] == 0
+    assert rows[4]["cleaned_text"] == "" and rows[4]["n_removed"] == 1
+    assert rows[5]["cleaned_text"] == "chorus\nverse\nchorus"
+    assert rows[6]["n_removed"] == 0
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+
+    # threshold raised above any cross-doc frequency -> nothing removed
+    untouched = line_dedup(docs, "doc_id", "text", min_doc_freq=4).collect()
+    assert all(r["n_removed"] == 0 for r in untouched)
+
+
+def test_gopher_rules_planted_failures(spark):
+    """Each Gopher rule trips on a doc built to violate exactly it (word
+    count aside), and a clean long document passes the full gate."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        gopher_quality_rules,
+    )
+
+    good = " ".join(
+        ["the quick brown fox and that dog have fun with honest words"] * 6
+    )
+    rows = {
+        r["id"]: r
+        for r in gopher_quality_rules(
+            spark.createDataFrame(
+                [
+                    (1, good),
+                    (2, "too short to pass"),
+                    (3, " ".join(["###"] * 60)),  # symbols + no alpha words
+                    (4, " ".join(["zz"] * 60)),  # mean word len < 3, no stops
+                    (5, "\n".join(["- bullet line"] * 10)),
+                    (6, good + " " + " ".join(["a"] * 200)),  # drags mean len
+                ],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[1]["gopher_pass"]
+    assert rows[1]["ok_words"] and rows[1]["ok_stopwords"]
+    assert not rows[2]["ok_words"] and not rows[2]["gopher_pass"]
+    assert not rows[3]["ok_alpha"] and not rows[3]["ok_symbols"]
+    assert rows[3]["symbol_ratio"] == 3.0  # 3 '#' per word, integer-exact
+    assert not rows[4]["ok_word_len"] and rows[4]["mean_word_len"] == 2.0
+    assert not rows[5]["ok_lines"] and rows[5]["bullet_frac"] == 1.0
+    assert not rows[6]["ok_word_len"] and not rows[6]["gopher_pass"]
+    # NULL-safe: ratios are NULL-guarded, flags never NULL
+    assert all(
+        r[f] is not None
+        for r in rows.values()
+        for f in ("ok_words", "ok_word_len", "ok_symbols", "ok_alpha",
+                  "ok_stopwords", "ok_lines", "gopher_pass")
+    )
+
+
 def test_near_dup_dedup_pipeline(spark):
     """One-call pipeline: LSH candidates -> Jaccard verify -> cluster ->
     drop. Exact copies and light edits collapse; distinct docs survive."""

@@ -97,6 +97,13 @@ def _shuffles(plan: str) -> int:
         # single-row vocab agg; scoring is a narrow broadcast fold,
         # no doc-id exchange
         ("x_text_vocab", 2),
+        # 3 = line-digest df groupBy + the position-sorted reassembly
+        # groupBy(id) + the id-grain left join back to per-doc totals;
+        # the boilerplate filter itself is a broadcast anti-join (no
+        # corpus re-shuffle)
+        ("x_text_line_dedup", 3),
+        # the Gopher gate is a pure narrow projection
+        ("x_text_gopher_rules", 0),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
