@@ -1242,7 +1242,10 @@ def line_dedup(
     """
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.split(F.col(text_col), delim).alias("__lines"),
+        # NULL text splits as the empty document (one empty line), not a
+        # NULL array whose size(-1) would leak negative line counts — the
+        # same policy as tokenize()
+        F.split(F.coalesce(F.col(text_col), F.lit("")), delim).alias("__lines"),
     )
     lines = base.select("id", F.posexplode("__lines").alias("pos", "line"))
     hot = (

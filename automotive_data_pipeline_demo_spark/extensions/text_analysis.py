@@ -957,7 +957,10 @@ def gopher_quality_rules(
     pipelines run the rule gate FIRST and the expensive model/dedup stages
     on its survivors.
     """
-    text = F.col(text_col)
+    # NULL text measures like the empty document (n_words 0, every ratio
+    # NULL, gate fails) instead of NULL-poisoning the fold — tokenize()'s
+    # documented policy
+    text = F.coalesce(F.col(text_col), F.lit(""))
 
     def word_measures(w: Column) -> Column:
         nw = F.size(w).cast("long")

@@ -1197,7 +1197,7 @@ def q_x_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     reassembly.
     """
     docs = _t(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     framed = bind_once(
         words,
         lambda w: F.array_join(

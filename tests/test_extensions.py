@@ -502,6 +502,14 @@ def test_line_dedup_boilerplate_removal(spark):
     untouched = line_dedup(docs, "doc_id", "text", min_doc_freq=4).collect()
     assert all(r["n_removed"] == 0 for r in untouched)
 
+    # NULL text is the empty document (one empty line), never size(-1)
+    with_null = spark.createDataFrame(
+        [(1, None), (2, "a\nb")], "doc_id long, text string"
+    )
+    nrows = {r["doc_id"]: r for r in line_dedup(with_null, "doc_id", "text").collect()}
+    assert nrows[1]["n_lines"] == 1 and nrows[1]["n_removed"] == 0
+    assert nrows[2]["cleaned_text"] == "a\nb"
+
 
 def test_gopher_rules_planted_failures(spark):
     """Each Gopher rule trips on a doc built to violate exactly it (word
@@ -546,6 +554,15 @@ def test_gopher_rules_planted_failures(spark):
         for f in ("ok_words", "ok_word_len", "ok_symbols", "ok_alpha",
                   "ok_stopwords", "ok_lines", "gopher_pass")
     )
+
+    # NULL text measures like the empty document: zero words, NULL ratios,
+    # gate fails — never a NULL-poisoned or negative fold
+    nr = gopher_quality_rules(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert nr["n_words"] == 0 and nr["mean_word_len"] is None
+    assert nr["gopher_pass"] is False
 
 
 def test_near_dup_dedup_pipeline(spark):
