@@ -443,3 +443,120 @@ def test_ipv4_scan_matches_octet_rule(spark, quads):
     for i, q in enumerate(quads):
         redacted = got[i] == "ip [IP] end"
         assert redacted == all(o <= 255 for o in q), (q, got[i])
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["COOKIE", "nav bar", "alpha", "beta", "gamma x",
+                             "delta", "", "epsilon y z"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_line_dedup_matches_python_reference(spark, doc_lines, k):
+    """line_dedup agrees with an independent pure-Python reference on
+    random line-structured corpora: lines in >= k DISTINCT docs vanish
+    everywhere, survivors keep document order, counts reconcile."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+
+    docs = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    # python reference
+    from collections import defaultdict
+
+    df_count: dict[str, set] = defaultdict(set)
+    for i, ls in enumerate(doc_lines):
+        for line in ls:
+            df_count[line].add(i)
+    hot = {line for line, ids in df_count.items() if len(ids) >= k}
+    want = {}
+    for i, ls in enumerate(doc_lines):
+        kept = [x for x in ls if x not in hot]
+        want[i] = ("\n".join(kept), len(ls), len(ls) - len(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_removed"])
+        for r in line_dedup(sdf, "doc_id", "text", min_doc_freq=k).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="abz THE#. \n-*", max_size=60),
+            st.sampled_from(
+                [
+                    "the be to of and that have with",
+                    "### ... ###",
+                    "- item one\n- item two\nplain",
+                    "ends in dots...\nnormal line",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """Gopher measures agree with an independent pure-Python reference
+    (same integer-space half-up 4dp rounding) on random null-heavy text."""
+    import re as _re
+
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        GOPHER_STOPWORDS,
+        gopher_quality_rules,
+    )
+
+    def r4(a, b):
+        return ((a * 20000 + b) // (b * 2)) / 10000.0
+
+    want = {}
+    for i, t in enumerate(texts):
+        s = t or ""
+        words = [w for w in _re.split(r"\s+", s) if w != ""]
+        lines = s.split("\n")
+        nw = len(words)
+        chars = sum(len(w) for w in words)
+        alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+        stops = len(
+            {w.lower() for w in words} & set(GOPHER_STOPWORDS)
+        )
+        bullets = sum(
+            1 for x in lines
+            if x.startswith("- ") or x.startswith("* ") or x.startswith("•")
+        )
+        ellipses = sum(1 for x in lines if x.endswith("..."))
+        symbols = s.count("#") + len(_re.findall(r"\.\.\.", s))
+        want[i] = (
+            nw,
+            r4(chars, nw) if nw else None,
+            r4(symbols, nw) if nw else None,
+            r4(alpha, nw) if nw else None,
+            stops,
+            r4(bullets, len(lines)),
+            r4(ellipses, len(lines)),
+        )
+
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (
+            r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+            r["alpha_frac"], r["stop_hits"], r["bullet_frac"],
+            r["ellipsis_frac"],
+        )
+        for r in gopher_quality_rules(sdf, "doc_id", "text").collect()
+    }
+    assert got == want
