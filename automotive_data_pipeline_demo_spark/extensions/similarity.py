@@ -271,14 +271,57 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
+    chunk_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, score >= threshold).
 
-    With ``block_col`` the pair generation is an equi self-join on the block
-    key (IVF cell, LSH bucket, shard …) — the only way pair enumeration
-    survives at 100 TB. Without it, a full self cross-pairing (exact, small
-    corpora only). Score rounded to 4 dp, deterministic order columns.
+    With ``block_col`` pair generation is confined to the block (IVF cell,
+    LSH bucket, shard …) — the only way pair enumeration survives at
+    100 TB. Without it, a full self cross-pairing (exact, small corpora
+    only). Score rounded to 4 dp, deterministic order columns.
+
+    ``strategy`` picks the in-block scorer:
+
+    - ``"join"`` — equi self-join on the block key; the per-pair cosine is
+      a JVM higher-order-function fold. Streams pairs with no per-task
+      memory floor, so it handles UNBOUNDED block sizes, but the fold is
+      interpreted (boxed per element) and dominates at millions of pairs.
+    - ``"blocked"`` — one shuffle on the block key, then an Arrow-batched
+      ``applyInPandas`` scores each block with vectorized numpy: vectors
+      land dim-major so each dimension's gather reads an L1-resident
+      slice, and pair index space is chunked (``chunk_pairs``) so task
+      memory stays O(block + chunk) however quadratic the pair count.
+      Requires each block's VECTORS to fit one task (the production caps —
+      ``max_bucket_size`` / IVF cell sizing — guarantee that; for
+      unbounded blocks use ``"join"``). ~5x faster at sf1 cell sizes.
+    - ``"auto"`` — ``"blocked"`` when ``block_col`` is given, ``"join"``
+      otherwise.
+
+    Both strategies are BIT-IDENTICAL on fixed-dims corpora (pinned by
+    tests): the numpy path folds dot and norm in the same element order
+    as the JVM fold (float->double casts are exact, per-dim adds are the
+    same IEEE doubles in the same order), rounding/thresholding happens
+    JVM-side on the raw score in both cases, and the numpy prefilter
+    keeps a >5e-5 slack below the threshold so half-up rounding can never
+    disagree with the final Spark filter. Degenerate rows match too:
+    NULL ids/blocks/vectors drop, cross-length (ragged) pairs drop (the
+    JVM zip_with pads with NULL and the fold nulls out), and zero-norm
+    NaN scores are kept by both (Spark orders NaN above all doubles).
+    The one divergence is element-level NULLs inside a vector (Arrow
+    surfaces them as NaN, so ``blocked`` scores the pair NaN-kept where
+    ``join`` drops it) — not a shape real embedding corpora produce.
     """
+    if strategy not in ("auto", "join", "blocked"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = "blocked" if block_col else "join"
+    if strategy == "blocked":
+        if not block_col:
+            raise ValueError("strategy='blocked' requires block_col")
+        return _near_dup_pairs_blocked(
+            df, threshold, block_col, id_col, vec_col, chunk_pairs
+        )
     # norms AND the double-cast arrays are precomputed ONCE per vector in
     # the projection: a vector in p pairs would otherwise pay the full
     # |v|-element norm fold p times inside the per-pair cosine (~27x at
@@ -312,6 +355,101 @@ def embedding_near_dup_pairs(
             "a_id",
             "b_id",
             F.round(dot / (F.col("__na") * F.col("__nb")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+    )
+
+
+def _near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    chunk_pairs: int,
+) -> DataFrame:
+    """Arrow-batched in-block pair scorer (see embedding_near_dup_pairs)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = dict(zip(df.schema.names, df.schema.fields))[id_col]
+    schema = StructType([
+        StructField("a_id", id_field.dataType),
+        StructField("b_id", id_field.dataType),
+        StructField("score_raw", DoubleType()),
+    ])
+    # Rounding happens JVM-side, so the numpy prefilter only needs to be
+    # SOUND: round-half-up can lift a raw score by at most 5e-5, so any
+    # pair whose rounded score clears `threshold` has raw > threshold-5e-5;
+    # a 1e-4 slack keeps every such pair (plus a thin band the exact JVM
+    # round+filter then discards). NaN must pass the prefilter because the
+    # JVM filter keeps it (Spark NaN ordering).
+    slack = threshold - 1e-4
+
+    def score_block(key, pdf):  # pragma: no cover - executed on workers
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "a_id": pdf[id_col].iloc[:0],
+            "b_id": pdf[id_col].iloc[:0],
+            "score_raw": pd.Series(dtype="float64"),
+        })
+        pdf = pdf[pdf[vec_col].notna() & pdf[id_col].notna()]
+        if len(pdf) < 2:
+            return empty
+        out = []
+        # Same-length groups only: the JVM fold nulls out cross-length
+        # pairs (zip_with pads with NULL), so they never reach the output.
+        for _length, grp in pdf.groupby(pdf[vec_col].map(len)):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            # dim-major layout: MT[d] is one contiguous n-vector per
+            # dimension, so the pair gathers below read an L1-resident
+            # slice instead of striding a row-major (n x d) matrix.
+            mt = np.empty((_length, n), dtype=np.float64)
+            for r, vec in enumerate(grp[vec_col]):
+                mt[:, r] = vec
+            norm = np.zeros(n)
+            for d in range(_length):
+                x = mt[d]
+                norm = norm + x * x  # same fold order as the JVM norm
+            norm = np.sqrt(norm)
+            ai, bi = np.triu_indices(n, k=1)
+            for s in range(0, len(ai), chunk_pairs):
+                a = ai[s:s + chunk_pairs]
+                b = bi[s:s + chunk_pairs]
+                dot = np.zeros(len(a))
+                for d in range(_length):
+                    x = mt[d]
+                    dot = dot + x[a] * x[b]  # ordered fold, per-dim gather
+                score = dot / (norm[a] * norm[b])
+                keep = (score >= slack) | np.isnan(score)
+                if not keep.any():
+                    continue
+                aid = ids[a[keep]]
+                bid = ids[b[keep]]
+                lo = np.minimum(aid, bid)
+                hi = np.maximum(aid, bid)
+                ne = lo < hi  # duplicate ids never self-pair (join parity)
+                out.append(pd.DataFrame({
+                    "a_id": lo[ne],
+                    "b_id": hi[ne],
+                    "score_raw": score[keep][ne],
+                }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    raw = (
+        df.filter(F.col(block_col).isNotNull())
+        .groupBy(block_col)
+        .applyInPandas(score_block, schema=schema)
+    )
+    return (
+        raw.select(
+            "a_id", "b_id", F.round(F.col("score_raw"), 4).alias("score")
         )
         .filter(F.col("score") >= F.lit(threshold))
     )

@@ -28,11 +28,13 @@ from automotive_data_pipeline_demo_spark.plans.catalog_sources import (  # noqa:
 def q_x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label.
 
-    Pair enumeration is an equi self-join on the block key (here the label
-    column; at scale an IVF cell or LSH bucket) — never an unblocked cross
-    product. The synthetic embeddings are not clustered tightly, so the
-    threshold is 0.30 (top ~1% of within-block pairs) to keep the check
-    non-vacuous.
+    Pair enumeration stays WITHIN the block key (here the label column; at
+    scale an IVF cell or LSH bucket) — never an unblocked cross product.
+    The blocked Arrow scorer shuffles once on the key and scores each
+    block with vectorized numpy, bit-identical to the equi-self-join
+    formulation (strategy="join") the oracle mirrors. The synthetic
+    embeddings are not clustered tightly, so the threshold is 0.30 (top
+    ~1% of within-block pairs) to keep the check non-vacuous.
     """
     emb = _t(spark, sf, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.30, block_col="label")
@@ -3489,10 +3491,10 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end to end: k-means the embedding
     corpus into cells, enumerate cosine near-dup pairs WITHIN each cell
     only, cluster the pair graph, keep one representative per cluster.
-    The cell step is what makes semantic dedup scale — pair enumeration is
-    an equi self-join on the learned cell id, never a cross product; the
-    kmeans pass itself is zero-shuffle assignment + one bounded
-    aggregation per iteration. The cell count scales with the corpus
+    The cell step is what makes semantic dedup scale — pairs enumerate
+    WITHIN a learned cell only (one shuffle on cell id into the blocked
+    Arrow scorer), never a cross product; the kmeans pass itself is
+    zero-shuffle assignment + one bounded aggregation per iteration. The cell count scales with the corpus
     (k = round(sqrt(N)), floor 8): fixed-k cells grow linearly with N and
     make the in-cell pairing quadratic — sf1 benching caught exactly
     that. Past 32 cells the assignment rides kmeans_lloyd's Arrow-batched
@@ -3504,9 +3506,9 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     assign = kmeans_lloyd(emb, seeds, n_iter=1)
-    # both sides of the in-cell self-join consume the assigned corpus;
-    # persisting it runs the kmeans assignment once instead of twice.
-    cells = emb.join(assign, "vec_id").persist()
+    # the blocked pair scorer consumes the assigned corpus exactly once
+    # (the old equi self-join read it twice and needed a persist here).
+    cells = emb.join(assign, "vec_id")
     pairs = embedding_near_dup_pairs(
         cells, threshold=0.30, block_col="centroid_id"
     )

@@ -308,6 +308,82 @@ def test_embedding_near_dup_pairs_ordering(spark, embeddings):
         assert r.score >= 0.30
 
 
+def test_near_dup_blocked_matches_join_exactly(spark, embeddings):
+    """The Arrow blocked scorer and the equi-self-join fold are
+    BIT-identical on a fixed-dims corpus: same pair set, same rounded
+    scores (the blocked path folds dot/norm in the same element order and
+    rounds JVM-side — the property the driver oracle hashes)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    join_rows = sorted(
+        (r.a_id, r.b_id, r.score)
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=0.30, block_col="label", strategy="join"
+        ).collect()
+    )
+    blocked_rows = sorted(
+        (r.a_id, r.b_id, r.score)
+        for r in embedding_near_dup_pairs(
+            embeddings, threshold=0.30, block_col="label", strategy="blocked"
+        ).collect()
+    )
+    assert join_rows, "threshold too high: vacuous parity check"
+    assert join_rows == blocked_rows
+
+
+def test_near_dup_blocked_edge_parity(spark):
+    """Degenerate rows behave identically under both strategies: NULL
+    ids/blocks/embeddings drop, cross-length (ragged) pairs drop while
+    same-length ragged pairs score, zero-norm NaN pairs get the same
+    keep-or-drop treatment, and duplicate ids never self-pair. Small
+    chunk_pairs exercises the chunked pair loop."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], "A"),
+        (2, [1.0, 2.0, 3.0], "A"),
+        (3, None, "A"),                    # NULL embedding
+        (None, [1.0, 2.0, 3.0], "A"),      # NULL id
+        (4, [1.0, 2.0], "A"),              # ragged pair (same length)
+        (5, [1.0, 2.0], "A"),
+        (6, [0.0, 0.0, 0.0], "A"),         # zero-norm pair -> NaN score
+        (7, [0.0, 0.0, 0.0], "A"),
+        (8, [1.0, 2.0, 3.0], None),        # NULL block key
+        (9, [3.0, 2.0, 1.0], "B"),         # duplicate id within a block
+        (9, [3.0, 2.0, 1.0], "B"),
+        (10, [3.0, 2.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+    def rendered(strategy):
+        out = embedding_near_dup_pairs(
+            df, threshold=0.0, block_col="label", strategy=strategy,
+            chunk_pairs=3,
+        ).collect()
+        import math
+
+        return sorted(
+            (r.a_id, r.b_id, "nan" if math.isnan(r.score) else r.score)
+            for r in out
+        )
+
+    join_rows = rendered("join")
+    blocked_rows = rendered("blocked")
+    assert join_rows == blocked_rows
+    pair_ids = {(a, b) for a, b, _ in join_rows}
+    assert (1, 2) in pair_ids            # fixed-dims pair scores
+    assert (4, 5) in pair_ids            # same-length ragged pair scores
+    assert not any(3 in p or 8 in p for p in pair_ids)
+    assert (9, 9) not in pair_ids        # duplicate ids never self-pair
+    assert (9, 10) in pair_ids
+
+
 def test_jaccard_doc_freq_cap(spark):
     """max_doc_freq drops boilerplate shingles: pairs sharing only an
     ultra-common shingle disappear, genuinely-similar pairs survive."""
