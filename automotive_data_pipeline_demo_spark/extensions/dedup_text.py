@@ -338,7 +338,10 @@ def ngram_jaccard_pairs(
     With ``candidates`` (id_a, id_b) the verification is a sparse join —
     the 100 TB path (LSH candidates in, verified pairs out). Without, the
     pair space comes from co-occurring shingles (still no full cross join:
-    docs sharing zero shingles never pair).
+    docs sharing zero shingles never pair), and docs with IDENTICAL
+    shingle sets collapse to one representative before the quadratic
+    pair work (exact-copy cohorts dominate raw web corpora; scores are
+    bit-identical — see the in-branch comment).
 
     ``max_doc_freq`` caps the self-join fan-out: a shingle present in d
     docs yields d(d-1)/2 pairs, so one boilerplate shingle in a million
@@ -361,14 +364,12 @@ def ngram_jaccard_pairs(
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
     if candidates is None and max_doc_freq is not None:
-        # ONE exchange on shingle serves three operators: the (id, shingle)
+        # ONE exchange on shingle serves two operators: the (id, shingle)
         # dedup (HashPartitioning(shingle) satisfies the distinct's
-        # clustering requirement — shingle is a subset of its keys), the
-        # doc-frequency window, and nothing re-shuffles until the per-id
-        # size window. Keeps the capped plan at the same 4-exchange budget
-        # as the uncapped one. (The self-join below needs the shingle
-        # exchange anyway, so the window rides it for free — unlike the
-        # candidates path, which caps via a broadcast anti-join instead.)
+        # clustering requirement — shingle is a subset of its keys) and
+        # the doc-frequency window; nothing re-shuffles until the per-id
+        # set rebuild below. (The candidates path caps via a broadcast
+        # anti-join instead.)
         df_w = Window.partitionBy("shingle")
         shingles = (
             shingle_rows.repartition("shingle")
@@ -459,20 +460,39 @@ def ngram_jaccard_pairs(
             .filter(F.col("n_common") > 0)
         )
     else:
-        # intersections straight off shingle co-occurrence: one self-join on
-        # shingle (the exchange is reused for both sides) + one pair groupBy.
-        # No materialized pair list, no re-join — pairs with zero common
-        # shingles never exist, so the fan-out is bounded by shingle
-        # document frequency (cap hot shingles upstream at true scale).
-        # Set sizes ride along as a window column, so no sizes join at all.
-        sized = shingles.withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
-        ).persist()  # both sides of the shingle self-join read it
+        # Collapse IDENTICAL (capped) shingle sets before the quadratic
+        # work: exact-copy cohorts dominate raw web corpora (the reason
+        # exact dedup runs before near-dup at scale), and every member of
+        # a cohort produces the same intersections — so the co-occurrence
+        # self-join and the pair aggregate run over DISTINCT sets only,
+        # and id pairs expand afterwards. In-cohort pairs score exactly
+        # 1.0 (identical sets: n/(n+n-n) and n/min(n,n)); cross-cohort
+        # pairs inherit the set-pair score verbatim — same integers, same
+        # division, bit-identical to the per-id formulation. On a corpus
+        # with NO copies this costs one extra id-grain + one set-hash
+        # groupBy; on the 10-copy sf1 mirror it cuts the pair-aggregate
+        # input ~100x (sf1: 17.2 s -> see SWEEP_SF1). The set hash is
+        # md5 over a \\x1f join — shingles are [a-z0-9 ] runs, so the
+        # separator cannot collide.
+        sets = shingles.groupBy("id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("__sh")
+        )
+        groups = (
+            sets.groupBy(F.md5(F.concat_ws("\x1f", "__sh")).alias("__gh"))
+            .agg(
+                F.collect_list("id").alias("__members"),
+                F.first("__sh").alias("__sh"),
+            )
+            .persist()  # feeds the self-join (x2), both expansions
+        )
+        rep = groups.select(
+            "__gh", F.size("__sh").alias("sz"), F.explode("__sh").alias("shingle")
+        )
         scored = (
-            sized.alias("x")
-            .join(sized.alias("y"), "shingle")
-            .filter(F.col("x.id") < F.col("y.id"))
-            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            rep.alias("x")
+            .join(rep.alias("y"), "shingle")
+            .filter(F.col("x.__gh") < F.col("y.__gh"))
+            .groupBy(F.col("x.__gh").alias("id_a"), F.col("y.__gh").alias("id_b"))
             .agg(
                 F.count(F.lit(1)).alias("n_common"),
                 F.first("x.sz").alias("size_a"),
@@ -487,15 +507,56 @@ def ngram_jaccard_pairs(
         score = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
     else:
         raise ValueError(f"unknown metric: {metric!r}")
-    # the internal persists (shingle rows / array table / sized shingles)
-    # must outlive the caller's action; tag them for release_caches. Frames
-    # that took an unpersisted branch are skipped by the is_cached gate.
-    return register_caches(
+    out = (
         scored.withColumn(metric, F.round(score, 4))
         .filter(F.col(metric) >= threshold)
-        .select("id_a", "id_b", metric),
+        .select("id_a", "id_b", metric)
+    )
+    if candidates is None:
+        # expand set pairs back to id pairs: cross-cohort pairs join the
+        # member lists (set-pair side is the post-threshold survivors —
+        # sparse), in-cohort pairs explode combinations JVM-side.
+        cross = (
+            out.join(
+                groups.select(
+                    F.col("__gh").alias("id_a"), F.col("__members").alias("__ma")
+                ),
+                "id_a",
+            )
+            .join(
+                groups.select(
+                    F.col("__gh").alias("id_b"), F.col("__members").alias("__mb")
+                ),
+                "id_b",
+            )
+            .select(F.explode("__ma").alias("__ia"), "__mb", metric)
+            .select("__ia", F.explode("__mb").alias("__ib"), metric)
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                metric,
+            )
+        )
+        within = (
+            groups.filter(F.size("__members") >= 2)
+            .select(F.explode("__members").alias("__ia"), "__members")
+            .select("__ia", F.explode("__members").alias("__ib"))
+            .filter(F.col("__ia") < F.col("__ib"))
+            .select(
+                F.col("__ia").alias("id_a"),
+                F.col("__ib").alias("id_b"),
+                F.round(F.lit(1.0), 4).alias(metric),
+            )
+            .filter(F.col(metric) >= threshold)
+        )
+        out = cross.unionByName(within)
+    # the internal persists (shingle rows / array table / set groups) must
+    # outlive the caller's action; tag them for release_caches. Frames
+    # that took an unpersisted branch are skipped by the is_cached gate.
+    return register_caches(
+        out,
         *[f for f in (locals().get("shingle_rows"), locals().get("arr"),
-                      locals().get("sized")) if f is not None],
+                      locals().get("groups")) if f is not None],
     )
 
 
@@ -1027,11 +1088,18 @@ def scrub_shared_spans(
     Scale shape: gram occurrence count is a COUNT window over ONE exchange
     of (gram digest) rows — no aggregate+join, no per-gram list
     materialization, so a million-occurrence boilerplate gram costs the
-    same per row as a cold one. Covered positions expand JVM-side
-    (``sequence`` + ``explode``), the keep-filter is a left-anti join on
-    (id, pos), and reassembly is one final exchange on id with an ordered
-    ``collect_list``. Output text is over normalized tokens (lowercased,
-    punctuation-split) — the tokenization the gram match is defined on.
+    same per row as a cold one. Hot span starts then fold to ONE int array
+    per document (id-grain groupBy) and join back to the token arrays at
+    DOC grain, and an Arrow-batched ``mapInPandas`` scrubs each batch
+    fully vectorized (difference-array coverage over the batch-flattened
+    token stream, per-doc reassembly via pyarrow ``binary_join``). The
+    previous shape shuffled every TOKEN row twice — a (id, pos) anti-join
+    plus an ordered collect_list rebuild — which at sf1 moved ~100M token
+    rows through two exchanges where this moves each doc once (sf1:
+    10.8 s -> ~4 s warm). Output text is over normalized tokens
+    (lowercased, punctuation-split) — the tokenization the gram match is
+    defined on; every byte of the output is exact integer/string work, so
+    the DuckDB oracle parity is untouched.
 
     Returns (id, n_tokens, n_removed, cleaned_text) for every input doc;
     fully-scrubbed docs survive with an empty string (filter on
@@ -1069,37 +1137,79 @@ def scrub_shared_spans(
         .filter(F.col("__cnt") >= min_count)
         .select("id", "start")
     )
-    covered = hot_starts.select(
-        "id",
-        F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
-    ).distinct()
-
-    toks = base.select(
-        "id",
-        F.posexplode("__toks").alias("pos0", "tok"),
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("cleaned_text"),
+    starts_per_doc = hot_starts.groupBy("id").agg(
+        F.collect_list("start").alias("__starts")
     )
-    return (
-        base.select("id", F.size("__toks").cast("long").alias("n_tokens"))
-        .join(rebuilt, "id", "left")
-        .select(
-            "id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-        )
+    joined = base.select("id", "__toks").join(starts_per_doc, "id", "left")
+
+    def scrub_batches(batches):  # pragma: no cover - executed on workers
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            ndocs = len(pdf)
+            if ndocs == 0:
+                continue
+            toks = [t if t is not None else () for t in pdf["__toks"]]
+            lens = np.fromiter((len(t) for t in toks), np.int64, count=ndocs)
+            flat_len = int(lens.sum())
+            off = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            # one pad slot per doc so a span's -1 marker (start-1+n, at most
+            # one past the doc's last token) never bleeds into the next doc
+            pstart = off[:-1] + np.arange(ndocs)
+            starts_col = pdf["__starts"]
+            s_lens = np.fromiter(
+                (0 if s is None else len(s) for s in starts_col),
+                np.int64,
+                count=ndocs,
+            )
+            if flat_len and s_lens.sum():
+                delta = np.zeros(flat_len + ndocs + 1, dtype=np.int64)
+                s_flat = np.concatenate(
+                    [np.asarray(s, dtype=np.int64)
+                     for s in starts_col if s is not None and len(s)]
+                )
+                idx = np.repeat(pstart, s_lens) + (s_flat - 1)
+                np.add.at(delta, idx, 1)
+                np.add.at(delta, idx + n, -1)
+                run = np.cumsum(delta[: flat_len + ndocs])
+                real = np.ones(flat_len + ndocs, dtype=bool)
+                real[off[1:] + np.arange(ndocs)] = False
+                kept_mask = run[real] == 0
+            else:
+                kept_mask = np.ones(flat_len, dtype=bool)
+            kc = np.zeros(flat_len + 1, dtype=np.int64)
+            np.cumsum(kept_mask, out=kc[1:])
+            kept_per_doc = kc[off[1:]] - kc[off[:-1]]
+            kept_offsets = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(kept_per_doc, out=kept_offsets[1:])
+            if flat_len:
+                flat_toks = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                )
+                kept_flat = flat_toks[kept_mask]
+            else:
+                kept_flat = np.array([], dtype=object)
+            cleaned = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(kept_offsets, type=pa.int32()),
+                    pa.array(kept_flat, type=pa.string()),
+                ),
+                " ",
+            ).to_pandas()
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "n_tokens": lens,
+                "n_removed": lens - kept_per_doc,
+                "cleaned_text": cleaned,
+            })
+
+    return joined.mapInPandas(
+        scrub_batches,
+        schema="id long, n_tokens long, n_removed long, cleaned_text string",
     )
 
 

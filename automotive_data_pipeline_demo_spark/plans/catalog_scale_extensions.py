@@ -3214,9 +3214,10 @@ def q_x_text_scrub_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring REMOVAL (Lee et al. 2022 / RefinedWeb): tokens
     covered by an 8-gram occurring >= 2 times anywhere in the corpus are
     dropped and each doc is reassembled in order. Gram occurrence count is
-    one window over the gram-digest exchange; covered positions expand
-    JVM-side; the keep filter is a left-anti join; reassembly is one
-    ordered collect_list exchange on id.
+    one window over the gram-digest exchange; hot span starts fold to one
+    int array per doc and join back at DOC grain; an Arrow-batched
+    vectorized scrubber (difference-array coverage + pyarrow binary_join
+    reassembly) emits the cleaned corpus — no token-grain shuffle.
     """
     docs = _t(spark, sf, "documents")
     out = scrub_shared_spans(docs, "doc_id", "text", n=8, min_count=2)

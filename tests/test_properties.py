@@ -560,3 +560,52 @@ def test_gopher_rules_match_python_reference(spark, texts):
         for r in gopher_quality_rules(sdf, "doc_id", "text").collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_scrub_shared_spans_matches_python_reference(spark, docs, n):
+    """The vectorized Arrow scrubber (difference-array coverage, per-batch
+    flattened reassembly) must agree with a direct per-doc Python reference
+    on tiny-vocab corpora where spans collide and overlap constantly."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        scrub_shared_spans,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    # Python reference: count every n-gram across the corpus, then mark
+    # covered positions per doc and rebuild in order.
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for j in range(len(toks) - n + 1):
+            grams[tuple(toks[j:j + n])] += 1
+    want = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for j in range(len(toks) - n + 1):
+            if grams[tuple(toks[j:j + n])] >= 2:
+                covered.update(range(j, j + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in scrub_shared_spans(sdf, "doc_id", "text", n=n).collect()
+    }
+    assert got == want
