@@ -8,7 +8,7 @@ The scale path is sign-LSH bucketing: project every vector onto ``n_planes``
 deterministic pseudo-random hyperplanes, bucket by the sign bit-string, and
 only score query-corpus pairs sharing a bucket. At 100 TB the bucket join
 replaces the corpus broadcast/cross-product; recall is tunable via number of
-planes and probing (we probe the exact bucket; multi-probe is a TODO knob).
+planes and probing (``multi_probe`` flips low-confidence bits per query).
 Hyperplanes derive from md5 of (plane, dim) so every run/engine agrees
 without shipping a random state.
 """

@@ -609,3 +609,47 @@ def test_scrub_shared_spans_matches_python_reference(spark, docs, n):
         for r in scrub_shared_spans(sdf, "doc_id", "text", n=n).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.lists(
+                st.sampled_from([0.1, -0.25, 1.5, 0.0, 3.0e5, -7.25e-3]),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_near_dup_blocked_parity_randomized(spark, rows):
+    """Randomized bit-parity of the blocked Arrow pair scorer vs the
+    equi-self-join fold: inexact-binary values (0.1), zeros (NaN scores),
+    and repeated vectors across random block shapes must produce the
+    identical (pair, rounded-score) multiset under both strategies."""
+    import math
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, vec, lab) for i, (lab, vec) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+    def rendered(strategy):
+        out = embedding_near_dup_pairs(
+            df, threshold=-1.0, block_col="label", strategy=strategy,
+            chunk_pairs=5,
+        ).collect()
+        return sorted(
+            (r.a_id, r.b_id, "nan" if math.isnan(r.score) else r.score)
+            for r in out
+        )
+
+    assert rendered("join") == rendered("blocked")
