@@ -913,6 +913,65 @@ def dedup_corpus(
     )
 
 
+def collapsed_pair_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-mode (uncapped) verified near-dup graph with identical
+    shingle-set cohorts collapsed: band candidates and Jaccard
+    verification run over ONE representative per distinct shingle set,
+    then each cohort rejoins as a star of rep->member edges. Returns
+    (id_a, id_b) edges whose COMPONENT structure is identical to the
+    per-id uncapped chain: identical sets always co-bucket (identical
+    signatures, no bucket cap) and verify at exactly 1.0, so every
+    cohort is a clique in the per-id graph — the star to the cohort's
+    MIN id preserves both the connectivity and the min-id
+    representative. Exact-copy cohorts dominate raw web corpora, so the
+    quadratic candidate/verify work shrinks by the square of the copy
+    factor.
+
+    UNCAPPED ONLY, by design: ``max_bucket_size`` deliberately counts
+    raw docs (suppressing boilerplate cohorts IS its job) and
+    ``max_doc_freq`` counts per-doc shingle frequency — both change
+    meaning under collapse, so capped chains keep the per-id shape.
+    The returned frame is a graph-equivalent edge set (in-cohort cliques
+    are represented by stars), for component consumers — not the full
+    verified pair list.
+    """
+    sets_ = shingle_arrays(df, id_col, text_col, shingle_n)
+    groups = (
+        sets_.groupBy(F.md5(F.concat_ws("\x1f", "__sh")).alias("__gh"))
+        .agg(
+            F.min("id").alias("id"),
+            F.collect_list("id").alias("__members"),
+            F.first("__sh").alias("__sh"),
+        )
+        .persist()  # holds the shingle pass; feeds bands, verify, stars
+    )
+    arrs = groups.select("id", "__sh")
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, band_size, shingle_n,
+        max_bucket_size=None, shingles=arrs,
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, shingle_n=shingle_n,
+        candidates=candidates, max_doc_freq=None, shingle_arrays_df=arrs,
+    )
+    star = (
+        groups.filter(F.size("__members") >= 2)
+        .select(F.col("id").alias("id_a"), F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return register_caches(
+        verified.select("id_a", "id_b").unionByName(star), groups, verified
+    )
+
+
 def near_dup_dedup(
     df: DataFrame,
     id_col: str,
@@ -934,8 +993,18 @@ def near_dup_dedup(
     clustering is driver union-find on the (small) verified-pair graph
     with a distributed fallback, and the final drop is one anti-join
     against the loser set. Both caps default ON; the oracle-pinned
-    catalog entries opt out for declarative-SQL parity.
+    catalog entries opt out for declarative-SQL parity — and the uncapped
+    mode routes through :func:`collapsed_pair_graph` (identical clusters,
+    identical survivors; copy cohorts verify once).
     """
+    if max_doc_freq is None and max_bucket_size is None:
+        edges = collapsed_pair_graph(
+            df, id_col, text_col, threshold, num_hashes, band_size, shingle_n
+        )
+        return register_caches(
+            dedup_corpus(df, edges, id_col, a_col="id_a", b_col="id_b"),
+            edges,
+        )
     # tokenize+shingle once (the most expensive narrow stage), share the
     # persisted (id, __sh) table between candidate generation and verify
     arrs = shingle_arrays(df, id_col, text_col, shingle_n).persist()
@@ -980,19 +1049,25 @@ def dedup_cluster_stats(
     the numbers a curation report quotes before committing to a drop.
 
     Same chain (and caps) as ``near_dup_dedup`` up to the component
-    labels; the extra cost over the pipeline is two tiny aggregations on
-    the component table (bounded by the duplicate count, not the corpus).
+    labels — including the uncapped collapsed-cohort route; the extra
+    cost over the pipeline is two tiny aggregations on the component
+    table (bounded by the duplicate count, not the corpus).
     """
-    arrs = shingle_arrays(df, id_col, text_col, shingle_n).persist()
-    candidates = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, band_size, shingle_n,
-        max_bucket_size=max_bucket_size, shingles=arrs,
-    )
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=threshold, shingle_n=shingle_n,
-        candidates=candidates, max_doc_freq=max_doc_freq,
-        shingle_arrays_df=arrs,
-    )
+    if max_doc_freq is None and max_bucket_size is None:
+        verified = collapsed_pair_graph(
+            df, id_col, text_col, threshold, num_hashes, band_size, shingle_n
+        )
+    else:
+        arrs = shingle_arrays(df, id_col, text_col, shingle_n).persist()
+        candidates = minhash_candidate_pairs(
+            df, id_col, text_col, num_hashes, band_size, shingle_n,
+            max_bucket_size=max_bucket_size, shingles=arrs,
+        )
+        verified = ngram_jaccard_pairs(
+            df, id_col, text_col, threshold=threshold, shingle_n=shingle_n,
+            candidates=candidates, max_doc_freq=max_doc_freq,
+            shingle_arrays_df=arrs,
+        )
     comps = connected_components(verified, "id_a", "id_b")
     clustered = comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1005,7 +1080,7 @@ def dedup_cluster_stats(
     singletons = df.sparkSession.createDataFrame(
         [(1, n_total - n_in_clusters)], "cluster_size long, n_clusters long"
     ).filter(F.col("n_clusters") > 0)
-    return (
+    return register_caches(
         hist.select(
             F.col("cluster_size").cast("long"), F.col("n_clusters").cast("long")
         )
@@ -1014,7 +1089,10 @@ def dedup_cluster_stats(
             "cluster_size",
             "n_clusters",
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
-        )
+        ),
+        verified,
+        *([arrs] if max_doc_freq is not None or max_bucket_size is not None
+          else []),
     )
 
 

@@ -60,6 +60,7 @@ from automotive_data_pipeline_demo_spark.functions.scalars import (
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
+    collapsed_pair_graph,
     connected_components,
     dedup_cluster_stats,
     dedup_corpus,

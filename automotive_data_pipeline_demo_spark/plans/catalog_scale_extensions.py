@@ -3279,15 +3279,10 @@ def q_x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     truncation or boilerplate stripping.
     """
     docs = _t(spark, sf, "documents")
-    arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
-    candidates = minhash_candidate_pairs(
-        docs, "doc_id", "text", 8, 2, 3, max_bucket_size=None, shingles=arrs
-    )
-    verified = ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.8, shingle_n=3,
-        candidates=candidates, max_doc_freq=None, shingle_arrays_df=arrs,
-    )
-    kept = dedup_corpus_best(docs, verified, "doc_id", "n_chars")
+    # uncapped -> the collapsed-cohort graph (component-identical to the
+    # per-id verified pairs; dedup_corpus_best only consumes components)
+    edges = collapsed_pair_graph(docs, "doc_id", "text", threshold=0.8)
+    kept = dedup_corpus_best(docs, edges, "doc_id", "n_chars")
     return kept.select("doc_id", "lang", "source", "n_chars")
 
 

@@ -1966,3 +1966,66 @@ def test_corpus_snapshot_diff_classification(spark):
     assert out["a"]["n_unchanged"] == 1 and out["a"]["n_changed"] == 1
     assert out["b"]["n_removed"] == 1 and out["b"]["n_added"] == 1
     assert out["a"]["n_added"] == 0 and out["a"]["n_removed"] == 0
+
+
+def test_collapsed_pair_graph_matches_per_id_chain(spark):
+    """The uncapped collapsed-cohort route must produce the same
+    components (hence the same survivors and cluster stats) as the
+    per-id banded chain: exact-copy cohorts, a cross-cohort near-dup
+    bridge, and untouched singletons."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        collapsed_pair_graph,
+        connected_components,
+        dedup_corpus,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_arrays,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    near = body + " extra"
+    rows = (
+        [(i, body) for i in range(5)]            # 5-copy cohort
+        + [(10 + i, near) for i in range(3)]     # 3-copy near-dup cohort
+        + [(20, "completely unrelated text about turnips and parsnips"),
+           (21, "another standalone document body with no twin at all")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
+    per_id = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3,
+        candidates=minhash_candidate_pairs(
+            docs, "doc_id", "text", 8, 2, 3,
+            max_bucket_size=None, shingles=arrs,
+        ),
+        max_doc_freq=None, shingle_arrays_df=arrs,
+    )
+    want = {
+        (r.id, r.component)
+        for r in connected_components(per_id, "id_a", "id_b").collect()
+    }
+    edges = collapsed_pair_graph(docs, "doc_id", "text", threshold=0.5)
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert want and got == want
+    # and the public pipeline (caps None -> collapsed route) keeps the
+    # same survivors as dedup over the per-id pairs
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        near_dup_dedup,
+    )
+
+    kept_collapsed = sorted(
+        r.doc_id for r in near_dup_dedup(
+            docs, "doc_id", "text", threshold=0.5,
+            max_doc_freq=None, max_bucket_size=None,
+        ).collect()
+    )
+    kept_per_id = sorted(
+        r.doc_id for r in dedup_corpus(
+            docs, per_id, "doc_id", a_col="id_a", b_col="id_b"
+        ).collect()
+    )
+    assert kept_collapsed == kept_per_id
