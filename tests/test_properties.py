@@ -653,3 +653,51 @@ def test_near_dup_blocked_parity_randomized(spark, rows):
         )
 
     assert rendered("join") == rendered("blocked")
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "run"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**_SETTINGS)
+def test_collapsed_graph_components_match_per_id_chain(spark, docs, thr):
+    """Randomized: the collapsed-cohort graph's components equal the
+    per-id uncapped banded chain's components on tiny-vocab corpora where
+    identical and near-identical docs occur constantly."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        collapsed_pair_graph,
+        connected_components,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_arrays,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    arrs = shingle_arrays(sdf, "doc_id", "text", 3).persist()
+    per_id = ngram_jaccard_pairs(
+        sdf, "doc_id", "text", threshold=thr, shingle_n=3,
+        candidates=minhash_candidate_pairs(
+            sdf, "doc_id", "text", 8, 2, 3,
+            max_bucket_size=None, shingles=arrs,
+        ),
+        max_doc_freq=None, shingle_arrays_df=arrs,
+    )
+    want = {
+        (r.id, r.component)
+        for r in connected_components(per_id, "id_a", "id_b").collect()
+    }
+    edges = collapsed_pair_graph(sdf, "doc_id", "text", threshold=thr)
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == want
