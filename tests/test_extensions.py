@@ -1869,19 +1869,20 @@ def test_bm25_release_caches_frees_counter_frame(spark):
     )
 
     spark.catalog.clearCache()
-
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
-
     docs = spark.createDataFrame(
         [(1, "zebra yak"), (2, "cow zebra"), (3, "hut")],
         "doc_id long, text string",
     )
     out = bm25_topk(docs, "doc_id", "text", ["zebra"], k=5)
     assert out.count() == 2  # the terminal action materializes the cache
-    assert n_cached() == 1  # the counter frame is held
+    # assert on the operator's OWN tagged frames, not the session-global
+    # persistent-RDD count: earlier tests' lazy localCheckpoint RDDs
+    # (distributed connected-components rounds) are released by the JVM
+    # ContextCleaner on GC, so a global-zero assertion is order/GC-racy
+    held = list(getattr(out, "_graft_persisted"))
+    assert len(held) == 1 and held[0].is_cached  # the counter frame
     assert release_caches(out, blocking=True) == 1
-    assert n_cached() == 0
+    assert not held[0].is_cached
     assert release_caches(out) == 0  # idempotent
     assert release_caches(docs) == 0  # untagged frame: no-op
 
@@ -1899,9 +1900,14 @@ def test_curation_e2e_release_caches(spark):
     spark.catalog.clearCache()
     out = q_x_curation_e2e(spark, "/root/testdata/sf0.001")
     assert out.count() == 7
-    # 3 stage frames + the dedup stage's shared shingle table (adopted)
+    # 3 stage frames + the dedup stage's collapsed set-group table
+    # (adopted). Checked via the tag, not getPersistentRDDs().size() == 0:
+    # earlier tests' lazy localCheckpoint RDDs are GC-collected, so the
+    # global count is order/GC-racy.
+    held = list(getattr(out, "_graft_persisted"))
+    assert len(held) == 4 and all(f.is_cached for f in held)
     assert release_caches(out, blocking=True) == 4
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert all(not f.is_cached for f in held)
 
 
 def test_embedding_dim_stats_exact_on_known_vectors(spark):
