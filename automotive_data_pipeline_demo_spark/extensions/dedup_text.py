@@ -354,6 +354,11 @@ def ngram_jaccard_pairs(
     (``DEFAULT_MAX_DOC_FREQ``) so a naive caller gets the 100 TB-safe
     behavior; pass ``max_doc_freq=None`` to opt out into exact mode.
     """
+    # every internally-persisted frame is appended here at its persist()
+    # site and handed to register_caches at the end — an explicit list, not
+    # a locals()-by-name lookup, so a variable rename can't silently drop
+    # the tag and leak the persist in long-lived sessions
+    held: list[DataFrame] = []
     if shingle_arrays_df is not None:  # shared (id, __sh) table, see shingle_arrays
         shingle_rows = shingle_arrays_df.select(
             "id", F.explode("__sh").alias("shingle")
@@ -411,6 +416,7 @@ def ngram_jaccard_pairs(
                 # without a caller-owned shared table, persist to avoid
                 # re-shingling the corpus twice.
                 shingle_rows = shingle_rows.persist()
+                held.append(shingle_rows)
             hot = (
                 shingle_rows.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("__df"))
@@ -424,6 +430,7 @@ def ngram_jaccard_pairs(
                 .withColumn("__sz", F.size("__sh"))
                 .persist()
             )
+            held.append(arr)
         elif shingle_arrays_df is not None:
             # caller-owned shared table (already persisted by the caller)
             arr = shingle_arrays_df.withColumn("__sz", F.size("__sh"))
@@ -432,6 +439,7 @@ def ngram_jaccard_pairs(
                 F.col(id_col).cast("long").alias("id"),
                 F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
             ).withColumn("__sz", F.size("__sh")).persist()
+            held.append(arr)
         scored = (
             candidates.select("id_a", "id_b")
             .join(
@@ -485,6 +493,7 @@ def ngram_jaccard_pairs(
             )
             .persist()  # feeds the self-join (x2), both expansions
         )
+        held.append(groups)
         rep = groups.select(
             "__gh", F.size("__sh").alias("sz"), F.explode("__sh").alias("shingle")
         )
@@ -551,13 +560,9 @@ def ngram_jaccard_pairs(
         )
         out = cross.unionByName(within)
     # the internal persists (shingle rows / array table / set groups) must
-    # outlive the caller's action; tag them for release_caches. Frames
-    # that took an unpersisted branch are skipped by the is_cached gate.
-    return register_caches(
-        out,
-        *[f for f in (locals().get("shingle_rows"), locals().get("arr"),
-                      locals().get("groups")) if f is not None],
-    )
+    # outlive the caller's action; tag them for release_caches — ``held``
+    # collected each frame at its own persist() site above.
+    return register_caches(out, *held)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -1426,6 +1431,12 @@ def line_dedup(
     threshold (document frequency is COUNT DISTINCT id), matching the
     published pipelines: a chorus repeated inside one lyric sheet is
     content, the same line across thousands of pages is boilerplate.
+    EMPTY lines are never boilerplate: the empty string appears in nearly
+    every multi-line corpus (paragraph separators — ``"a\\n\\nb"``), so
+    counting it would strip every blank line corpus-wide and silently
+    collapse paragraph structure. The published CCNet/RefinedWeb-style
+    pipelines dedup non-empty lines; empty lines pass through unchanged
+    and never enter the document-frequency aggregate.
 
     Scale shape: lines posexplode inside the scan stage; the
     document-frequency aggregate runs at md5(line) grain (the shuffle
@@ -1448,7 +1459,10 @@ def line_dedup(
     )
     lines = base.select("id", F.posexplode("__lines").alias("pos", "line"))
     hot = (
-        lines.select("id", F.md5("line").alias("__h"))
+        # empty lines are excluded BEFORE the frequency aggregate (see
+        # docstring): blank paragraph separators must never go hot
+        lines.filter(F.col("line") != "")
+        .select("id", F.md5("line").alias("__h"))
         .groupBy("__h")
         .agg(F.count_distinct("id").alias("__df"))
         .filter(F.col("__df") >= min_doc_freq)

@@ -177,11 +177,14 @@ def image_dimensions(payload: Column) -> Column:
     (PNG 24, GIF 10, BMP 26 bytes), so a payload truncated mid-header —
     magic intact, dimension bytes missing — returns the NULL-format row
     instead of garbage dims under a confident format tag. The BMP branch
-    additionally requires the DIB size field (offset 14) to be 40 —
-    BITMAPINFOHEADER, the variant whose dims live at offsets 18/22; a
-    12-byte BITMAPCOREHEADER stores 16-bit dims at offset 18 and would
-    misparse here, so it routes to the NULL-format/decode_media path
-    instead. BMP height is a SIGNED little-endian int32 (negative =
+    additionally requires the DIB size field (offset 14) to be >= 40:
+    every >=40-byte DIB header (BITMAPINFOHEADER 40 and its V2/V3/OS2v2/
+    V4/V5 extensions 52/56/64/108/124) extends BITMAPINFOHEADER's first
+    40 bytes, so width/height sit at offsets 18/22 in all of them; the
+    sub-40 shapes — notably the 12-byte BITMAPCOREHEADER, which stores
+    16-bit dims at offset 18 and would misparse here — route to the
+    NULL-format/decode_media path instead. BMP height is a SIGNED
+    little-endian int32 (negative =
     top-down DIB, biHeight); the magnitude is the pixel height, so the
     two's-complement value is folded to abs() rather than surfacing as a
     wrapped negative. The fold's one unrepresentable edge (biHeight =
@@ -201,7 +204,9 @@ def image_dimensions(payload: Column) -> Column:
     is_bmp = (
         (n >= 26)
         & (hex2 == F.lit("424D"))
-        & (_le_int(payload, 15, 4) == F.lit(40))  # BITMAPINFOHEADER only
+        # BITMAPINFOHEADER and every extension of it (52/56/64/108/124);
+        # sub-40 core headers store 16-bit dims and route to decode_media
+        & (_le_int(payload, 15, 4) >= F.lit(40))
     )
     bmp_w = _le_int(payload, 19, 4)
     bmp_h_raw = _le_int(payload, 23, 4)  # unsigned fold of a signed field

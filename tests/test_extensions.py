@@ -2035,3 +2035,118 @@ def test_collapsed_pair_graph_matches_per_id_chain(spark):
         ).collect()
     )
     assert kept_collapsed == kept_per_id
+
+
+def test_image_dimensions_extended_dib_headers(spark):
+    """ADVICE r6: every >=40-byte DIB header (BITMAPV2/V3/OS2v2/V4/V5 =
+    52/56/64/108/124) extends BITMAPINFOHEADER's first 40 bytes, so
+    width/height parse at offsets 18/22 exactly as for size-40 headers;
+    only the sub-40 core-header shapes route to decode_media."""
+    import struct
+
+    from automotive_data_pipeline_demo_spark.extensions.multimodal import (
+        image_dimensions,
+    )
+
+    def bmp(dib_size: int) -> bytes:
+        return (
+            b"BM" + struct.pack("<IHHI", 14 + dib_size + 12, 0, 0, 14 + dib_size)
+            + struct.pack("<Iii", dib_size, 800, 600)
+            + struct.pack("<HH", 1, 24) + b"\x00" * (dib_size - 16)
+        )
+
+    rows_in = [(s, bmp(s)) for s in (40, 52, 56, 64, 108, 124)]
+    df = spark.createDataFrame(rows_in, schema="id int, payload binary")
+    rows = {
+        r["id"]: r
+        for r in df.select("id", image_dimensions(F.col("payload")).alias("m"))
+        .select("id", "m.*")
+        .collect()
+    }
+    for s in (40, 52, 56, 64, 108, 124):
+        assert (rows[s]["format"], rows[s]["width"], rows[s]["height"]) == (
+            "bmp", 800, 600,
+        ), s
+
+
+def test_line_dedup_preserves_blank_lines(spark):
+    """ADVICE r6: the empty line (paragraph separator) appears in nearly
+    every multi-paragraph corpus, so it must never enter the hot set —
+    otherwise min_doc_freq=2 strips ALL blank lines and collapses
+    paragraph structure ('a\\n\\nb' -> 'a\\nb'). Non-empty shared lines
+    still drop."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\nFOOTER"),
+            (2, "gamma\n\ndelta\nFOOTER"),
+            (3, "\n\n"),  # all-blank doc: untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, "doc_id", "text", min_doc_freq=2).collect()
+    }
+    assert rows[1]["cleaned_text"] == "alpha\n\nbeta"
+    assert rows[1]["n_removed"] == 1  # FOOTER only, never the blank
+    assert rows[2]["cleaned_text"] == "gamma\n\ndelta"
+    assert rows[3]["cleaned_text"] == "\n\n" and rows[3]["n_removed"] == 0
+
+
+def test_ngram_jaccard_pairs_tags_all_persisted_frames(spark):
+    """ADVICE r6: the operator's internal persists are tracked in an
+    explicit held list at each persist() site (not locals()-by-name), so
+    every mode's cached frames are tagged on the result and released by
+    release_caches."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        ngram_jaccard_pairs,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five seven"),
+            (3, "eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+
+    # (a) no candidates, uncapped: the collapsed set-group table persists
+    spark.catalog.clearCache()
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_doc_freq=None
+    )
+    out.count()
+    held = list(getattr(out, "_graft_persisted"))
+    assert len(held) == 1 and all(f.is_cached for f in held)
+    assert release_caches(out, blocking=True) == 1
+
+    # (b) candidates + doc-freq cap: shingle rows AND the array table
+    spark.catalog.clearCache()
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, candidates=cands,
+        max_doc_freq=10,
+    )
+    out.count()
+    held = list(getattr(out, "_graft_persisted"))
+    assert len(held) == 2 and all(f.is_cached for f in held)
+    assert release_caches(out, blocking=True) == 2
+
+    # (c) candidates, uncapped: just the array table
+    spark.catalog.clearCache()
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, candidates=cands,
+        max_doc_freq=None,
+    )
+    out.count()
+    held = list(getattr(out, "_graft_persisted"))
+    assert len(held) == 1 and all(f.is_cached for f in held)
+    assert release_caches(out, blocking=True) == 1

@@ -461,8 +461,9 @@ def test_ipv4_scan_matches_octet_rule(spark, quads):
 @settings(**_SETTINGS)
 def test_line_dedup_matches_python_reference(spark, doc_lines, k):
     """line_dedup agrees with an independent pure-Python reference on
-    random line-structured corpora: lines in >= k DISTINCT docs vanish
-    everywhere, survivors keep document order, counts reconcile."""
+    random line-structured corpora: NON-EMPTY lines in >= k DISTINCT docs
+    vanish everywhere (empty lines are paragraph separators and never go
+    hot — ADVICE r6), survivors keep document order, counts reconcile."""
     from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
         line_dedup,
     )
@@ -474,7 +475,8 @@ def test_line_dedup_matches_python_reference(spark, doc_lines, k):
     df_count: dict[str, set] = defaultdict(set)
     for i, ls in enumerate(doc_lines):
         for line in ls:
-            df_count[line].add(i)
+            if line != "":
+                df_count[line].add(i)
     hot = {line for line, ids in df_count.items() if len(ids) >= k}
     want = {}
     for i, ls in enumerate(doc_lines):
