@@ -1168,21 +1168,36 @@ def scrub_shared_spans(
     :func:`duplicated_ngram_fraction` only scores the duplication, this
     emits the cleaned corpus.
 
-    Scale shape: gram occurrence count is a COUNT window over ONE exchange
-    of (gram digest) rows — no aggregate+join, no per-gram list
-    materialization, so a million-occurrence boilerplate gram costs the
-    same per row as a cold one. Hot span starts then fold to ONE int array
-    per document (id-grain groupBy) and join back to the token arrays at
-    DOC grain, and an Arrow-batched ``mapInPandas`` scrubs each batch
-    fully vectorized (difference-array coverage over the batch-flattened
-    token stream, per-doc reassembly via pyarrow ``binary_join``). The
-    previous shape shuffled every TOKEN row twice — a (id, pos) anti-join
-    plus an ordered collect_list rebuild — which at sf1 moved ~100M token
-    rows through two exchanges where this moves each doc once (sf1:
-    10.8 s -> ~4 s warm). Output text is over normalized tokens
-    (lowercased, punctuation-split) — the tokenization the gram match is
-    defined on; every byte of the output is exact integer/string work, so
-    the DuckDB oracle parity is untouched.
+    Scale shape, outermost first:
+
+    - **Identical-text collapse.** Documents group by ``md5(text)`` and
+      every downstream stage runs at DISTINCT-content grain, with the
+      group's id list riding along and exploding back at the very end.
+      Exact-copy cohorts dominate raw web corpora (and the ×10 sf1 bench
+      mirror), and every member of a cohort has the same grams, the same
+      covered spans, and the same cleaned text. Exactness is preserved
+      because gram occurrence counts are MULTIPLICITY-WEIGHTED: a gram
+      row from a group of m copies contributes m occurrences
+      (``sum(m)`` over the digest partition ≡ the per-id row count).
+    - Gram occurrence count is that one SUM window over ONE exchange of
+      (gram digest) rows — no aggregate+join, no per-gram list
+      materialization, so a million-occurrence boilerplate gram costs
+      the same per row as a cold one.
+    - Hot span starts fold to ONE int array per distinct text and join
+      back to the token arrays at content grain. Texts with ZERO hot
+      spans never enter the scrubber: their cleaned text is a JVM-side
+      ``array_join`` on the scan side of the join (n_removed = 0), so
+      the Arrow transfer and the Python pass are paid only for the
+      (shrinking, at real-corpus scale) touched fraction.
+    - Touched texts go through an Arrow-batched ``mapInPandas`` that
+      scrubs each batch fully vectorized (difference-array coverage over
+      the batch-flattened token stream, per-doc reassembly via pyarrow
+      ``binary_join``).
+
+    Output text is over normalized tokens (lowercased, punctuation-split)
+    — the tokenization the gram match is defined on; every byte of the
+    output is exact integer/string work, so the DuckDB oracle parity is
+    untouched.
 
     Returns (id, n_tokens, n_removed, cleaned_text) for every input doc;
     fully-scrubbed docs survive with an empty string (filter on
@@ -1205,25 +1220,56 @@ def scrub_shared_spans(
             toks.alias("toks"),
         )
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        bind_once(tokenize(F.col(text_col)), grams_and_toks).alias("__gt"),
-    ).select("id", F.col("__gt.grams").alias("__grams"), F.col("__gt.toks").alias("__toks"))
+    # identical-text collapse: NULL text coalesces to '' so all
+    # empty/NULL docs share one group (tokenize treats them identically)
+    groups = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        )
+        .groupBy(F.md5("__text").alias("__th"))
+        .agg(
+            F.collect_list("id").alias("__ids"),
+            F.first("__text").alias("__text"),
+        )
+        .persist()  # feeds the gram stream AND both sides of the rebuild
+    )
+    base = groups.select(
+        "__th",
+        "__ids",
+        F.size("__ids").cast("long").alias("__m"),
+        bind_once(tokenize(F.col("__text")), grams_and_toks).alias("__gt"),
+    ).select(
+        "__th", "__ids", "__m",
+        F.col("__gt.grams").alias("__grams"),
+        F.col("__gt.toks").alias("__toks"),
+    )
     grams = base.select(
-        "id", F.explode("__grams").alias("g")
-    ).select("id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+        "__th", "__m", F.explode("__grams").alias("g")
+    ).select("__th", "__m", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
 
     hot_starts = (
         grams.withColumn(
-            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            "__cnt", F.sum("__m").over(Window.partitionBy("gh"))
         )
         .filter(F.col("__cnt") >= min_count)
-        .select("id", "start")
+        .select("__th", "start")
     )
-    starts_per_doc = hot_starts.groupBy("id").agg(
+    starts_per_doc = hot_starts.groupBy("__th").agg(
         F.collect_list("start").alias("__starts")
     )
-    joined = base.select("id", "__toks").join(starts_per_doc, "id", "left")
+    joined = base.select("__th", "__ids", "__toks").join(
+        starts_per_doc, "__th", "left"
+    )
+    untouched = joined.filter(F.col("__starts").isNull()).select(
+        F.explode("__ids").alias("id"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.array_join("__toks", " ").alias("cleaned_text"),
+    )
+    touched = joined.filter(F.col("__starts").isNotNull()).select(
+        "__ids", "__toks", "__starts"
+    )
 
     def scrub_batches(batches):  # pragma: no cover - executed on workers
         import numpy as np
@@ -1284,16 +1330,20 @@ def scrub_shared_spans(
                 " ",
             ).to_pandas()
             yield pd.DataFrame({
-                "id": pdf["id"].to_numpy(),
+                "ids": pdf["__ids"],
                 "n_tokens": lens,
                 "n_removed": lens - kept_per_doc,
                 "cleaned_text": cleaned,
             })
 
-    return joined.mapInPandas(
+    scrubbed = touched.mapInPandas(
         scrub_batches,
-        schema="id long, n_tokens long, n_removed long, cleaned_text string",
+        schema="ids array<long>, n_tokens long, n_removed long,"
+        " cleaned_text string",
+    ).select(
+        F.explode("ids").alias("id"), "n_tokens", "n_removed", "cleaned_text"
     )
+    return register_caches(untouched.unionByName(scrubbed), groups)
 
 
 def dedup_corpus_best(

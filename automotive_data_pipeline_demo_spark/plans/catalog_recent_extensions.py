@@ -79,8 +79,19 @@ def q_s3_encrypted_inbox(spark: SparkSession, sf: str) -> DataFrame:
         mtime = 1_000_000_000 if gen == 1 else 1_100_000_000
         d = f"{root}/{table}"
         _os.makedirs(d, exist_ok=True)
+
+        # NULL-safe CSV fields: a NULL key/name/balance (NaN through the
+        # Arrow->pandas transfer) exports as an EMPTY field, which
+        # from_csv's permissive cast reads back as NULL — the row
+        # round-trips instead of crashing the export task (pre-r6 the
+        # driver path silently dropped NULL-key rows via a NaN%2 filter).
+        def _f(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return ""
+            return str(int(v)) if isinstance(v, float) else str(v)
+
         lines = ["c_custkey,c_name,c_acctbal,load_gen"] + [
-            f"{int(k)},{n},{float(a)!r},{gen}"
+            f"{_f(k)},{_f(n)},{'' if a is None or a != a else repr(float(a))},{gen}"
             for k, n, a in zip(pdf.c_custkey, pdf.c_name, pdf.c_acctbal)
         ]
         p = f"{d}/export_gen{gen}.csv.gpg"

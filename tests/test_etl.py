@@ -296,6 +296,32 @@ def test_encrypted_inbox_latest_selection_and_contract(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == ["k"]
 
 
+def test_encrypted_inbox_fixture_null_fields_roundtrip(spark, tmp_path):
+    """The distributed export writer is NULL-safe: a NULL key/name/balance
+    exports as an EMPTY CSV field and reads back as NULL through from_csv's
+    permissive cast — poison rows round-trip instead of crashing the
+    (table, gen) export task (r7 regression fix: int(NaN) raised)."""
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_s3_encrypted_inbox,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "alice", 10.5), (None, None, None), (2, "bob", None)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).write.parquet(f"{sf}/customer.parquet")
+
+    rows = {
+        (r["c_custkey"], r["c_name"], r["c_acctbal"], r["load_gen"])
+        for r in q_s3_encrypted_inbox(spark, sf).collect()
+    }
+    assert rows == {
+        (1, "alice", 10.5, 2),
+        (None, None, None, 2),
+        (2, "bob", None, 2),
+    }
+
+
 def test_read_lake_evolved_nulls_for_predrift_rows(spark, tmp_path):
     """Files written before a column existed surface NULL for it under the
     evolved read, and the plain reader still works on the base schema."""
