@@ -1465,6 +1465,8 @@ def line_dedup(
     text_col: str,
     delim: str = "\n",
     min_doc_freq: int = 2,
+    carry_cols: tuple[str, ...] = (),
+    hot_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level line dedup — the CCNet / RefinedWeb / Dolma
     boilerplate-removal stage: drop every line whose EXACT content appears
@@ -1499,6 +1501,20 @@ def line_dedup(
     If the boilerplate set ever outgrows broadcast (pathological corpora),
     the anti-join degrades gracefully to a shuffle join — still equi, no
     pair blow-up anywhere.
+
+    ``carry_cols`` ride through to the output unchanged (the doc-grain
+    attributes a pipeline stage needs downstream — lang, source, raw
+    text). They travel only on the scan-side projection that the rebuilt
+    frame joins back to, never through the exploded line stream, so
+    carrying them is free of per-line shuffle width.
+
+    ``hot_digests`` (single-column frame of md5 line digests) replaces
+    the self-computed document-frequency hot set — the streaming twin
+    passes the ACCUMULATED cross-batch index here
+    (streaming/dedup.py::streaming_line_dedup_ingest), so a micro-batch
+    is cleaned against the document frequency of the whole corpus so
+    far, not just its own rows. ``min_doc_freq`` is then already baked
+    into the digest set and ignored.
     """
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -1506,18 +1522,22 @@ def line_dedup(
         # NULL array whose size(-1) would leak negative line counts — the
         # same policy as tokenize()
         F.split(F.coalesce(F.col(text_col), F.lit("")), delim).alias("__lines"),
+        *[F.col(c) for c in carry_cols],
     )
     lines = base.select("id", F.posexplode("__lines").alias("pos", "line"))
-    hot = (
-        # empty lines are excluded BEFORE the frequency aggregate (see
-        # docstring): blank paragraph separators must never go hot
-        lines.filter(F.col("line") != "")
-        .select("id", F.md5("line").alias("__h"))
-        .groupBy("__h")
-        .agg(F.count_distinct("id").alias("__df"))
-        .filter(F.col("__df") >= min_doc_freq)
-        .select("__h")
-    )
+    if hot_digests is not None:
+        hot = hot_digests.select(F.col(hot_digests.columns[0]).alias("__h"))
+    else:
+        hot = (
+            # empty lines are excluded BEFORE the frequency aggregate (see
+            # docstring): blank paragraph separators must never go hot
+            lines.filter(F.col("line") != "")
+            .select("id", F.md5("line").alias("__h"))
+            .groupBy("__h")
+            .agg(F.count_distinct("id").alias("__df"))
+            .filter(F.col("__df") >= min_doc_freq)
+            .select("__h")
+        )
     kept = lines.withColumn("__h", F.md5("line")).join(
         F.broadcast(hot), "__h", "left_anti"
     )
@@ -1532,7 +1552,7 @@ def line_dedup(
         F.count(F.lit(1)).alias("__kept"),
     )
     return (
-        base.select("id", F.size("__lines").alias("__n"))
+        base.select("id", F.size("__lines").alias("__n"), *carry_cols)
         .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -1541,5 +1561,6 @@ def line_dedup(
             (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
             .cast("long")
             .alias("n_removed"),
+            *carry_cols,
         )
     )

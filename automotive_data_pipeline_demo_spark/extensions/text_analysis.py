@@ -945,6 +945,7 @@ def gopher_quality_rules(
     min_stop_hits: int = 2,
     max_bullet_frac: float = 0.9,
     max_ellipsis_frac: float = 0.3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher rule-based document quality gate (Rae et al. 2021,
     App. A1.1; reused by MassiveText / Dolma / RefinedWeb):
@@ -970,6 +971,11 @@ def gopher_quality_rules(
     inside the scan stage at I/O speed, which is exactly why the published
     pipelines run the rule gate FIRST and the expensive model/dedup stages
     on its survivors.
+
+    ``keep_cols`` pass through unchanged so a pipeline can apply the gate
+    as an in-line stage (id + flags + whatever the next stage needs)
+    without a doc-grain join back; they must not collide with the
+    emitted measure/flag names.
     """
     # NULL text measures like the empty document (n_words 0, every ratio
     # NULL, gate fails) instead of NULL-poisoning the fold — tokenize()'s
@@ -1020,6 +1026,7 @@ def gopher_quality_rules(
             F.regexp_count(text, F.lit("#"))
             + F.regexp_count(text, F.lit(r"\.\.\."))
         ).cast("long").alias("__symbols"),
+        *[F.col(c) for c in keep_cols],
     ).select(
         "id",
         F.col("__w.nw").alias("n_words"),
@@ -1030,6 +1037,7 @@ def gopher_quality_rules(
         F.col("__l.bullets").alias("__bullets"),
         F.col("__l.ellipses").alias("__ellipses"),
         "__symbols",
+        *keep_cols,
     )
 
     def r4(a: str, b: str) -> Column:
@@ -1046,6 +1054,7 @@ def gopher_quality_rules(
         "stop_hits",
         r4("__bullets", "__nl").alias("bullet_frac"),
         r4("__ellipses", "__nl").alias("ellipsis_frac"),
+        *keep_cols,
     )
     flags = scored.select(
         "*",

@@ -508,94 +508,6 @@ _register(QuerySpec(
 ))
 
 
-def q_a_cube(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE companion to a_rollup: all four grains of (returnflag,
-    linestatus) in one pass with GROUPING flags — the §2.4 multi-grain
-    family completed (ROLLUP = hierarchy, CUBE = full lattice). Same
-    partial+final aggregation shape as a plain GROUP BY; the lattice
-    expansion happens map-side in the Expand operator, so no extra
-    shuffle.
-    """
-    li = _t(spark, sf, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.count(F.lit(1)).alias("n_rows"),
-            _dec_sum("l_extendedprice", "sum_price"),
-        )
-        .select(
-            "l_returnflag", "l_linestatus",
-            "g_flag", "g_status", "n_rows", "sum_price",
-        )
-    )
-
-
-def q_a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Explicit GROUPING SETS — the third member of the multi-grain
-    family (ROLLUP = hierarchy, CUBE = lattice, GROUPING SETS = exactly
-    the grains you pay for): per-status and per-priority totals in one
-    pass WITHOUT the (status, priority) cross grain CUBE would also
-    compute. Same map-side Expand, one exchange; at 100 TB skipping the
-    fine-grained cross grain is most of the cube's output volume.
-    """
-    o = _t(spark, sf, "orders")
-    return (
-        o.groupingSets(
-            [["o_orderstatus"], ["o_orderpriority"]],
-            "o_orderstatus",
-            "o_orderpriority",
-        )
-        .agg(
-            F.grouping("o_orderstatus").cast("int").alias("g_status"),
-            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-            F.count(F.lit(1)).alias("n_orders"),
-            _dec_sum("o_totalprice", "sum_price"),
-        )
-        .select(
-            "o_orderstatus", "o_orderpriority",
-            "g_status", "g_priority", "n_orders", "sum_price",
-        )
-    )
-
-
-_register(QuerySpec(
-    name="a_grouping_sets",
-    survey="A9 (generalized): explicit GROUPING SETS (pay-per-grain)",
-    build=q_a_grouping_sets,
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS sum_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
-    tags=("agg", "grouping-sets"),
-))
-
-
-_register(QuerySpec(
-    name="a_cube",
-    survey="A9 (generalized): CUBE full-lattice multi-grain with GROUPING flags",
-    build=q_a_cube,
-    oracle="""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS sum_price
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    tags=("agg", "cube"),
-))
-
-
 def q_x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Containment (overlap-coefficient) near-dup scoring: intersection /
     min set size. Catches doc-inside-doc duplication — a page embedded in
@@ -921,34 +833,59 @@ _register(QuerySpec(
 ))
 
 
-def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+def _curation_e2e(
+    spark: SparkSession,
+    sf: str,
+    max_doc_freq: int | None,
+    max_bucket_size: int | None,
+) -> DataFrame:
     """The COMPLETE training-data curation DAG chained on one engine, one
-    entry — the ``x_curation_funnel`` pattern widened to the full flow:
+    entry — the published CCNet / Gopher / Dolma stage order end to end:
 
-      ingest -> NFC canonicalize -> quality gate -> near-dup dedup
-      (MinHash-LSH bands -> Jaccard verify -> connected components)
-      -> benchmark decontamination (8-gram) -> leakage-safe group split
-      -> fixed-budget sequence packing
+      ingest -> NFC canonicalize -> corpus line dedup (boilerplate
+      removal) -> Gopher rule gate -> LM-proxy quality gate -> near-dup
+      dedup (MinHash-LSH bands -> Jaccard verify -> connected
+      components) -> benchmark decontamination (8-gram) -> leakage-safe
+      group split -> fixed-budget sequence packing
 
     Emits one audit row per stage (stage_no, stage, n_rows) — the
     dataset-card trail a production curation run ships. Every stage is
     the engine's first-class operator applied to the PREVIOUS stage's
-    survivors: canonicalized text feeds the quality expressions, quality
-    survivors feed shingling, only near-dup winners are decontaminated,
-    only clean docs are split, and only the train split is packed.
+    survivors: the line-deduped text feeds the Gopher and quality
+    expressions, their survivors feed shingling, only near-dup winners
+    are decontaminated, only clean docs are split, and only the train
+    split is packed.
 
-    Scale shape: the corpus is scanned once into a persisted flag frame
-    (NFC + quality + split are scan-stage projections over it); dedup
-    adds the banded-candidate exchanges bounded exactly as
-    x_dedup_pipeline; decontamination broadcasts the fixed-size
-    benchmark gram set; the split is a zero-shuffle hash expression;
-    packing's single exchange feeds the (lang, shard)-bounded window.
-    Stage counts fold as conditional sums over one frame — never one
-    re-derived count() per stage (the 4-scan trap the funnel docstring
-    records). The distinct-hash stage and the distinct-sequence stage
-    run as SEPARATE one-row aggregates unioned in (mixing
-    COUNT(DISTINCT) into the plain-sum groupBy would Expand-duplicate
-    every input row).
+    Fixture framing for the line stage: the synthetic corpus carries no
+    newline structure and no real site chrome, so each doc frames into
+    8-word lines (the same deterministic reshaping x_text_line_dedup
+    uses, mirrored exactly by the oracle) prefixed by its source's
+    chrome line — whose document frequency is the source's whole doc
+    count, the navigation-chrome shape the published line stage strips —
+    while cohort-shared CONTENT lines (df 2-3) stay under the
+    ``min_doc_freq=4`` bar and survive to the DOC-level near-dup stage,
+    exactly the division of labor CCNet/Dolma describe.
+
+    ``max_doc_freq``/``max_bucket_size`` parameterize the dedup stage:
+    ``None``/``None`` is the oracle-parity mode (exact over all content,
+    via the collapsed-cohort route), the production caps are the 100 TB
+    posture (band buckets bounded, boilerplate shingle fan-out bounded).
+    Both modes are registered; the capped twin's oracle models the caps
+    declaratively (bucket-size filter on the band index, doc-frequency
+    filter on the verify universe) so it stays exact at any scale.
+
+    Scale shape: the corpus is scanned once; NFC + framing + the Gopher
+    gate + split are scan-stage projections; line dedup adds one
+    digest-grain exchange plus a broadcast anti-join; dedup adds the
+    banded-candidate exchanges bounded exactly as x_dedup_pipeline;
+    decontamination broadcasts the fixed-size benchmark gram set; the
+    split is a zero-shuffle hash expression; packing's single exchange
+    feeds the (lang, shard)-bounded window. Stage counts fold as
+    conditional sums over one persisted flag frame — never one
+    re-derived count() per stage. The distinct-hash stage and the
+    distinct-sequence stage run as SEPARATE one-row aggregates unioned
+    in (mixing COUNT(DISTINCT) into the plain-sum groupBy would
+    Expand-duplicate every input row).
     """
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") >= 100)
@@ -956,29 +893,87 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         nfc_normalize_text(F.col("text")).alias("text"),
     )
-    base = hash_split(
-        corpus.select(
-            F.col("doc_id").cast("long").alias("id"),
-            nfc_normalize_text(F.col("text")).alias("ntext"),
-            "lang",
-            "source",
-        ),
+    nfc = corpus.select(
+        F.col("doc_id").cast("long").alias("id"),
+        nfc_normalize_text(F.col("text")).alias("ntext"),
+        "lang",
         "source",
-        {"train": 0.8, "val": 0.1, "test": 0.1},
-    ).withColumn(
-        "q4", (quality_score(F.col("ntext")) * 4).cast("long")
-    ).persist()
+    )
+    words = F.split(F.col("ntext"), " ")
+    framed = bind_once(
+        words,
+        lambda w: F.concat(
+            F.lit("shared "),
+            F.col("source"),
+            F.lit(" banner line\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size(w) / F.lit(8)).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
+                ),
+                "\n",
+            ),
+        ),
+    )
+    ld = line_dedup(
+        nfc.select("id", framed.alias("ftext"), "ntext", "lang", "source"),
+        "id",
+        "ftext",
+        delim="\n",
+        min_doc_freq=4,
+        carry_cols=("ntext", "lang", "source"),
+    ).select(
+        "id",
+        F.col("cleaned_text").alias("ldtext"),
+        (F.col("cleaned_text") != "").alias("__ld"),
+        "ntext",
+        "lang",
+        "source",
+    )
+    # the Gopher gate as an in-line stage (keep_cols passthrough, no
+    # doc-grain join back); thresholds tuned to the synthetic corpus —
+    # its stopword variety is low (zero docs reach the published
+    # min_stop_hits=2) and its docs run 10-100 words
+    gated = gopher_quality_rules(
+        ld,
+        "id",
+        "ldtext",
+        min_words=20,
+        min_stop_hits=1,
+        keep_cols=("ldtext", "__ld", "ntext", "lang", "source"),
+    ).select(
+        "id",
+        "ldtext",
+        "ntext",
+        "lang",
+        "source",
+        "__ld",
+        (F.col("__ld") & F.col("gopher_pass")).alias("__gok"),
+    )
+    base = (
+        hash_split(gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .withColumn("q4", (quality_score(F.col("ldtext")) * 4).cast("long"))
+        .persist()
+    )
 
-    qdocs = base.filter(F.col("q4") >= 3).select("id", "ntext")
+    qdocs = base.filter(F.col("__gok") & (F.col("q4") >= 3)).select(
+        "id", "ldtext"
+    )
     ndd = near_dup_dedup(
-        qdocs, "id", "ntext", threshold=0.8,
-        max_doc_freq=None, max_bucket_size=None,
+        qdocs,
+        "id",
+        "ldtext",
+        threshold=0.8,
+        max_doc_freq=max_doc_freq,
+        max_bucket_size=max_bucket_size,
     )
     kept = ndd.select("id").withColumn("__s", F.lit(1)).persist()
     hits = (
         ngram_contamination(
             qdocs.join(kept.select("id"), "id", "semi").select(
-                F.col("id").alias("doc_id"), F.col("ntext").alias("text")
+                F.col("id").alias("doc_id"), F.col("ldtext").alias("text")
             ),
             bench,
             "doc_id",
@@ -996,7 +991,10 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
             "id",
             "lang",
             "ntext",
-            (F.col("q4") >= 3).alias("__q"),
+            "ldtext",
+            F.col("__ld").alias("__l"),
+            F.col("__gok").alias("__g"),
+            (F.col("__gok") & (F.col("q4") >= 3)).alias("__q"),
             F.col("__s").isNotNull().alias("__k"),
             (F.col("__s").isNotNull() & F.col("__c").isNull()).alias("__cl"),
             (
@@ -1009,10 +1007,12 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
     counts = flags.agg(
         F.count(F.lit(1)).alias("n1"),
-        F.sum(F.col("__q").cast("long")).alias("n3"),
-        F.sum(F.col("__k").cast("long")).alias("n4"),
-        F.sum(F.col("__cl").cast("long")).alias("n5"),
-        F.sum(F.col("__tr").cast("long")).alias("n6"),
+        F.sum(F.col("__l").cast("long")).alias("n3"),
+        F.sum(F.col("__g").cast("long")).alias("n4"),
+        F.sum(F.col("__q").cast("long")).alias("n5"),
+        F.sum(F.col("__k").cast("long")).alias("n6"),
+        F.sum(F.col("__cl").cast("long")).alias("n7"),
+        F.sum(F.col("__tr").cast("long")).alias("n8"),
     ).select(
         F.explode(
             F.array(
@@ -1024,10 +1024,12 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
                     )
                     for i, label in [
                         (1, "ingested"),
-                        (3, "quality_ok"),
-                        (4, "near_deduped"),
-                        (5, "decontaminated"),
-                        (6, "train_split"),
+                        (3, "line_deduped"),
+                        (4, "gopher_ok"),
+                        (5, "quality_ok"),
+                        (6, "near_deduped"),
+                        (7, "decontaminated"),
+                        (8, "train_split"),
                     ]
                 ]
             )
@@ -1041,54 +1043,175 @@ def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
         "n_rows",
     )
     packed = pack_sequences(
-        flags.filter("__tr").select("id", "lang", "ntext"),
+        flags.filter("__tr").select("id", "lang", "ldtext"),
         "id",
         "lang",
-        token_count_ws(F.col("ntext")),
+        token_count_ws(F.col("ldtext")),
         budget=256,
         n_shards=4,
     )
     n_seq = packed.agg(
         F.count_distinct(F.struct("lang", "shard", "seq_bin")).alias("n_rows")
     ).select(
-        F.lit(7).cast("int").alias("stage_no"),
+        F.lit(9).cast("int").alias("stage_no"),
         F.lit("packed_sequences").alias("stage"),
         "n_rows",
     )
     # the persisted stage frames must outlive the caller's action (each
     # feeds 2+ branches of the returned union); tag them — plus the dedup
-    # stage's internal shingle-table holdings, adopted from ndd — so a
-    # long-lived session can release_caches() after collecting the audit
+    # stage's internal holdings, adopted from ndd — so a long-lived
+    # session can release_caches() after collecting the audit
     return register_caches(
         counts.unionByName(canon).unionByName(n_seq), base, kept, flags, ndd
     )
 
 
-# the quality-gate SQL applied to the NFC-normalized column: the snippet
-# references the raw column only as the bare word `text`, so a word-boundary
-# substitution is exact (plain .replace would also corrupt `ntext)` matches)
-_Q4_NTEXT_SQL = __import__("re").sub(r"\btext\b", "ntext", _Q4_SQL)
+def q_x_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-parity mode of the curation DAG: the dedup stage runs
+    uncapped (exact over all content, collapsed-cohort route). See
+    :func:`_curation_e2e`."""
+    return _curation_e2e(spark, sf, max_doc_freq=None, max_bucket_size=None)
 
 
-_register(QuerySpec(
-    name="x_curation_e2e",
-    survey="north-star: full curation DAG (ingest->NFC->quality->dedup->decontaminate->split->pack)",
-    build=q_x_curation_e2e,
-    oracle=f"""
+def q_x_curation_e2e_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Production mode of the curation DAG: the dedup stage runs with the
+    100 TB caps (band buckets bounded at 5000 docs, boilerplate shingle
+    fan-out bounded at document frequency 1000 — ``near_dup_dedup``'s
+    defaults). The caps only bind on pathological cohorts, so at
+    correctness scale the audit equals the parity mode's — which is
+    exactly what the capped oracle (bucket-size filter on the band
+    index, doc-frequency filter on the verify universe) asserts. See
+    :func:`_curation_e2e`."""
+    return _curation_e2e(
+        spark, sf,
+        max_doc_freq=DEFAULT_MAX_DOC_FREQ,
+        max_bucket_size=5000,
+    )
+
+
+# the quality-gate SQL applied to the line-deduped column: the snippet
+# references the raw column only as the bare word `text`, so a
+# word-boundary substitution is exact (plain .replace would also corrupt
+# `ldtext)` matches)
+_Q4_LDTEXT_SQL = __import__("re").sub(r"\btext\b", "ldtext", _Q4_SQL)
+
+_CURATION_UNCAPPED_CAND = """cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        ), vsh AS (
+          SELECT id, sh FROM shingles
+        )"""
+
+_CURATION_CAPPED_CAND = """bsz AS (
+          SELECT band, band_key, COUNT(*) AS nb FROM bands GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a
+          JOIN bsz z ON z.band = a.band AND z.band_key = a.band_key
+                    AND z.nb <= 5000
+          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.id < b.id
+        ), vsh AS (
+          SELECT id, sh FROM (
+            SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfreq
+            FROM shingles
+          ) WHERE dfreq <= 1000
+        )"""
+
+
+def _curation_oracle(cand_cte: str) -> str:
+    """The full-chain DuckDB replay of :func:`_curation_e2e`;
+    ``cand_cte`` picks the parity or the capped candidate/verify
+    universe."""
+    return f"""
         WITH RECURSIVE raw AS (
           SELECT CAST(doc_id AS BIGINT) AS id,
                  nfc_normalize(text) AS ntext, lang, source
           FROM documents WHERE doc_id >= 100
-        ), base AS (
-          SELECT id, ntext, lang, source,
-                 {_Q4_NTEXT_SQL} AS q4,
-                 CAST('0x' || substr(md5('split|' || source), 1, 8)
-                      AS BIGINT) % 10000 AS b
+        ), fr AS (
+          SELECT id, ntext, lang, source, string_split(ntext, ' ') AS w
           FROM raw
+        ), framed AS (
+          SELECT id, ntext, lang, source,
+                 list_prepend('shared ' || source || ' banner line',
+                   list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)),
+                      i -> array_to_string(
+                             list_slice(w, CAST(i*8+1 AS BIGINT),
+                                        CAST(i*8+8 AS BIGINT)), ' ')))
+                   AS lines
+          FROM fr
+        ), lx AS (
+          SELECT id, unnest(lines) AS line FROM framed
+        ), hotlines AS (
+          SELECT line FROM lx WHERE line <> ''
+          GROUP BY line HAVING COUNT(DISTINCT id) >= 4
+        ), hotl AS (
+          SELECT COALESCE(list(line), []) AS hl FROM hotlines
+        ), ld AS (
+          SELECT f.id, f.ntext, f.lang, f.source,
+                 COALESCE(array_to_string(
+                    list_filter(f.lines, x -> NOT list_contains(h.hl, x)),
+                    chr(10)), '') AS ldtext
+          FROM framed f CROSS JOIN hotl h
+        ), gw AS (
+          SELECT id, ldtext,
+                 list_filter(string_split_regex(ldtext, '\\s+'),
+                             x -> x <> '') AS words,
+                 string_split(ldtext, chr(10)) AS glines
+          FROM ld
+        ), gm AS (
+          SELECT id,
+                 CAST(len(words) AS BIGINT) AS nw,
+                 CAST(COALESCE(list_aggregate(
+                        list_transform(words, x -> length(x)), 'sum'), 0)
+                      AS BIGINT) AS chars,
+                 CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS alpha,
+                 CAST(len(list_intersect(
+                        list_distinct(list_transform(words, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                      AS BIGINT) AS stop_hits,
+                 CAST(len(glines) AS BIGINT) AS nl,
+                 CAST(len(list_filter(glines,
+                        x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                             OR starts_with(x, '•'))) AS BIGINT) AS bullets,
+                 CAST(len(list_filter(glines, x -> ends_with(x, '...')))
+                      AS BIGINT) AS ellipses,
+                 CAST(len(regexp_extract_all(ldtext, '#'))
+                      + len(regexp_extract_all(ldtext, '\\.\\.\\.'))
+                      AS BIGINT) AS symbols
+          FROM gw
+        ), gf AS (
+          SELECT id,
+                 (nw BETWEEN 20 AND 100000)
+                 AND COALESCE(CASE WHEN nw > 0 THEN
+                       ((chars*20000 + nw) // (nw*2)) / 10000.0
+                         BETWEEN 3.0 AND 10.0 END, FALSE)
+                 AND COALESCE(CASE WHEN nw > 0 THEN
+                       ((symbols*20000 + nw) // (nw*2)) / 10000.0 <= 0.1
+                     END, FALSE)
+                 AND COALESCE(CASE WHEN nw > 0 THEN
+                       ((alpha*20000 + nw) // (nw*2)) / 10000.0 >= 0.8
+                     END, FALSE)
+                 AND (stop_hits >= 1)
+                 AND (((bullets*20000 + nl) // (nl*2)) / 10000.0 <= 0.9)
+                 AND (((ellipses*20000 + nl) // (nl*2)) / 10000.0 <= 0.3)
+                   AS gpass
+          FROM gm
+        ), base AS (
+          SELECT d.id, d.ntext, d.ldtext, d.lang, d.source,
+                 (d.ldtext <> '') AS ld_ok,
+                 ((d.ldtext <> '') AND g.gpass) AS gok,
+                 {{q4}} AS q4,
+                 CAST('0x' || substr(md5('split|' || d.source), 1, 8)
+                      AS BIGINT) % 10000 AS b
+          FROM ld d JOIN gf g USING (id)
         ), qd AS (
-          SELECT id, ntext FROM base WHERE q4 >= 3
+          SELECT id, ldtext FROM base WHERE gok AND q4 >= 3
         ), tk AS (
-          SELECT id, list_filter(string_split_regex(lower(ntext),
+          SELECT id, list_filter(string_split_regex(lower(ldtext),
                                  '[^a-z0-9]+'), t -> t <> '') AS toks
           FROM qd
         ), shingles AS (
@@ -1106,17 +1229,13 @@ _register(QuerySpec(
                  string_agg(CAST(hash_idx AS VARCHAR) || ':' || min_hash, '_'
                             ORDER BY hash_idx) AS band_key
           FROM sigs GROUP BY 1, 2
-        ), cand AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
-        ), sizes AS (
-          SELECT id, COUNT(*) AS n FROM shingles GROUP BY 1
+        ), {cand_cte}, sizes AS (
+          SELECT id, COUNT(*) AS n FROM vsh GROUP BY 1
         ), inter AS (
           SELECT c.id_a, c.id_b, COUNT(*) AS n_common
           FROM cand c
-          JOIN shingles sa ON sa.id = c.id_a
-          JOIN shingles sb ON sb.id = c.id_b AND sb.sh = sa.sh
+          JOIN vsh sa ON sa.id = c.id_a
+          JOIN vsh sb ON sb.id = c.id_b AND sb.sh = sa.sh
           GROUP BY 1, 2
         ), verified AS (
           SELECT i.id_a, i.id_b
@@ -1137,7 +1256,7 @@ _register(QuerySpec(
                           GROUP BY id)
           WHERE id <> component
         ), kept AS (
-          SELECT qd.id, qd.ntext FROM qd
+          SELECT qd.id, qd.ldtext FROM qd
           LEFT JOIN losers l ON qd.id = l.id WHERE l.id IS NULL
         ), btk AS (
           SELECT CAST(doc_id AS BIGINT) AS id,
@@ -1148,7 +1267,7 @@ _register(QuerySpec(
           SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
           FROM btk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
         ), ktk AS (
-          SELECT id, list_filter(string_split_regex(lower(ntext),
+          SELECT id, list_filter(string_split_regex(lower(ldtext),
                                  '[^a-z0-9]+'), t -> t <> '') AS toks
           FROM kept
         ), kgrams AS (
@@ -1160,11 +1279,11 @@ _register(QuerySpec(
           SELECT k.id FROM kept k
           LEFT JOIN contaminated c ON k.id = c.id WHERE c.id IS NULL
         ), train AS (
-          SELECT b.id, b.lang, b.ntext FROM base b
+          SELECT b.id, b.lang, b.ldtext FROM base b
           JOIN clean USING (id) WHERE b.b < 8000
         ), ptk AS (
           SELECT id, lang, CAST(id % 4 AS INT) AS shard,
-                 CAST(len(list_filter(string_split_regex(ntext, '\\s+'),
+                 CAST(len(list_filter(string_split_regex(ldtext, '\\s+'),
                                       x -> x <> '')) AS BIGINT) AS n_tokens
           FROM train
         ), packed AS (
@@ -1179,17 +1298,29 @@ _register(QuerySpec(
         UNION ALL
         SELECT 2, 'canonical_distinct', COUNT(DISTINCT md5(ntext)) FROM base
         UNION ALL
-        SELECT 3, 'quality_ok', COUNT(*) FROM qd
+        SELECT 3, 'line_deduped', COUNT(*) FROM base WHERE ld_ok
         UNION ALL
-        SELECT 4, 'near_deduped', COUNT(*) FROM kept
+        SELECT 4, 'gopher_ok', COUNT(*) FROM base WHERE gok
         UNION ALL
-        SELECT 5, 'decontaminated', COUNT(*) FROM clean
+        SELECT 5, 'quality_ok', COUNT(*) FROM qd
         UNION ALL
-        SELECT 6, 'train_split', COUNT(*) FROM train
+        SELECT 6, 'near_deduped', COUNT(*) FROM kept
         UNION ALL
-        SELECT 7, 'packed_sequences',
+        SELECT 7, 'decontaminated', COUNT(*) FROM clean
+        UNION ALL
+        SELECT 8, 'train_split', COUNT(*) FROM train
+        UNION ALL
+        SELECT 9, 'packed_sequences',
                COUNT(DISTINCT (lang, shard, seq_bin)) FROM packed
-    """,
+    """.replace("{q4}", _Q4_LDTEXT_SQL)
+
+
+_register(QuerySpec(
+    name="x_curation_e2e",
+    survey="north-star: full curation DAG (ingest->NFC->line dedup->Gopher->quality->dedup->decontaminate->split->pack)",
+    build=q_x_curation_e2e,
+    oracle=_curation_oracle(_CURATION_UNCAPPED_CAND),
+    bench=True,
     tags=("text", "pipeline", "curation", "e2e"),
 ))
 
@@ -1202,6 +1333,7 @@ _register(QuerySpec(
 # --------------------------------------------------------------------------
 
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (  # noqa: E402
+    DEFAULT_MAX_DOC_FREQ,
     line_dedup,
 )
 from automotive_data_pipeline_demo_spark.extensions.text_analysis import (  # noqa: E402
@@ -1362,4 +1494,107 @@ _register(QuerySpec(
         FROM f
     """,
     tags=("text", "quality", "gopher"),
+))
+
+
+# r7: production-caps twin of the curation DAG (VERDICT r6 item 2) — the
+# benched pipeline number must reflect the 100 TB dedup path, not only the
+# oracle-parity mode
+_register(QuerySpec(
+    name="x_curation_e2e_capped",
+    survey="north-star: full curation DAG, production-capped dedup stage (100 TB posture)",
+    build=q_x_curation_e2e_capped,
+    oracle=_curation_oracle(_CURATION_CAPPED_CAND),
+    bench=True,
+    tags=("text", "pipeline", "curation", "e2e", "scale"),
+))
+
+
+def q_a_multi_grain(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete multi-grain aggregate family in one entry — ROLLUP
+    (hierarchy: per (status, priority), per status, grand total), CUBE
+    (the full four-grain lattice over lineitem's (returnflag,
+    linestatus)), and explicit GROUPING SETS (exactly the per-status and
+    per-priority grains, WITHOUT the cross grain CUBE would also pay
+    for) — each with GROUPING() flags distinguishing the grains, unioned
+    under a family label. Generalizes the reference's match_analytics
+    dual daily/hourly grain (database-schema.sql:196-229).
+
+    Scale shape: each family is a single partial+final aggregation; the
+    grain expansion happens map-side in the Expand operator, so each
+    input row is duplicated per grain BEFORE the one exchange and the
+    map-side combine still collapses to group grain — no extra shuffle
+    over a plain GROUP BY, and at 100 TB GROUPING SETS' skipped cross
+    grain is most of the cube's output volume. (Merged r7 from the
+    formerly separate a_rollup / a_cube / a_grouping_sets entries —
+    same three physical plans, one catalog slot.)
+    """
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def shape(grouped, k1, k2, family):
+        return grouped.agg(
+            F.grouping(k1).cast("int").alias("g1"),
+            F.grouping(k2).cast("int").alias("g2"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("o_totalprice" if family != "cube" else "l_extendedprice",
+                     "sum_price"),
+        ).select(
+            F.lit(family).alias("family"),
+            F.col(k1).alias("key1"),
+            F.col(k2).alias("key2"),
+            "g1", "g2", "n_rows", "sum_price",
+        )
+
+    rollup = shape(
+        o.rollup("o_orderstatus", "o_orderpriority"),
+        "o_orderstatus", "o_orderpriority", "rollup",
+    )
+    gsets = shape(
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        ),
+        "o_orderstatus", "o_orderpriority", "grouping_sets",
+    )
+    cube = shape(
+        li.cube("l_returnflag", "l_linestatus"),
+        "l_returnflag", "l_linestatus", "cube",
+    )
+    return rollup.unionByName(gsets).unionByName(cube)
+
+
+_register(QuerySpec(
+    name="a_multi_grain",
+    survey="A9 (generalized): multi-grain family — ROLLUP + CUBE + GROUPING SETS with GROUPING flags",
+    build=q_a_multi_grain,
+    oracle="""
+        SELECT 'rollup' AS family, o_orderstatus AS key1,
+               o_orderpriority AS key2,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'grouping_sets', o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT),
+               CAST(GROUPING(o_orderpriority) AS INT),
+               COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        UNION ALL
+        SELECT 'cube', l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT),
+               CAST(GROUPING(l_linestatus) AS INT),
+               COUNT(*),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup", "cube", "grouping-sets"),
 ))

@@ -463,45 +463,6 @@ _register(QuerySpec(
 ))
 
 
-def q_a_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-grain aggregate as a real ROLLUP (the reference's
-    match_analytics dual daily/hourly grain, database-schema.sql:196-229,
-    generalized): per (status, priority), per status, and grand total in one
-    pass, with GROUPING() flags distinguishing the grains.
-    """
-    o = _t(spark, sf, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping("o_orderstatus").cast("int").alias("g_status"),
-            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-            F.count(F.lit(1)).alias("n_orders"),
-            _dec_sum("o_totalprice", "sum_price"),
-        )
-        .select(
-            "o_orderstatus", "o_orderpriority",
-            "g_status", "g_priority", "n_orders", "sum_price",
-        )
-    )
-
-
-_register(QuerySpec(
-    name="a_rollup",
-    survey="A9 (generalized): ROLLUP multi-grain with GROUPING flags",
-    build=q_a_rollup,
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    tags=("agg", "rollup"),
-))
-
-
 def q_a_approx(spark: SparkSession, sf: str) -> DataFrame:
     """A6 at 100 TB: sketch-based aggregates. Exact COUNT(DISTINCT) is the
     oracle-checked default (j6_a8_attribution); at scale the HLL/quantile

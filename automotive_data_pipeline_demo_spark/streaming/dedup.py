@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
+    line_dedup,
     near_dup_against_index,
 )
 
@@ -106,6 +107,100 @@ def streaming_dedup_ingest(
         build_band_index(
             keep, id_col, text_col, num_hashes, band_size, shingle_n
         ).write.mode("append").parquet(index_path)
+
+    writer = (
+        docs_stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def streaming_line_dedup_ingest(
+    docs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_doc_freq: int = 2,
+    checkpoint: str | None = None,
+    query_name: str = "streaming_line_dedup_ingest",
+):
+    """Streaming twin of :func:`...extensions.dedup_text.line_dedup` —
+    corpus-level boilerplate-line removal in the daily-ingest posture.
+
+    A stored line-digest document-frequency index accumulates per
+    micro-batch (exactly the stored-band-index pattern of
+    :func:`streaming_dedup_ingest`): each batch appends its per-digest
+    DISTINCT-doc counts (one row per (digest, epoch) — the shuffle
+    carries a 32-char md5 + a count, never line text), then the batch's
+    docs are cleaned via ``line_dedup(..., hot_digests=...)`` against the
+    document frequency of the WHOLE corpus so far — a line that went
+    boilerplate in batch 1 is stripped from every later batch's docs.
+
+    Semantics are prefix-exact: a doc processed in batch k is cleaned
+    against the df accumulated over batches 1..k (including k's own
+    contribution), which equals the batch operator's hot set over the
+    union of those batches. Docs already emitted cannot be retro-stripped
+    when a line goes hot later — the documented streaming deviation; the
+    final batch sees the full-corpus hot set.
+
+    Exactly-once: re-delivered ids are dropped against ``out_path``
+    before any write, and the index append is keyed by epoch — the df
+    aggregate takes ``max(n_docs)`` per (digest, epoch) before summing,
+    so a batch retried after its index append but before its corpus
+    append cannot double-count (Structured Streaming replays the same
+    rows under one epoch id).
+
+    Empty lines follow the batch operator's policy: never indexed, never
+    hot, pass through unchanged.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        if os.path.exists(out_path):
+            batch_df = batch_df.join(
+                spark.read.parquet(out_path).select(F.col(id_col)),
+                on=id_col,
+                how="left_anti",
+            )
+        # pin the survivor set: the appends below change what out_path /
+        # index_path reads would return on lazy recompute
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        counts = (
+            batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.explode(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), delim)
+                ).alias("line"),
+            )
+            .filter(F.col("line") != "")
+            .select("id", F.md5("line").alias("line_h"))
+            .distinct()
+            .groupBy("line_h")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        counts.write.mode("append").parquet(index_path)
+        hot = (
+            spark.read.parquet(index_path)
+            .groupBy("line_h", "epoch")
+            .agg(F.max("n_docs").alias("n_docs"))
+            .groupBy("line_h")
+            .agg(F.sum("n_docs").alias("df"))
+            .filter(F.col("df") >= min_doc_freq)
+            .select("line_h")
+        )
+        line_dedup(
+            batch_df, id_col, text_col, delim=delim, hot_digests=hot
+        ).write.mode("append").parquet(out_path)
 
     writer = (
         docs_stream.writeStream.outputMode("append")

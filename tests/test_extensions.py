@@ -1888,26 +1888,53 @@ def test_bm25_release_caches_frees_counter_frame(spark):
 
 
 def test_curation_e2e_release_caches(spark):
-    """The curation DAG entry tags its three persisted stage frames on the
-    returned audit frame."""
+    """Both curation DAG modes tag their persisted stage frames on the
+    returned audit frame (3 stage frames + the dedup stage's internal
+    holdings, adopted — 1 collapsed set-group table uncapped, 2 in the
+    capped path: shared shingle table + verified pairs)."""
     from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
         q_x_curation_e2e,
+        q_x_curation_e2e_capped,
     )
     from automotive_data_pipeline_demo_spark.functions.caching import (
         release_caches,
     )
 
+    for build, n_held in ((q_x_curation_e2e, 4), (q_x_curation_e2e_capped, 5)):
+        spark.catalog.clearCache()
+        out = build(spark, "/root/testdata/sf0.001")
+        assert out.count() == 9
+        # Checked via the tag, not getPersistentRDDs().size() == 0:
+        # earlier tests' lazy localCheckpoint RDDs are GC-collected, so
+        # the global count is order/GC-racy.
+        held = list(getattr(out, "_graft_persisted"))
+        assert len(held) == n_held and all(f.is_cached for f in held)
+        assert release_caches(out, blocking=True) == n_held
+        assert all(not f.is_cached for f in held)
+
+
+def test_curation_e2e_capped_stage_parity(spark):
+    """At test scale the production caps (bucket <= 5000, shingle df <=
+    1000) never bind, so the capped DAG's audit rows must equal the
+    parity mode's — pinning that the capped code path (banded candidates
+    without cohort collapse, capped verify universe) computes the same
+    stages."""
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_x_curation_e2e,
+        q_x_curation_e2e_capped,
+    )
+
     spark.catalog.clearCache()
-    out = q_x_curation_e2e(spark, "/root/testdata/sf0.001")
-    assert out.count() == 7
-    # 3 stage frames + the dedup stage's collapsed set-group table
-    # (adopted). Checked via the tag, not getPersistentRDDs().size() == 0:
-    # earlier tests' lazy localCheckpoint RDDs are GC-collected, so the
-    # global count is order/GC-racy.
-    held = list(getattr(out, "_graft_persisted"))
-    assert len(held) == 4 and all(f.is_cached for f in held)
-    assert release_caches(out, blocking=True) == 4
-    assert all(not f.is_cached for f in held)
+    sf = "/root/testdata/sf0.001"
+    uncapped = {(r.stage_no, r.stage): r.n_rows
+                for r in q_x_curation_e2e(spark, sf).collect()}
+    capped = {(r.stage_no, r.stage): r.n_rows
+              for r in q_x_curation_e2e_capped(spark, sf).collect()}
+    assert uncapped == capped
+    # every stage is non-trivial: monotone non-increasing doc counts and
+    # a real drop somewhere before packing
+    by_no = [uncapped[k] for k in sorted(uncapped)]
+    assert by_no[0] > 0 and by_no[5] < by_no[4] <= by_no[0]
 
 
 def test_embedding_dim_stats_exact_on_known_vectors(spark):

@@ -876,3 +876,79 @@ def test_streaming_dq_gate_per_batch(spark, tmp_path):
     assert bad_pks == [3]
     assert "unique:pk" in bad_checks and "range:amt_nonneg" in bad_checks
     assert "fk:cust" in bad_checks  # pk 3 -> cust 99 has no dimension row
+
+
+def test_streaming_line_dedup_accumulates_df_across_batches(spark, tmp_path):
+    """Cross-batch line-df accumulation matches the batch operator on the
+    unioned corpus: a line seen once in batch 1 is not yet boilerplate
+    (batch-1 docs keep it), but its accumulated df reaches the threshold
+    in batch 2 so batch-2 docs are stripped. Re-delivered ids are dropped
+    (no double count, no duplicate output), and empty lines pass through
+    per the batch operator's policy."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_line_dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "incoming"
+    out = str(tmp_path / "cleaned")
+    idx = str(tmp_path / "line_index")
+
+    b1 = [(1, "boiler\nalpha one"), (2, "unique two\n\nafter blank")]
+    b2 = [
+        (3, "boiler\nbeta three"),   # boiler df hits 2 -> stripped here
+        (1, "boiler\nalpha one"),    # re-delivered id -> dropped entirely
+        (4, "gamma\n\ndelta"),       # blank separator must survive
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = streaming_line_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out, idx,
+        min_doc_freq=2,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # batch-1 doc: boiler had df=1 at its batch -> kept (the documented
+    # prefix semantics: no retro-strip of already-emitted docs)
+    assert rows[1]["cleaned_text"] == "boiler\nalpha one"
+    assert rows[1]["n_removed"] == 0
+    # batch-2 doc: accumulated df=2 -> stripped
+    assert rows[3]["cleaned_text"] == "beta three"
+    assert rows[3]["n_removed"] == 1
+    # empty line survives corpus-wide dedup
+    assert rows[4]["cleaned_text"] == "gamma\n\ndelta"
+
+    # the stored index's accumulated df equals the batch operator's
+    # document-frequency aggregate over the UNIONED corpus
+    from pyspark.sql import functions as SF
+
+    union = spark.createDataFrame(b1 + b2[:1] + b2[2:], schema)
+    want = {
+        r["h"]: r["df"]
+        for r in union.select(
+            "doc_id", SF.explode(SF.split("text", "\n")).alias("line")
+        )
+        .filter(SF.col("line") != "")
+        .select("doc_id", SF.md5("line").alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(SF.count(SF.lit(1)).alias("df"))
+        .collect()
+    }
+    got = {
+        r["line_h"]: r["df"]
+        for r in spark.read.parquet(idx)
+        .groupBy("line_h", "epoch")
+        .agg(SF.max("n_docs").alias("n"))
+        .groupBy("line_h")
+        .agg(SF.sum("n").alias("df"))
+        .collect()
+    }
+    assert got == want
