@@ -1396,7 +1396,12 @@ _register(QuerySpec(
         ), lx AS (
           SELECT doc_id, unnest(lines) AS line FROM framed
         ), hot AS (
-          SELECT line FROM lx GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+          -- empty lines never go hot (engine policy since r6: blank
+          -- paragraph separators survive corpus-wide dedup); inert on
+          -- this fixture (framing yields no empty lines) but keeps the
+          -- replay semantically exact
+          SELECT line FROM lx WHERE line <> ''
+          GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
         ), hotl AS (
           SELECT COALESCE(list(line), []) AS hl FROM hot
         )

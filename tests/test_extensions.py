@@ -2177,3 +2177,48 @@ def test_ngram_jaccard_pairs_tags_all_persisted_frames(spark):
     held = list(getattr(out, "_graft_persisted"))
     assert len(held) == 1 and all(f.is_cached for f in held)
     assert release_caches(out, blocking=True) == 1
+
+
+def test_curation_e2e_planted_stage_semantics(spark, tmp_path):
+    """Planted micro-corpus pins each new DAG stage's semantics: the
+    per-source chrome line is stripped by the line stage (df = source doc
+    count >= 4) while cohort-shared content survives to the doc-level
+    near-dup stage; the Gopher gate (min_words=20, min_stop_hits=1) drops
+    the short/stopword-free doc; near-dup keeps the min id per cohort."""
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_x_curation_e2e,
+    )
+
+    sf = str(tmp_path / "sf")
+    filler = ("the quick brown fox jumps over that lazy dog and then "
+              "some more plain words follow here to pass the gate ")
+    # 2-doc near-dup cohort (>= 0.8 jaccard), one distinct doc, one
+    # too-short doc (fails min_words=20); all same source so the chrome
+    # line's df = 4 >= min_doc_freq
+    rows = [
+        (100, filler + "alpha beta gamma delta", "en", "s0"),
+        (101, filler + "alpha beta gamma epsilon", "en", "s0"),
+        (102, filler + ("unrelated content entirely different words "
+                        "about physical plans and exchanges galore ok"),
+         "en", "s0"),
+        (103, "tiny", "en", "s0"),
+        # bench slice (doc_id < 100): must not contaminate (no shared
+        # 8-gram with the corpus survivors)
+        (1, "benchmark eval question about nothing shared at all", "en",
+         "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    stages = {r["stage"]: r["n_rows"]
+              for r in q_x_curation_e2e(spark, sf).collect()}
+    assert stages["ingested"] == 4
+    # every doc keeps its content lines (chrome stripped, none emptied)
+    assert stages["line_deduped"] == 4
+    # doc 103 fails the word-count rule
+    assert stages["gopher_ok"] == 3
+    assert stages["quality_ok"] == 3
+    # cohort {100, 101} collapses to min id 100
+    assert stages["near_deduped"] == 2
+    assert stages["decontaminated"] == 2
