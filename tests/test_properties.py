@@ -490,6 +490,36 @@ def test_line_dedup_matches_python_reference(spark, doc_lines, k):
     }
     assert got == want
 
+    # hot_digests path (the streaming twin's entry point): feeding the
+    # reference hot set as external md5 digests must reproduce the
+    # self-computed result exactly; carry_cols ride through unchanged
+    import hashlib
+
+    from pyspark.sql import functions as SF
+
+    hot_df = spark.createDataFrame(
+        [(hashlib.md5(line.encode()).hexdigest(),) for line in hot]
+        or [("00000000000000000000000000000000",)],
+        "line_h string",
+    )
+    with_attr = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in docs],
+        "doc_id long, text string, source string",
+    )
+    got2 = {
+        r["doc_id"]: (
+            r["cleaned_text"], r["n_lines"], r["n_removed"], r["source"]
+        )
+        for r in line_dedup(
+            with_attr, "doc_id", "text",
+            hot_digests=hot_df.select(SF.col("line_h")),
+            carry_cols=("source",),
+        ).collect()
+    }
+    assert got2 == {
+        i: (*want[i], f"src{i % 2}") for i, _ in docs
+    }
+
 
 @given(
     st.lists(
