@@ -1095,24 +1095,24 @@ def q_x_curation_e2e_capped(spark: SparkSession, sf: str) -> DataFrame:
 # `ldtext)` matches)
 _Q4_LDTEXT_SQL = __import__("re").sub(r"\btext\b", "ldtext", _Q4_SQL)
 
-_CURATION_UNCAPPED_CAND = """cand AS (
+_CURATION_UNCAPPED_CAND = """cand AS MATERIALIZED (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
-        ), vsh AS (
+        ), vsh AS MATERIALIZED (
           SELECT id, sh FROM shingles
         )"""
 
-_CURATION_CAPPED_CAND = """bsz AS (
+_CURATION_CAPPED_CAND = """bsz AS MATERIALIZED (
           SELECT band, band_key, COUNT(*) AS nb FROM bands GROUP BY 1, 2
-        ), cand AS (
+        ), cand AS MATERIALIZED (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM bands a
           JOIN bsz z ON z.band = a.band AND z.band_key = a.band_key
                     AND z.nb <= 5000
           JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                       AND a.id < b.id
-        ), vsh AS (
+        ), vsh AS MATERIALIZED (
           SELECT id, sh FROM (
             SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfreq
             FROM shingles
@@ -1123,7 +1123,9 @@ _CURATION_CAPPED_CAND = """bsz AS (
 def _curation_oracle(cand_cte: str) -> str:
     """The full-chain DuckDB replay of :func:`_curation_e2e`;
     ``cand_cte`` picks the parity or the capped candidate/verify
-    universe."""
+    universe. Stage CTEs are MATERIALIZED: the 9-branch audit UNION
+    re-evaluates every inlined CTE per branch otherwise (measured 59 s
+    -> 0.3 s at sf0.01, identical rows)."""
     return f"""
         WITH RECURSIVE raw AS (
           SELECT CAST(doc_id AS BIGINT) AS id,
@@ -1148,7 +1150,7 @@ def _curation_oracle(cand_cte: str) -> str:
           GROUP BY line HAVING COUNT(DISTINCT id) >= 4
         ), hotl AS (
           SELECT COALESCE(list(line), []) AS hl FROM hotlines
-        ), ld AS (
+        ), ld AS MATERIALIZED (
           SELECT f.id, f.ntext, f.lang, f.source,
                  COALESCE(array_to_string(
                     list_filter(f.lines, x -> NOT list_contains(h.hl, x)),
@@ -1183,7 +1185,7 @@ def _curation_oracle(cand_cte: str) -> str:
                       + len(regexp_extract_all(ldtext, '\\.\\.\\.'))
                       AS BIGINT) AS symbols
           FROM gw
-        ), gf AS (
+        ), gf AS MATERIALIZED (
           SELECT id,
                  (nw BETWEEN 20 AND 100000)
                  AND COALESCE(CASE WHEN nw > 0 THEN
@@ -1200,7 +1202,7 @@ def _curation_oracle(cand_cte: str) -> str:
                  AND (((ellipses*20000 + nl) // (nl*2)) / 10000.0 <= 0.3)
                    AS gpass
           FROM gm
-        ), base AS (
+        ), base AS MATERIALIZED (
           SELECT d.id, d.ntext, d.ldtext, d.lang, d.source,
                  (d.ldtext <> '') AS ld_ok,
                  ((d.ldtext <> '') AND g.gpass) AS gok,
@@ -1208,13 +1210,13 @@ def _curation_oracle(cand_cte: str) -> str:
                  CAST('0x' || substr(md5('split|' || d.source), 1, 8)
                       AS BIGINT) % 10000 AS b
           FROM ld d JOIN gf g USING (id)
-        ), qd AS (
+        ), qd AS MATERIALIZED (
           SELECT id, ldtext FROM base WHERE gok AND q4 >= 3
         ), tk AS (
           SELECT id, list_filter(string_split_regex(lower(ldtext),
                                  '[^a-z0-9]+'), t -> t <> '') AS toks
           FROM qd
-        ), shingles AS (
+        ), shingles AS MATERIALIZED (
           SELECT DISTINCT id, sh FROM (
             SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
             FROM tk, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
@@ -1237,7 +1239,7 @@ def _curation_oracle(cand_cte: str) -> str:
           JOIN vsh sa ON sa.id = c.id_a
           JOIN vsh sb ON sb.id = c.id_b AND sb.sh = sa.sh
           GROUP BY 1, 2
-        ), verified AS (
+        ), verified AS MATERIALIZED (
           SELECT i.id_a, i.id_b
           FROM inter i
           JOIN sizes za ON za.id = i.id_a
@@ -1255,7 +1257,7 @@ def _curation_oracle(cand_cte: str) -> str:
           SELECT id FROM (SELECT id, MIN(lab) AS component FROM reach
                           GROUP BY id)
           WHERE id <> component
-        ), kept AS (
+        ), kept AS MATERIALIZED (
           SELECT qd.id, qd.ldtext FROM qd
           LEFT JOIN losers l ON qd.id = l.id WHERE l.id IS NULL
         ), btk AS (
@@ -1263,7 +1265,7 @@ def _curation_oracle(cand_cte: str) -> str:
                  list_filter(string_split_regex(lower(nfc_normalize(text)),
                              '[^a-z0-9]+'), t -> t <> '') AS toks
           FROM documents WHERE doc_id < 100
-        ), bgrams AS (
+        ), bgrams AS MATERIALIZED (
           SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS g
           FROM btk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
         ), ktk AS (
@@ -1275,10 +1277,10 @@ def _curation_oracle(cand_cte: str) -> str:
           FROM ktk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
         ), contaminated AS (
           SELECT DISTINCT id FROM kgrams JOIN bgrams USING (g)
-        ), clean AS (
+        ), clean AS MATERIALIZED (
           SELECT k.id FROM kept k
           LEFT JOIN contaminated c ON k.id = c.id WHERE c.id IS NULL
-        ), train AS (
+        ), train AS MATERIALIZED (
           SELECT b.id, b.lang, b.ldtext FROM base b
           JOIN clean USING (id) WHERE b.b < 8000
         ), ptk AS (
@@ -1286,7 +1288,7 @@ def _curation_oracle(cand_cte: str) -> str:
                  CAST(len(list_filter(string_split_regex(ldtext, '\\s+'),
                                       x -> x <> '')) AS BIGINT) AS n_tokens
           FROM train
-        ), packed AS (
+        ), packed AS MATERIALIZED (
           SELECT lang, shard,
                  CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard
                                                  ORDER BY id) - n_tokens)
