@@ -72,7 +72,14 @@ def compact_parquet(
     df = spark.read.parquet(path)
     staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex}"
     df.coalesce(plan["target_files"]).write.mode("overwrite").parquet(staging)
+    swap_directory(spark, path, staging)
+    return {**plan, "rewritten": True}
 
+
+def swap_directory(spark: SparkSession, path: str, staging: str) -> None:
+    """Atomically-ish replace ``path`` with ``staging`` (two renames with
+    rollback — the shared swap step of every staged rewrite here; see
+    :func:`compact_parquet` for the crash/concurrent-reader contract)."""
     fs, target_jpath = _hadoop_fs(spark, path)
     _, staging_jpath = _hadoop_fs(spark, staging)
     trash_jpath = spark._jvm.org.apache.hadoop.fs.Path(
@@ -84,4 +91,3 @@ def compact_parquet(
         fs.rename(trash_jpath, target_jpath)  # roll back
         raise IOError(f"could not swap compacted files into {path}")
     fs.delete(trash_jpath, True)
-    return {**plan, "rewritten": True}

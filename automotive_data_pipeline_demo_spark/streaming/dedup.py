@@ -210,3 +210,53 @@ def streaming_line_dedup_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def compact_line_df_index(spark, index_path: str) -> dict:
+    """Fold the per-epoch line-df index into ONE row per digest.
+
+    The ingest appends one (line_h, n_docs, epoch) row set per
+    micro-batch, so after N batches the index holds N small files and the
+    per-batch hot-set aggregate replays N epochs — the standard
+    small-file/state-accretion problem of every append-keyed streaming
+    index. This maintenance op folds the accumulated document frequency
+    to one row per digest under the reserved base epoch -1 (real epochs
+    are >= 0) and swaps it in via the staged-rewrite protocol of
+    ``sources/compact.py`` — the read-side aggregate (max per (digest,
+    epoch), then sum) is unchanged and returns identical df before and
+    after.
+
+    Run it only while the stream is STOPPED with all epochs committed:
+    a batch retried across the compaction boundary would re-append an
+    epoch already folded into the base and double-count (the same
+    maintenance-window discipline as ``compact_parquet``'s
+    concurrent-reader caveat).
+
+    Returns {"digests": n, "files_before": b, "files_after": a}.
+    """
+    import uuid
+
+    from automotive_data_pipeline_demo_spark.sources.compact import (
+        plan_compaction,
+        swap_directory,
+    )
+
+    plan = plan_compaction(spark, index_path)
+    before = plan["n_files"]
+    folded = (
+        spark.read.parquet(index_path)
+        .groupBy("line_h", "epoch")
+        .agg(F.max("n_docs").alias("n_docs"))
+        .groupBy("line_h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .select("line_h", "n_docs", F.lit(-1).alias("epoch"))
+    )
+    staging = f"{index_path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # size the output like compact_parquet: the source byte total is an
+    # upper bound for the folded frame, so target_files never bottlenecks
+    # a corpus-scale index through one writer task
+    folded.coalesce(plan["target_files"]).write.mode("overwrite").parquet(staging)
+    swap_directory(spark, index_path, staging)
+    n = spark.read.parquet(index_path).count()
+    after = plan_compaction(spark, index_path)["n_files"]
+    return {"digests": n, "files_before": before, "files_after": after}

@@ -952,3 +952,72 @@ def test_streaming_line_dedup_accumulates_df_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_line_df_index_compaction_preserves_accumulation(spark, tmp_path):
+    """compact_line_df_index folds the per-epoch index to one row per
+    digest (reserved epoch -1) with the read-side aggregate unchanged: a
+    batch ingested AFTER compaction sees the same accumulated df as it
+    would over the raw epoch rows, and the file count drops."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        compact_line_df_index,
+        streaming_line_dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "incoming"
+    out = str(tmp_path / "cleaned")
+    idx = str(tmp_path / "line_index")
+
+    b1 = [(1, "boiler\nalpha"), (2, "solo two")]
+    b2 = [(3, "keep three\nunique")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    q = streaming_line_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out, idx, min_doc_freq=2, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from pyspark.sql import functions as SF
+
+    def acc_df():
+        return {
+            r["line_h"]: r["df"]
+            for r in spark.read.parquet(idx)
+            .groupBy("line_h", "epoch").agg(SF.max("n_docs").alias("n"))
+            .groupBy("line_h").agg(SF.sum("n").alias("df")).collect()
+        }
+
+    want = acc_df()
+    stats = compact_line_df_index(spark, idx)
+    assert acc_df() == want
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["digests"] == len(want)
+    epochs = {r["epoch"] for r in spark.read.parquet(idx).select("epoch").collect()}
+    assert epochs == {-1}
+
+    # a post-compaction batch accumulates on top of the folded base:
+    # 'boiler' reaches df=2 and is stripped from the new doc
+    b3 = [(4, "boiler\ndelta four")]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(str(src))
+    q = streaming_line_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out, idx, min_doc_freq=2, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["doc_id"]: r["cleaned_text"]
+            for r in spark.read.parquet(out).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[4] == "delta four"
+    got = acc_df()
+    assert got[[h for h, d in want.items() if d == 1][0]] >= 1
+    # boiler digest: folded base 1 + batch-3 contribution 1
+    import hashlib
+    bh = hashlib.md5(b"boiler").hexdigest()
+    assert got[bh] == 2
