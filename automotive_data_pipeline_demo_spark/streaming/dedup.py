@@ -66,7 +66,10 @@ def streaming_dedup_ingest(
     Per micro-batch: (1) drop docs whose id is already in the corpus (the
     retry/exactly-once guard), (2) drop docs Jaccard-near-duplicating the
     indexed corpus, (3) append the survivors to ``corpus_path`` and their
-    band signatures to ``index_path``. Batch-internal duplicates of a
+    band signatures to ``index_path`` (both accrete one small file set per
+    batch — fold them periodically with ``sources/compact.py``'s
+    ``compact_parquet``, stream stopped, same maintenance-window contract
+    as ``compact_line_df_index``). Batch-internal duplicates of a
     surviving doc land in the same batch append; they are caught one batch
     later at the latest (documented at-least-once-dedup semantics —
     tighten with an intra-batch near_dup_dedup upstream if needed).

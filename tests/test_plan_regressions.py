@@ -104,11 +104,24 @@ def _shuffles(plan: str) -> int:
         ("x_text_line_dedup", 3),
         # the Gopher gate is a pure narrow projection
         ("x_text_gopher_rules", 0),
+        # one exchange per grain family (rollup/gsets/cube); the lattice
+        # expansion is the map-side Expand, never an extra shuffle
+        ("a_multi_grain", 3),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
     plan = _plan(_SPECS[name].build(spark, sf_dir))
     assert _shuffles(plan) <= max_shuffles, plan
+
+
+def test_multi_grain_expands_map_side(spark, sf_dir):
+    """The merged multi-grain entry keeps each family's documented scale
+    shape: three Expand operators (grain duplication BEFORE the exchange,
+    where the partial aggregate still combines map-side), one per
+    ROLLUP / GROUPING SETS / CUBE branch."""
+    plan = _plan(_SPECS["a_multi_grain"].build(spark, sf_dir))
+    assert plan.count("Expand") >= 3, plan
+    assert "partial_count" in plan or "partial" in plan, plan
 
 
 def test_no_cartesian_anywhere(spark, sf_dir):
