@@ -1498,9 +1498,12 @@ def line_dedup(
     BROADCAST anti-join against the exploded stream, so the corpus is
     never re-shuffled to be filtered; one groupBy(id) reassembles
     survivors via a position-sorted struct fold (deterministic order).
-    If the boilerplate set ever outgrows broadcast (pathological corpora),
-    the anti-join degrades gracefully to a shuffle join — still equi, no
-    pair blow-up anywhere.
+    The anti-join BROADCASTS the hot set by explicit hint — the
+    boilerplate digest set is a shrinking fraction of any real corpus's
+    line vocabulary, and the hint keeps the corpus from re-shuffling. On
+    a pathological corpus whose hot set outgrows executor memory, drop
+    the hint (the join is equi, so the shuffle fallback is safe — no
+    pair blow-up anywhere); a forced broadcast does not auto-degrade.
 
     ``carry_cols`` ride through to the output unchanged (the doc-grain
     attributes a pipeline stage needs downstream — lang, source, raw
