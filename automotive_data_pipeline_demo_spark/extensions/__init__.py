@@ -45,6 +45,7 @@ from automotive_data_pipeline_demo_spark.extensions.quantization import (
 )
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
+    minhash_signature_columns,
     dedup_cluster_stats,
     dedup_corpus_best,
     duplicated_ngram_fraction,
@@ -103,6 +104,7 @@ __all__ = [
     "temperature_weights_ppm",
     "shard_manifest",
     "build_band_index",
+    "minhash_signature_columns",
     "dedup_cluster_stats",
     "dedup_corpus_best",
     "duplicated_ngram_fraction",

@@ -91,7 +91,7 @@ def shingle_arrays(
     )
 
 
-def minhash_signatures(
+def minhash_signature_columns(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -99,16 +99,18 @@ def minhash_signatures(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: (id, hash_idx, min_hash).
+    """WIDE MinHash signature frame: one row per document with the
+    ``num_hashes`` salted-md5 mins as columns ``__h0..__h{k-1}``.
 
-    Each of the ``num_hashes`` "permutations" is a salted md5 — min over the
-    shingle set approximates the Jaccard-similarity-preserving min-permutation.
-
-    All ``num_hashes`` mins are computed in ONE groupBy(id): each shingle row
-    carries the k salted hashes as columns, so the shuffle moves the shingle
-    rows once (with map-side partial mins), not k× exploded copies — at
-    100 TB that is a k-fold cut in shuffle bytes. The (id, hash_idx,
-    min_hash) long shape is restored by a narrow post-agg explode.
+    This is the one-exchange core every minhash consumer shares: each
+    shingle row carries the k salted hashes as columns, so the shuffle
+    moves the shingle rows once (with map-side partial mins), not k×
+    exploded copies — at 100 TB that is a k-fold cut in shuffle bytes.
+    Band keys, packed signature arrays, and the long (id, hash_idx,
+    min_hash) shape are all NARROW projections of this frame — deriving
+    them here (rather than re-aggregating the exploded long shape, the
+    pre-r7 build_band_index shape) removes one full signature-grain
+    exchange from every banding/estimate consumer.
     """
     if shingles is not None:  # a pre-built (id, __sh) table (shingle_arrays)
         shingled = shingles.select("id", F.explode("__sh").alias("shingle"))
@@ -117,13 +119,32 @@ def minhash_signatures(
             F.col(id_col).cast("long").alias("id"),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
-    mins = shingled.groupBy("id").agg(
+    return shingled.groupBy("id").agg(
         *[
             F.min(
                 F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
             ).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signature per document: (id, hash_idx, min_hash) — the
+    long shape, a narrow explode of :func:`minhash_signature_columns`.
+
+    Each of the ``num_hashes`` "permutations" is a salted md5 — min over the
+    shingle set approximates the Jaccard-similarity-preserving min-permutation.
+    """
+    mins = minhash_signature_columns(
+        df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
     )
     return mins.select(
         "id",
@@ -193,17 +214,46 @@ def build_band_index(
     corpus (see :func:`near_dup_against_index`). Band keys concatenate
     ``band_size`` consecutive min-hashes, so two docs share a band key iff
     that band of their signatures agrees exactly.
+
+    The keys are a NARROW projection of the wide signature frame — one
+    struct per band assembled row-locally and exploded, not the pre-r7
+    explode-to-long + groupBy(id, band) re-aggregation, which exchanged
+    the signature rows a second time (k rows per doc) in every banding
+    consumer. Key strings are byte-identical to the old shape (same
+    ``sort_array`` over the same "idx:hash" elements).
     """
-    sigs = minhash_signatures(
+    mins = minhash_signature_columns(
         df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
     )
-    return (
-        sigs.withColumn("band", (F.col("hash_idx") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws("_", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("hash_idx").cast("string"), F.col("min_hash"))
-        ))).alias("band_key"))
-    )
+    by_band: dict[int, list[int]] = {}
+    for i in range(num_hashes):
+        by_band.setdefault(i // band_size, []).append(i)
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.sort_array(
+                                F.array(
+                                    *[
+                                        F.concat_ws(
+                                            ":", F.lit(str(i)), F.col(f"__h{i}")
+                                        )
+                                        for i in idxs
+                                    ]
+                                )
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b, idxs in sorted(by_band.items())
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", "__b.band", "__b.band_key")
 
 
 def near_dup_against_index(
@@ -1412,16 +1462,14 @@ def minhash_jaccard_estimate(
     est_jaccard = matches/num_hashes rounded to 4 dp, filtered to
     >= ``min_estimate``.
     """
-    sigs = minhash_signatures(
+    # hash_idx-ordered signature array as a NARROW projection of the wide
+    # frame (pre-r7 this re-aggregated the exploded long shape — a second
+    # signature-grain exchange)
+    packed = minhash_signature_columns(
         df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
-    )
-    packed = sigs.groupBy("id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("hash_idx", "min_hash"))
-            ),
-            lambda s: s["min_hash"],
-        ).alias("__sig")
+    ).select(
+        "id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"),
     ).persist()
     if candidates is None:
         candidates = minhash_candidate_pairs(
