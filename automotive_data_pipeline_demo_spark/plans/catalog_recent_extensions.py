@@ -1605,3 +1605,107 @@ _register(QuerySpec(
     """,
     tags=("agg", "rollup", "cube", "grouping-sets"),
 ))
+
+
+def q_x_text_line_dedup_inc(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus line dedup — the daily-ingest posture of
+    ``x_text_line_dedup`` as an oracled batch entry (the batch analog of
+    ``streaming/dedup.py::streaming_line_dedup_ingest``): docs >= 400
+    arrive as a new batch and are cleaned against the ACCUMULATED
+    line-digest document frequency of the stored corpus (doc_id < 400)
+    plus the batch's own contribution — a line boilerplate across the
+    whole corpus-so-far is stripped from the incoming docs, exactly the
+    prefix semantics the streaming twin implements per micro-batch.
+
+    Scale shape: the stored index is digest grain (in production it is
+    the persisted artifact the stream maintains; here it derives from
+    the corpus slice with one map-combined count-distinct), the batch
+    adds one digest-grain aggregate, the over-threshold union folds at
+    digest grain, and the batch is cleaned via ``line_dedup``'s
+    ``hot_digests`` entry point — broadcast anti-join, the corpus text
+    is never re-read and the batch is never re-shuffled to be filtered.
+    Uses the same 8-word fixture framing as x_text_line_dedup, mirrored
+    exactly by the oracle.
+    """
+    docs = _t(spark, sf, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    framed = bind_once(
+        words,
+        lambda w: F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(w) / F.lit(8)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
+            ),
+            "\n",
+        ),
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), framed.alias("ftext")
+    )
+    corpus = base.filter(F.col("doc_id") < 400)
+    batch = base.filter(F.col("doc_id") >= 400)
+
+    def digest_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                F.explode(F.split(F.col("ftext"), "\n")).alias("line"),
+            )
+            .filter(F.col("line") != "")
+            .select("doc_id", F.md5("line").alias("line_h"))
+            .distinct()
+            .groupBy("line_h")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    hot = (
+        digest_counts(corpus)          # the stored index, digest grain
+        .unionByName(digest_counts(batch))
+        .groupBy("line_h")
+        .agg(F.sum("n_docs").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("line_h")
+    )
+    return line_dedup(batch, "doc_id", "ftext", delim="\n", hot_digests=hot)
+
+
+_register(QuerySpec(
+    name="x_text_line_dedup_inc",
+    survey="north-star: incremental line dedup of a new batch vs the stored line-df index",
+    build=q_x_text_line_dedup_inc,
+    oracle="""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+          FROM documents
+        ), framed AS (
+          SELECT doc_id,
+                 list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)),
+                    i -> array_to_string(list_slice(w, CAST(i*8+1 AS BIGINT),
+                                                    CAST(i*8+8 AS BIGINT)),
+                                         ' ')) AS lines
+          FROM d
+        ), lx AS (
+          SELECT doc_id, unnest(lines) AS line FROM framed
+        ), hot AS (
+          -- document frequency over the WHOLE corpus-so-far (stored
+          -- corpus + incoming batch); empty lines never go hot
+          SELECT line FROM lx WHERE line <> ''
+          GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hotl AS (
+          SELECT COALESCE(list(line), []) AS hl FROM hot
+        )
+        SELECT f.doc_id,
+               COALESCE(array_to_string(list_filter(f.lines,
+                                            x -> NOT list_contains(h.hl, x)),
+                                        chr(10)), '') AS cleaned_text,
+               CAST(len(f.lines) AS BIGINT) AS n_lines,
+               CAST(len(f.lines)
+                    - len(list_filter(f.lines, x -> NOT list_contains(h.hl, x)))
+                    AS BIGINT) AS n_removed
+        FROM framed f CROSS JOIN hotl h
+        WHERE f.doc_id >= 400
+    """,
+    tags=("text", "dedup", "lines", "incremental"),
+))

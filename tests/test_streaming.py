@@ -1021,3 +1021,74 @@ def test_line_df_index_compaction_preserves_accumulation(spark, tmp_path):
     import hashlib
     bh = hashlib.md5(b"boiler").hexdigest()
     assert got[bh] == 2
+
+
+def test_incremental_line_dedup_entry_matches_streaming_prefix(spark, tmp_path):
+    """The oracled batch entry (x_text_line_dedup_inc) and the streaming
+    twin agree: cleaning an incoming batch against the stored corpus's
+    accumulated line-df equals what streaming_line_dedup_ingest emits for
+    that batch when the corpus streamed in as batch 1."""
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_x_text_line_dedup_inc,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_line_dedup_ingest,
+    )
+
+    # doc_id < 400 = stored corpus; >= 400 = incoming batch. Framing is
+    # 8-word lines, so craft 8-word segments shared corpus<->batch.
+    seg_a = "one two three four five six seven eight"
+    seg_b = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (100, seg_a + " " + seg_b),           # corpus: carries both segs
+        (101, seg_a + " unique tail words here pad pad pad"),
+        (400, seg_a + " " + "brand new content in this batch doc"),
+        (401, seg_b + " " + "other novel words appear right here now"),
+        (402, "entirely fresh text with no shared segment at all"),
+    ]
+    schema = "doc_id long, text string"
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, schema).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+           for r in q_x_text_line_dedup_inc(spark, sf).collect()}
+    # seg_a went hot in the corpus (docs 100, 101) -> stripped from 400;
+    # seg_b hits df=2 only with the batch's own contribution -> stripped
+    # from 401 (prefix semantics include the batch itself)
+    assert sorted(got) == [400, 401, 402]
+    assert got[400][1] == 1 and seg_a not in got[400][0]
+    assert got[401][1] == 1 and seg_b not in got[401][0]
+    assert got[402][1] == 0
+
+    # streaming replay: corpus as batch 1 (framed), batch as batch 2
+    from pyspark.sql import functions as SF
+
+    words = SF.split(SF.col("text"), " ")
+    framed = SF.array_join(
+        SF.transform(
+            SF.sequence(SF.lit(0), SF.ceil(SF.size(words) / SF.lit(8)).cast("int") - 1),
+            lambda i: SF.array_join(SF.slice(words, i * SF.lit(8) + 1, 8), " "),
+        ),
+        "\n",
+    )
+    fdf = spark.createDataFrame(rows, schema).select(
+        "doc_id", framed.alias("text")
+    )
+    src = tmp_path / "in"
+    fdf.filter("doc_id < 400").coalesce(1).write.mode("append").parquet(str(src))
+    fdf.filter("doc_id >= 400").coalesce(1).write.mode("append").parquet(str(src))
+    out = str(tmp_path / "out")
+    q = streaming_line_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        out, str(tmp_path / "idx"), min_doc_freq=2,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] >= 400
+    }
+    assert stream_got == got
