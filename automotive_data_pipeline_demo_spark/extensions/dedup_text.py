@@ -1220,8 +1220,11 @@ def scrub_shared_spans(
 
     Scale shape, outermost first:
 
-    - **Identical-text collapse.** Documents group by ``md5(text)`` and
-      every downstream stage runs at DISTINCT-content grain, with the
+    - **Identical-text collapse.** Documents group by ``(md5(text),
+      length(text))`` — the length rider shrinks the md5-collision
+      surface (a collision would assign one doc another's cleaned
+      output) to same-length collisions, at one extra long per distinct
+      text — and every downstream stage runs at DISTINCT-content grain, with the
       group's id list riding along and exploding back at the very end.
       Exact-copy cohorts dominate raw web corpora (and the ×10 sf1 bench
       mirror), and every member of a cohort has the same grams, the same
@@ -1277,7 +1280,17 @@ def scrub_shared_spans(
             F.col(id_col).cast("long").alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
         )
-        .groupBy(F.md5("__text").alias("__th"))
+        # collapse key is (md5, length), not md5 alone: an md5 collision
+        # would otherwise hand one document another's cleaned output.
+        # Appending the byte length shrinks that (already astronomically
+        # unlikely) surface to same-length collisions for one extra long
+        # per distinct text — the same digest-grain convention the other
+        # collapse operators document, made cheaper to trust.
+        .groupBy(
+            F.concat_ws(
+                ":", F.md5("__text"), F.length("__text").cast("string")
+            ).alias("__th")
+        )
         .agg(
             F.collect_list("id").alias("__ids"),
             F.first("__text").alias("__text"),
@@ -1515,6 +1528,7 @@ def line_dedup(
     min_doc_freq: int = 2,
     carry_cols: tuple[str, ...] = (),
     hot_digests: DataFrame | None = None,
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Corpus-level line dedup — the CCNet / RefinedWeb / Dolma
     boilerplate-removal stage: drop every line whose EXACT content appears
@@ -1548,10 +1562,14 @@ def line_dedup(
     survivors via a position-sorted struct fold (deterministic order).
     The anti-join BROADCASTS the hot set by explicit hint — the
     boilerplate digest set is a shrinking fraction of any real corpus's
-    line vocabulary, and the hint keeps the corpus from re-shuffling. On
-    a pathological corpus whose hot set outgrows executor memory, drop
-    the hint (the join is equi, so the shuffle fallback is safe — no
-    pair blow-up anywhere); a forced broadcast does not auto-degrade.
+    line vocabulary, and the hint keeps the corpus from re-shuffling. A
+    forced broadcast does not auto-degrade, so ``broadcast_hot=False``
+    drops the hint and lets the anti-join plan as a shuffle join (equi
+    join, so the fallback is safe — no pair blow-up anywhere). Use it on
+    a pathological corpus whose hot set outgrows executor memory, and
+    especially from long-lived streaming ingest, where the accumulated
+    cross-batch hot set grows without bound
+    (streaming/dedup.py::streaming_line_dedup_ingest plumbs the knob).
 
     ``carry_cols`` ride through to the output unchanged (the doc-grain
     attributes a pipeline stage needs downstream — lang, source, raw
@@ -1590,7 +1608,7 @@ def line_dedup(
             .select("__h")
         )
     kept = lines.withColumn("__h", F.md5("line")).join(
-        F.broadcast(hot), "__h", "left_anti"
+        F.broadcast(hot) if broadcast_hot else hot, "__h", "left_anti"
     )
     rebuilt = kept.groupBy("id").agg(
         F.array_join(

@@ -115,6 +115,7 @@ from automotive_data_pipeline_demo_spark.streaming.sessions import (
     sessionize_capped,
 )
 from automotive_data_pipeline_demo_spark.sources.inbox import (
+    list_inbox,
     read_latest_encrypted_inbox,
     xor_decryptor,
 )

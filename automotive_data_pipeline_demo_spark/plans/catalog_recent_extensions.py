@@ -102,9 +102,29 @@ def q_s3_encrypted_inbox(spark: SparkSession, sf: str) -> DataFrame:
 
     # terminal action on the 4-row manifest (one row per export file);
     # bounded driver transfer regardless of sf
-    planted.groupBy("table", "gen").applyInPandas(
+    manifest = planted.groupBy("table", "gen").applyInPandas(
         write_export, "table string, gen int, n long"
     ).collect()
+
+    # Shared-filesystem guard: the group tasks wrote via executor-local
+    # open(), so on a cluster WITHOUT a shared fs the driver-side listing
+    # would see an empty/partial inbox and the entry would return silently
+    # wrong data. Assert the listing discovers exactly the files the write
+    # manifest reported, so a non-shared-fs deployment fails loudly.
+    discovered = {
+        (r["table"], r["path"].rsplit("/", 1)[-1])
+        for r in list_inbox(spark, root).collect()
+    }
+    expected = {
+        (r["table"], f"export_gen{r['gen']}.csv.gpg") for r in manifest
+    }
+    if not expected <= discovered:
+        raise RuntimeError(
+            "vendor-inbox fixture: executor-written exports missing from the "
+            f"driver-side listing ({sorted(expected - discovered)}) — the "
+            "inbox root must live on a filesystem shared between executors "
+            "and driver"
+        )
 
     out = read_latest_encrypted_inbox(
         spark,

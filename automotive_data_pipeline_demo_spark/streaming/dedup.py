@@ -131,6 +131,7 @@ def streaming_line_dedup_ingest(
     min_doc_freq: int = 2,
     checkpoint: str | None = None,
     query_name: str = "streaming_line_dedup_ingest",
+    broadcast_hot: bool = True,
 ):
     """Streaming twin of :func:`...extensions.dedup_text.line_dedup` —
     corpus-level boilerplate-line removal in the daily-ingest posture.
@@ -160,6 +161,24 @@ def streaming_line_dedup_ingest(
 
     Empty lines follow the batch operator's policy: never indexed, never
     hot, pass through unchanged.
+
+    **``index_path`` and ``checkpoint`` must share a lifecycle.** Epoch
+    ids are unique only within one checkpoint lineage: resetting the
+    checkpoint (or pointing a SECOND query at the same ``index_path``)
+    restarts epochs at 0, and the retry-collapse ``max(n_docs)`` per
+    (digest, epoch) would then silently merge counts from DISTINCT
+    logical batches that happen to share an epoch id — undercounting
+    document frequency. When resetting the checkpoint, either clear the
+    index or fold it first with :func:`compact_line_df_index` (the
+    compacted rows live under the reserved base epoch -1, which no live
+    lineage ever emits, so a fresh query's epoch 0 cannot collide);
+    never share one ``index_path`` between two live queries.
+
+    ``broadcast_hot`` passes through to the per-batch
+    :func:`...extensions.dedup_text.line_dedup` call: the accumulated
+    cross-batch hot set grows for the life of the stream, so a
+    long-lived ingest should set ``False`` to use the shuffle-join
+    fallback before the hot set outgrows executor memory.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -202,7 +221,8 @@ def streaming_line_dedup_ingest(
             .select("line_h")
         )
         line_dedup(
-            batch_df, id_col, text_col, delim=delim, hot_digests=hot
+            batch_df, id_col, text_col, delim=delim, hot_digests=hot,
+            broadcast_hot=broadcast_hot,
         ).write.mode("append").parquet(out_path)
 
     writer = (

@@ -322,6 +322,31 @@ def test_encrypted_inbox_fixture_null_fields_roundtrip(spark, tmp_path):
     }
 
 
+def test_encrypted_inbox_nonshared_fs_fails_loudly(spark, tmp_path, monkeypatch):
+    """The entry asserts the driver-side listing discovers every file the
+    executor-side write manifest reported: on a cluster whose inbox root is
+    NOT a shared filesystem the executor-local writes are invisible to the
+    driver, and the entry must raise instead of returning silently wrong
+    (empty/partial) data."""
+    import pytest
+
+    import automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions as m
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "alice", 10.5)], "c_custkey long, c_name string, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+
+    def empty_listing(spark_, root, suffix=".csv.gpg"):
+        return spark_.createDataFrame(
+            [], schema="table string, path string, mtime_ms long, size long"
+        )
+
+    monkeypatch.setattr(m, "list_inbox", empty_listing)
+    with pytest.raises(RuntimeError, match="shared"):
+        m.q_s3_encrypted_inbox(spark, sf)
+
+
 def test_read_lake_evolved_nulls_for_predrift_rows(spark, tmp_path):
     """Files written before a column existed surface NULL for it under the
     evolved read, and the plain reader still works on the base schema."""

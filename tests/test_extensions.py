@@ -587,6 +587,43 @@ def test_line_dedup_boilerplate_removal(spark):
     assert nrows[2]["cleaned_text"] == "a\nb"
 
 
+def test_line_dedup_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_hot=False drops the forced-broadcast hint on the hot-set
+    anti-join (the escape hatch for hot sets that outgrow executor memory
+    — long-lived streaming ingest in particular) and produces identical
+    output; broadcast_hot=True keeps the hint in the plan."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "boiler\nalpha"), (2, "boiler\nbeta"), (3, "solo\ngamma")],
+        "doc_id long, text string",
+    )
+    hinted = line_dedup(docs, "doc_id", "text")
+    fallback = line_dedup(docs, "doc_id", "text", broadcast_hot=False)
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, fallback.collect())
+    )
+    assert "broadcast" in (
+        hinted._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert "broadcast" not in (
+        fallback._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+
+    # the knob rides through the stored-hot-set (streaming twin) path too
+    hot = spark.createDataFrame([("x",)], "h string").selectExpr("md5('boiler') AS h")
+    via_hot = line_dedup(
+        docs, "doc_id", "text", hot_digests=hot, broadcast_hot=False
+    )
+    assert "broadcast" not in (
+        via_hot._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    got = {r["doc_id"]: r["cleaned_text"] for r in via_hot.collect()}
+    assert got == {1: "alpha", 2: "beta", 3: "solo\ngamma"}
+
+
 def test_gopher_rules_planted_failures(spark):
     """Each Gopher rule trips on a doc built to violate exactly it (word
     count aside), and a clean long document passes the full gate."""

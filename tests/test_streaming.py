@@ -1023,6 +1023,46 @@ def test_line_df_index_compaction_preserves_accumulation(spark, tmp_path):
     assert got[bh] == 2
 
 
+def test_line_df_index_checkpoint_lifecycle(spark, tmp_path):
+    """index_path and checkpoint share a lifecycle (the documented
+    contract): epoch ids are unique only per checkpoint lineage, so two
+    lineages writing one index collide on epoch 0 and the retry-collapse
+    max() silently undercounts df — while compacting the index FIRST
+    (reserved base epoch -1, which no live lineage emits) lets a fresh
+    lineage's epoch 0 accumulate correctly on top."""
+    from pyspark.sql import functions as SF
+
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        compact_line_df_index,
+    )
+
+    schema = "line_h string, n_docs long, epoch long"
+
+    def acc_df(path):
+        return {
+            r["line_h"]: r["df"]
+            for r in spark.read.parquet(path)
+            .groupBy("line_h", "epoch").agg(SF.max("n_docs").alias("n"))
+            .groupBy("line_h").agg(SF.sum("n").alias("df")).collect()
+        }
+
+    # hazard: two lineages, each one logical batch contributing df=1 for
+    # digest 'h', both stamped epoch 0 -> max() collapses them to 1
+    collided = str(tmp_path / "idx_collided")
+    spark.createDataFrame([("h", 1, 0)], schema).write.mode("append").parquet(collided)
+    spark.createDataFrame([("h", 1, 0)], schema).write.mode("append").parquet(collided)
+    assert acc_df(collided) == {"h": 1}  # true df is 2 — the documented undercount
+
+    # remedy: compact before resetting the checkpoint — the folded base
+    # lands on epoch -1, so the new lineage's epoch 0 cannot collide
+    safe = str(tmp_path / "idx_safe")
+    spark.createDataFrame([("h", 1, 0)], schema).write.mode("append").parquet(safe)
+    compact_line_df_index(spark, safe)
+    assert {r["epoch"] for r in spark.read.parquet(safe).collect()} == {-1}
+    spark.createDataFrame([("h", 1, 0)], schema).write.mode("append").parquet(safe)
+    assert acc_df(safe) == {"h": 2}
+
+
 def test_incremental_line_dedup_entry_matches_streaming_prefix(spark, tmp_path):
     """The oracled batch entry (x_text_line_dedup_inc) and the streaming
     twin agree: cleaning an incoming batch against the stored corpus's
