@@ -273,6 +273,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     strategy: str = "auto",
     chunk_pairs: int = 1_000_000,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, score >= threshold).
 
@@ -311,6 +312,16 @@ def embedding_near_dup_pairs(
     The one divergence is element-level NULLs inside a vector (Arrow
     surfaces them as NaN, so ``blocked`` scores the pair NaN-kept where
     ``join`` drops it) — not a shape real embedding corpora produce.
+
+    ``new_col`` (boolean column) switches on INCREMENTAL mode: only pairs
+    touching at least one NEW row are enumerated — stored×stored pairs
+    are never generated or scored, because the full run that built the
+    stored index already handled them. This is the batch-vs-corpus shape
+    of the stored-centroid posture (``assign_to_stored_centroids``): per
+    block the work is old×new + new×new, so a daily batch pays
+    O(|batch| · |cell|), never O(|cell|²) over the accumulated corpus.
+    Output contract is unchanged (a_id < b_id, same scores on the pairs
+    both modes emit; both strategies honor it identically).
     """
     if strategy not in ("auto", "join", "blocked"):
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -320,7 +331,7 @@ def embedding_near_dup_pairs(
         if not block_col:
             raise ValueError("strategy='blocked' requires block_col")
         return _near_dup_pairs_blocked(
-            df, threshold, block_col, id_col, vec_col, chunk_pairs
+            df, threshold, block_col, id_col, vec_col, chunk_pairs, new_col
         )
     # norms AND the double-cast arrays are precomputed ONCE per vector in
     # the projection: a vector in p pairs would otherwise pay the full
@@ -337,23 +348,37 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("a_id"), v.alias("a_vec"),
         norm.alias("__na"),
         *([F.col(block_col)] if block_col else []),
+        *([F.col(new_col).alias("__anew")] if new_col else []),
     )
     b = df.select(
         F.col(id_col).alias("b_id"), v.alias("b_vec"),
         norm.alias("__nb"),
         *([F.col(block_col)] if block_col else []),
+        *([F.col(new_col)] if new_col else []),
     )
+    if new_col:
+        # b side = new rows only; an old×new pair appears exactly once
+        # (a=old), a new×new pair twice — the a_id<b_id guard on new a
+        # rows dedupes it. Output normalizes to (lo, hi).
+        b = b.filter(F.col(new_col)).drop(new_col)
+        a = a.withColumn("__anew", F.coalesce(F.col("__anew"), F.lit(False)))
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    if new_col:
+        joined = joined.filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (~F.col("__anew") | (F.col("a_id") < F.col("b_id")))
+        )
+    else:
+        joined = joined.filter(F.col("a_id") < F.col("b_id"))
     dot = F.aggregate(
         F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
+        joined.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
             F.round(dot / (F.col("__na") * F.col("__nb")), 4).alias("score"),
         )
         .filter(F.col("score") >= F.lit(threshold))
@@ -367,8 +392,11 @@ def _near_dup_pairs_blocked(
     id_col: str,
     vec_col: str,
     chunk_pairs: int,
+    new_col: str | None = None,
 ) -> DataFrame:
-    """Arrow-batched in-block pair scorer (see embedding_near_dup_pairs)."""
+    """Arrow-batched in-block pair scorer (see embedding_near_dup_pairs).
+    With ``new_col``, pair index space per block is old×new + triu(new) —
+    stored×stored pairs never enter the chunked scoring loop."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_field = dict(zip(df.schema.names, df.schema.fields))[id_col]
@@ -416,7 +444,19 @@ def _near_dup_pairs_blocked(
                 x = mt[d]
                 norm = norm + x * x  # same fold order as the JVM norm
             norm = np.sqrt(norm)
-            ai, bi = np.triu_indices(n, k=1)
+            if new_col is not None:
+                isnew = (
+                    grp[new_col].fillna(False).to_numpy(dtype=bool)
+                )
+                wi = np.flatnonzero(isnew)
+                oi = np.flatnonzero(~isnew)
+                if len(wi) == 0:
+                    continue
+                ta, tb = np.triu_indices(len(wi), k=1)
+                ai = np.concatenate([np.repeat(oi, len(wi)), wi[ta]])
+                bi = np.concatenate([np.tile(wi, len(oi)), wi[tb]])
+            else:
+                ai, bi = np.triu_indices(n, k=1)
             for s in range(0, len(ai), chunk_pairs):
                 a = ai[s:s + chunk_pairs]
                 b = bi[s:s + chunk_pairs]
@@ -500,10 +540,115 @@ def kmeans_lloyd(
 
     Returns the final assignment: (id_col, centroid_id).
     """
+    cents, corpus, id_type = _kmeans_train(
+        vectors, seeds, n_iter, id_col, vec_col, centroid_id_col,
+        centroid_vec_col, scale, inline_max_k,
+    )
+    return _assign_exact(corpus, cents, id_col, id_type, inline_max_k).select(
+        F.col(id_col), "centroid_id"
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_vec",
+    scale: int = 1_000_000,
+    inline_max_k: int = 8,
+) -> DataFrame:
+    """Train k-means (same exact-integer contract as :func:`kmeans_lloyd`)
+    and return the CENTROIDS — ``(centroid_id, c_sum: array<long>)``, the
+    unnormalized integer member-vector sums — instead of the assignment.
+
+    This is the persistable artifact of the stored-centroid incremental
+    posture: write it once after a full-corpus clustering run, then route
+    every incoming batch through :func:`assign_to_stored_centroids`
+    without touching the stored corpus again (the embedding-side mirror
+    of the stored minhash band index / line-df index patterns). Because
+    the sums are exact integers, a centroid round-trips through parquet
+    bit-identically and assignments stay oracle-reproducible.
+    """
+    cents, _corpus, _ = _kmeans_train(
+        vectors, seeds, n_iter, id_col, vec_col, centroid_id_col,
+        centroid_vec_col, scale, inline_max_k,
+    )
+    return vectors.sparkSession.createDataFrame(
+        [(int(cid), [int(x) for x in cv]) for cid, cv in sorted(cents.items())],
+        schema="centroid_id long, c_sum array<long>",
+    )
+
+
+def assign_to_stored_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_sum_col: str = "c_sum",
+    scale: int = 1_000_000,
+    inline_max_k: int = 8,
+) -> DataFrame:
+    """Assign vectors to STORED centroids (``kmeans_centroids`` output,
+    read back from wherever it was persisted) — the incremental posture:
+    no retraining, no pass over the stored corpus, ZERO shuffles (the
+    k × dims centroid table collects to the driver and assignment is a
+    narrow map, inline-codegen for small k, Arrow/numpy above
+    ``inline_max_k`` — the identical bit-exact scoring of
+    :func:`kmeans_lloyd`, so a batch lands in the same cell the full run
+    would have put it in).
+
+    Returns (id_col, centroid_id).
+    """
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("cid"), F.col(centroid_sum_col).alias("cv")
+    ).collect()
+    if not rows:
+        raise ValueError("assign_to_stored_centroids requires >= 1 centroid")
+    if len({int(r["cid"]) for r in rows}) != len(rows):
+        raise ValueError("stored centroid ids must be unique")
+    cents = {int(r["cid"]): [int(x) for x in r["cv"]] for r in rows}
+    dims = len(next(iter(cents.values())))
+    corpus = _micro_units(vectors, id_col, vec_col, scale, dims)
+    id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
+        id_col
+    ].dataType.simpleString()
+    return _assign_exact(corpus, cents, id_col, id_type, inline_max_k).select(
+        F.col(id_col), "centroid_id"
+    )
+
+
+def _micro_units(
+    vectors: DataFrame, id_col: str, vec_col: str, scale: int, dims: int
+) -> DataFrame:
+    """(id, __mv) projection in integer micro-units. NULL or
+    wrong-dimension vectors are EXCLUDED, not crashed on: cosine against a
+    d-dim centroid is undefined for them, and a ragged batch breaks the
+    numpy path's rectangular matmul (poison-corpus audit)."""
     mv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
-    corpus = vectors.select(F.col(id_col), mv.alias("__mv"))
+    return vectors.select(F.col(id_col), mv.alias("__mv")).filter(
+        F.col("__mv").isNotNull() & (F.size("__mv") == dims)
+    )
+
+
+def _kmeans_train(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+    scale: int,
+    inline_max_k: int,
+) -> tuple[dict[int, list[int]], DataFrame, str]:
+    """Shared Lloyd training loop: returns (centroid sums, micro-unit
+    corpus frame, id type) after ``n_iter`` iterations."""
     def _half_away(v: float) -> int:
         # match Spark/DuckDB ROUND (half away from zero); python round() is
         # banker's and would diverge on exact .5 products
@@ -521,18 +666,46 @@ def kmeans_lloyd(
         for r in seed_rows
     }
 
-    # NULL or wrong-dimension vectors are EXCLUDED, not crashed on: cosine
-    # against a d-dim centroid is undefined for them, and a ragged batch
-    # breaks the numpy path's rectangular matmul (poison-corpus audit).
-    # Dimension comes from the seeds, which are always well-formed.
+    # dimension comes from the seeds, which are always well-formed
     seed_dims = len(next(iter(cents.values())))
-    corpus = corpus.filter(
-        F.col("__mv").isNotNull() & (F.size("__mv") == seed_dims)
-    )
+    corpus = _micro_units(vectors, id_col, vec_col, scale, seed_dims)
 
     id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
         id_col
     ].dataType.simpleString()
+
+    for _ in range(n_iter):
+        sums = (
+            _assign_exact(corpus, cents, id_col, id_type, inline_max_k)
+            .select("centroid_id", F.posexplode("__mv").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = int(r["s"])
+        dims = len(next(iter(cents.values())))
+        cents = {
+            cid: (
+                [by_cid[cid][p] for p in range(dims)] if cid in by_cid else svec
+            )
+            for cid, svec in cents.items()
+        }
+    return cents, corpus, id_type
+
+
+def _assign_exact(
+    corpus: DataFrame,
+    cents: dict[int, list[int]],
+    id_col: str,
+    id_type: str,
+    inline_max_k: int,
+) -> DataFrame:
+    """Zero-shuffle exact-integer nearest-centroid assignment:
+    (id, centroid_id, __mv). Inline codegen up to ``inline_max_k``
+    centroids, Arrow-batched numpy matmul above (bit-identical; see
+    kmeans_lloyd docstring)."""
 
     def _assign_inline() -> DataFrame:
         structs = []
@@ -593,28 +766,7 @@ def kmeans_lloyd(
             schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
         )
 
-    def assign_df() -> DataFrame:
-        return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
-
-    for _ in range(n_iter):
-        sums = (
-            assign_df()
-            .select("centroid_id", F.posexplode("__mv").alias("pos", "v"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("v").alias("s"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = int(r["s"])
-        dims = len(next(iter(cents.values())))
-        cents = {
-            cid: (
-                [by_cid[cid][p] for p in range(dims)] if cid in by_cid else svec
-            )
-            for cid, svec in cents.items()
-        }
-    return assign_df().select(F.col(id_col), "centroid_id")
+    return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
 
 
 def embedding_dim_stats(

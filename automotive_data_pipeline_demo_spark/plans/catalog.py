@@ -97,10 +97,12 @@ from automotive_data_pipeline_demo_spark.operators.layout import (
     write_zorder,
 )
 from automotive_data_pipeline_demo_spark.extensions.similarity import (
+    assign_to_stored_centroids,
     brute_force_topk,
     embedding_dim_stats,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_centroids,
     kmeans_lloyd,
     lsh_bucketed_topk,
 )

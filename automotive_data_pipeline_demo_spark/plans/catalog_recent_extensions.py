@@ -534,7 +534,7 @@ def q_x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     a larger page scores ~1.0 here but falls under a Jaccard threshold
     because the union denominator grows with the big doc. Runs with the
     default doc-frequency cap (the 100 TB fan-out bound — the uncapped
-    exact baseline is represented by x_dedup_jaccard); the oracle
+    exact baseline is x_dedup_jaccard_capped's 'exact' mode); the oracle
     recomputes the capped shingle universe, same as x_dedup_jaccard_capped.
     """
     docs = _t(spark, sf, "documents")
@@ -1728,4 +1728,133 @@ _register(QuerySpec(
         WHERE f.doc_id >= 400
     """,
     tags=("text", "dedup", "lines", "incremental"),
+))
+
+
+def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup — the stored-centroid daily-ingest posture
+    (the embedding-side mirror of ``x_text_line_dedup_inc`` / the stored
+    minhash band index): the last 20% of vec_ids arrive as a new batch;
+    the STORED corpus (first 80%) was clustered in a past full run whose
+    centroids persist as exact integer sums (``kmeans_centroids`` — here
+    round-tripped through scratch parquet to make the stored-artifact
+    contract real). The batch is assigned to those frozen cells with zero
+    retraining (``assign_to_stored_centroids``), near-dup scored
+    batch-vs-cell ONLY (``embedding_near_dup_pairs(new_col=...)`` — the
+    stored corpus is never re-paired against itself), and a batch vector
+    is dropped iff it near-dups a smaller-id vector (stored, or an
+    earlier batch arrival) — the greedy keep-first policy of an append
+    stream, vs the full run's connected-components representative.
+
+    Scale shape: centroid table is k x dims longs (driver-collected, the
+    only "index" this posture reads); assignment is a zero-shuffle narrow
+    map; pair space per cell is old x new + new x new, so a daily batch
+    pays O(|batch| * |cell|), never O(|cell|^2) over the accumulated
+    corpus; one shuffle on cell id feeds the blocked Arrow scorer.
+    """
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    cutoff = n * 8 // 10
+    corpus = emb.filter(F.col("vec_id") < cutoff)
+    seeds = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    # the stored artifact: trained on the CORPUS ONLY, persisted, read back
+    # (exact integer sums round-trip bit-identically through parquet)
+    cent_path = _scratch(sf, "semdedup_centroids")
+    kmeans_centroids(corpus, seeds, n_iter=1).write.mode("overwrite").parquet(
+        cent_path
+    )
+    cents = spark.read.parquet(cent_path)
+    assign_all = assign_to_stored_centroids(emb, cents)
+    assigned = emb.join(assign_all, "vec_id").withColumn(
+        "is_new", F.col("vec_id") >= cutoff
+    )
+    pairs = embedding_near_dup_pairs(
+        assigned, threshold=0.30, block_col="centroid_id", new_col="is_new"
+    )
+    # pairs are (a_id < b_id) touching >= 1 new row; new ids are the top
+    # range, so b is ALWAYS the batch side — losers = batch vectors that
+    # near-dup any smaller-id vector
+    losers = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    kept = assign_all.filter(F.col("vec_id") >= cutoff).join(
+        losers, "vec_id", "left_anti"
+    )
+    return kept.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+
+
+_register(QuerySpec(
+    name="x_dedup_semdedup_inc",
+    survey="north-star: incremental SemDeDup of a new batch vs stored centroids",
+    build=q_x_dedup_semdedup_inc,
+    oracle=f"""
+        WITH m AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+          FROM embeddings
+        ), cut AS (
+          SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8
+        ), s0 AS (
+          SELECT m.vec_id, c0.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c0
+          WHERE m.vec_id < (SELECT c FROM cut)
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
+          WHERE rn = 1
+        ), sums AS (
+          SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
+          FROM a0 JOIN m USING (vec_id),
+               UNNEST(generate_series(1, len(m.mv))) AS p(pos)
+          GROUP BY a0.cid, p.pos
+        ), c1 AS MATERIALIZED (
+          SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
+          FROM sums GROUP BY cid
+        ), s1 AS (
+          -- assignment of ALL vectors (stored + batch) to the FROZEN
+          -- post-training centroids: stored rows reproduce their
+          -- persisted assignment, batch rows get the incremental one
+          SELECT m.vec_id, c1.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c1
+        ), a1 AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s1)
+          WHERE rn = 1
+        ), losers AS (
+          -- in-cell pairs touching >= 1 batch row: b (the greater id) is
+          -- always the batch side because batch ids are the top range
+          SELECT DISTINCT b.vec_id AS b_id FROM
+            (SELECT e.vec_id, e.embedding, x.cid
+             FROM embeddings e JOIN a1 x USING (vec_id)) a
+          JOIN
+            (SELECT e.vec_id, e.embedding, x.cid
+             FROM embeddings e JOIN a1 x USING (vec_id)) b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE b.vec_id >= (SELECT c FROM cut)
+            AND ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4)
+                >= 0.30
+        )
+        SELECT CAST(a1.vec_id AS BIGINT) AS vec_id,
+               CAST(a1.cid AS INT) AS centroid_id
+        FROM a1
+        WHERE a1.vec_id >= (SELECT c FROM cut)
+          AND a1.vec_id NOT IN (SELECT b_id FROM losers)
+    """,
+    tags=("dedup", "similarity", "incremental"),
 ))

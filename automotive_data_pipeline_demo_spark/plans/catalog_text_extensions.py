@@ -334,28 +334,46 @@ _register(QuerySpec(
 ))
 
 
-def q_x_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard near-dup scoring over co-shingled candidates (the
-    exact verifier that runs on LSH candidates at scale).
+def q_x_dedup_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring, BOTH modes in one tagged frame
+    (the former x_dedup_jaccard entry folded in r8 — one driver-window
+    slot, both oracles intact):
+
+    - ``mode='exact'``: uncapped Jaccard over the full shingle universe —
+      the exact verifier that runs on LSH candidates at scale
+      (max_doc_freq=None pins the declarative oracle).
+    - ``mode='capped'``: the mandatory 100 TB knob. A shingle in d docs
+      yields d(d-1)/2 pairs, so one boilerplate shingle in a million docs
+      is 5e11 pairs; ``max_doc_freq`` drops shingles above the cap and
+      Jaccard is computed over the CAPPED universe (intersections and set
+      sizes both exclude dropped shingles). The oracle recomputes that
+      capped universe exactly; each mode keeps the 4-exchange budget (the
+      doc-frequency window reuses the shingle exchange), and the union
+      adds none.
     """
     docs = _t(spark, sf, "documents")
-    # max_doc_freq=None: exact mode, pinned to the declarative oracle
-    return ngram_jaccard_pairs(
+    exact = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.3, shingle_n=3, max_doc_freq=None
-    )
+    ).select(F.lit("exact").alias("mode"), "id_a", "id_b", "jaccard")
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, shingle_n=3, max_doc_freq=5
+    ).select(F.lit("capped").alias("mode"), "id_a", "id_b", "jaccard")
+    return exact.unionByName(capped)
 
 
 _register(QuerySpec(
-    name="x_dedup_jaccard",
-    survey="north-star: ngram jaccard dedup",
-    build=q_x_dedup_jaccard,
+    name="x_dedup_jaccard_capped",
+    survey="north-star: ngram jaccard dedup, exact + doc-frequency-capped modes",
+    build=q_x_dedup_jaccard_capped,
     oracle="""
-        WITH toks AS (
+        -- shingles feeds BOTH union branches: MATERIALIZED, or DuckDB
+        -- inlines the CTE chain once per branch (see verify SKILL.md)
+        WITH toks AS MATERIALIZED (
           SELECT CAST(doc_id AS BIGINT) AS id,
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> t <> '') AS toks
           FROM documents
-        ), shingles AS (
+        ), shingles AS MATERIALIZED (
           SELECT DISTINCT id, sh FROM (
             SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
             FROM toks,
@@ -367,68 +385,32 @@ _register(QuerySpec(
           SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
           FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
           GROUP BY 1, 2
+        ), capped AS MATERIALIZED (
+          SELECT id, sh FROM (
+            SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfreq
+            FROM shingles
+          ) WHERE dfreq <= 5
+        ), csizes AS (
+          SELECT id, COUNT(*) AS n_shingles FROM capped GROUP BY 1
+        ), cpairs AS (
+          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
+          FROM capped x JOIN capped y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY 1, 2
         )
-        SELECT p.id_a, p.id_b,
+        SELECT 'exact' AS mode, p.id_a, p.id_b,
                ROUND(p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common), 4)
                  AS jaccard
         FROM pairs p
         JOIN sizes sa ON p.id_a = sa.id
         JOIN sizes sb ON p.id_b = sb.id
         WHERE p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.3
-    """,
-    tags=("dedup", "jaccard"),
-))
-
-
-def q_x_dedup_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """Capped-fan-out Jaccard: the mandatory 100 TB knob. A shingle in d
-    docs yields d(d-1)/2 pairs, so one boilerplate shingle in a million
-    docs is 5e11 pairs; ``max_doc_freq`` drops shingles above the cap and
-    Jaccard is computed over the CAPPED universe (intersections and set
-    sizes both exclude dropped shingles). The oracle recomputes that capped
-    universe exactly; the plan stays at the uncapped 4-exchange budget (the
-    doc-frequency window reuses the shingle exchange).
-    """
-    docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.3, shingle_n=3, max_doc_freq=5
-    )
-
-
-_register(QuerySpec(
-    name="x_dedup_jaccard_capped",
-    survey="north-star: ngram jaccard dedup with doc-frequency fan-out cap",
-    build=q_x_dedup_jaccard_capped,
-    oracle="""
-        WITH toks AS (
-          SELECT CAST(doc_id AS BIGINT) AS id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                             t -> t <> '') AS toks
-          FROM documents
-        ), shingles AS (
-          SELECT DISTINCT id, sh FROM (
-            SELECT id, array_to_string(toks[i : i + 2], ' ') AS sh
-            FROM toks,
-                 UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
-          )
-        ), capped AS (
-          SELECT id, sh FROM (
-            SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfreq
-            FROM shingles
-          ) WHERE dfreq <= 5
-        ), sizes AS (
-          SELECT id, COUNT(*) AS n_shingles FROM capped GROUP BY 1
-        ), pairs AS (
-          SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_common
-          FROM capped x JOIN capped y ON x.sh = y.sh AND x.id < y.id
-          GROUP BY 1, 2
-        )
-        SELECT p.id_a, p.id_b,
+        UNION ALL
+        SELECT 'capped' AS mode, p.id_a, p.id_b,
                ROUND(p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common), 4)
                  AS jaccard
-        FROM pairs p
-        JOIN sizes sa ON p.id_a = sa.id
-        JOIN sizes sb ON p.id_b = sb.id
+        FROM cpairs p
+        JOIN csizes sa ON p.id_a = sa.id
+        JOIN csizes sb ON p.id_b = sb.id
         WHERE p.n_common / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.3
     """,
     tags=("dedup", "jaccard", "scale"),

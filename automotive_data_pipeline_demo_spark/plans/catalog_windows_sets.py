@@ -231,17 +231,53 @@ _register(QuerySpec(
 
 
 def q_u1_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """U1: SELECT DISTINCT (README.md:170-176)."""
+    """U1: SELECT DISTINCT (README.md:170-176), merged with the former
+    u3_intersect_except entry (r8 window-capacity fold — one slot, full
+    oracle coverage of all three set ops): the INTERSECT/EXCEPT cohorts
+    now ride as tagged rows at FULL row grain (the old u3 only hashed the
+    two cohort counts; this hashes every member).
+
+    Cohorts: ``priority:<p>`` = the U1 distinct (custkey, priority) pairs;
+    ``retained`` = customers active in both 1995 and 1996 (INTERSECT);
+    ``churned`` = active in 1995 but not 1996 (EXCEPT DISTINCT).
+    """
     o = _t(spark, sf, "orders")
-    return o.select("o_custkey", "o_orderpriority").distinct()
+    pairs = (
+        o.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .select(
+            F.concat(F.lit("priority:"), F.col("o_orderpriority")).alias("cohort"),
+            "o_custkey",
+        )
+    )
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y95.subtract(y96).select(  # EXCEPT DISTINCT
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return pairs.unionByName(both).unionByName(churned)
 
 
 _register(QuerySpec(
     name="u1_distinct",
-    survey="U1",
+    survey="U1 (+INTERSECT/EXCEPT, folded from u3_intersect_except r8)",
     build=q_u1_distinct,
-    oracle="SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
-    tags=("distinct",),
+    oracle="""
+        SELECT 'priority:' || o_orderpriority AS cohort, o_custkey
+        FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        UNION ALL
+        SELECT 'retained' AS cohort, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+        UNION ALL
+        SELECT 'churned' AS cohort, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+    """,
+    tags=("distinct", "setop"),
 ))
 
 
@@ -292,34 +328,7 @@ _register(QuerySpec(
 ))
 
 
-def q_u3_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
-    """INTERSECT/EXCEPT surface (free in Spark; SURVEY §2.7 note):
-    customers active in 1995 and 1996 vs churned after 1995.
-    """
-    o = _t(spark, sf, "orders")
-    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    both = y95.intersect(y96).withColumn("cohort", F.lit("retained"))
-    churned = y95.subtract(y96).withColumn("cohort", F.lit("churned"))  # EXCEPT DISTINCT
-    return both.unionByName(churned).groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n_customers")
-    )
-
-
-_register(QuerySpec(
-    name="u3_intersect_except",
-    survey="U1 (extension: INTERSECT/EXCEPT)",
-    build=q_u3_intersect_except,
-    oracle="""
-        WITH y95 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
-             y96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
-             both_y AS (SELECT DISTINCT o_custkey FROM y95 INTERSECT SELECT DISTINCT o_custkey FROM y96),
-             churned AS (SELECT DISTINCT o_custkey FROM y95 EXCEPT SELECT DISTINCT o_custkey FROM y96)
-        SELECT 'retained' AS cohort, COUNT(*) AS n_customers FROM both_y
-        UNION ALL
-        SELECT 'churned' AS cohort, COUNT(*) AS n_customers FROM churned
-    """,
-    tags=("setop",),
-))
+# u3_intersect_except was folded into u1_distinct above (r8): same set-op
+# semantics at FULL row grain, one driver-window slot instead of two.
 
 

@@ -261,6 +261,91 @@ def test_kmeans_numpy_path_matches_inline(spark, embeddings):
     assert len(inline) == 200
 
 
+def test_stored_centroid_assign_matches_full_run(spark, embeddings, tmp_path):
+    """The stored-centroid posture reproduces the full run exactly:
+    kmeans_centroids -> parquet round-trip -> assign_to_stored_centroids
+    lands every vector in the same cell kmeans_lloyd's own final
+    assignment puts it in (same exact-integer contract), on BOTH the
+    inline-codegen and the numpy assignment paths."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+        kmeans_lloyd,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 200)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    full = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(emb, seeds, n_iter=2).collect()
+    }
+    path = str(tmp_path / "cents")
+    kmeans_centroids(emb, seeds, n_iter=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    for inline_max_k in (32, 0):  # codegen path, then numpy path
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_to_stored_centroids(
+                emb, stored, inline_max_k=inline_max_k
+            ).collect()
+        }
+        assert got == full
+    # a NEW batch (never seen in training) assigns deterministically to
+    # the frozen cells — identical across both paths
+    batch = embeddings.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 260)
+    )
+    a = assign_to_stored_centroids(batch, stored, inline_max_k=32).collect()
+    b = assign_to_stored_centroids(batch, stored, inline_max_k=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 60
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroid"):
+        assign_to_stored_centroids(batch, stored.limit(0))
+
+
+def test_near_dup_pairs_incremental_mode(spark, embeddings):
+    """new_col restricts pair enumeration to pairs touching >= 1 new row:
+    both strategies return exactly the full run's pairs filtered to those
+    touching the new set (same scores — stored x stored pairs are the
+    only omissions), on an embeddings slice with real near-dups."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % F.lit(4)).alias("cell"),
+        (F.col("vec_id") >= 240).alias("is_new"),
+    )
+    full = embedding_near_dup_pairs(
+        df, threshold=0.30, block_col="cell", strategy="join"
+    ).collect()
+    want = sorted(
+        (r["a_id"], r["b_id"], r["score"])
+        for r in full
+        if r["a_id"] >= 240 or r["b_id"] >= 240
+    )
+    assert want, "fixture must produce incremental pairs"
+    assert len(want) < len(full), "fixture must have stored-only pairs to omit"
+    for strategy in ("join", "blocked"):
+        got = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs(
+                    df, threshold=0.30, block_col="cell",
+                    strategy=strategy, new_col="is_new",
+                ).collect(),
+            )
+        )
+        assert got == want, strategy
+
+
 def test_ivf_recall_vs_brute_force(spark, embeddings):
     """IVF with nprobe=2 of 8 cells must beat the random-scan floor by a wide
     margin (structural recall < 1 is expected; vacuous recall is a bug)."""

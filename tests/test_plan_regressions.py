@@ -69,8 +69,9 @@ def _shuffles(plan: str) -> int:
         ("x_text_chunking", 0),
         ("x_sample_mixture", 0),
         ("x_text_contamination", 1),
-        ("x_dedup_jaccard", 4),
-        ("x_dedup_jaccard_capped", 4),
+        # 8 = two independent 4-exchange mode subtrees (exact + capped)
+        # under one union; the union itself must add none
+        ("x_dedup_jaccard_capped", 8),
         # 2 = the vocabulary-grain df groupBy + the top-k window's id
         # exchange; tf itself folds row-locally (it's a per-document
         # quantity — no (id, term) exchange over raw token rows)
