@@ -6,6 +6,8 @@ section sequence, and each module registers its specs in original order).
 Shared helpers and the spec registry live on the hub.
 """
 
+import hashlib
+
 from automotive_data_pipeline_demo_spark.plans.catalog import *  # noqa: F401,F403
 from automotive_data_pipeline_demo_spark.plans.catalog import (  # noqa: F401
     _cents,
@@ -853,20 +855,180 @@ _register(QuerySpec(
 ))
 
 
+def _planted_gate_docs() -> list[tuple[int, str]]:
+    """16 stopword-realistic documents that prove the PUBLISHED Gopher
+    thresholds (Rae et al. 2021: min 50 words, >= 2 distinct probe
+    stopwords) inside the benched curation DAG — the synthetic corpus has
+    too little stopword variety to exercise them (zero real docs clear
+    min_stop_hits=2), so the chain carries this planted cohort end to
+    end. Negative ids can never collide with table doc_ids at any sf
+    (including the x10 sf1 mirror's shifted ids).
+
+    - 6 docs: 60 words, 3 distinct stopwords -> pass the published gate;
+    - 5 docs: 30 words, 2 stopwords -> fail ONLY min_words=50
+      (pass the corpus-tuned min_words=20);
+    - 5 docs: 60 words, 1 stopword  -> fail ONLY min_stop_hits=2
+      (pass the corpus-tuned min_stop_hits=1).
+
+    All 16 pass every other published rule (plain alpha words, mean word
+    length ~6, no symbols/bullets/ellipses), so the gopher_ok vs
+    gopher_published stage delta is attributable to exactly the two
+    published thresholds. Deterministic literals: the Spark builder and
+    the DuckDB oracle consume this same list.
+    """
+    docs: list[tuple[int, str]] = []
+    specs = [(60, ("the", "and", "of"))] * 6 + [(30, ("the", "and"))] * 5 + [
+        (60, ("the",))
+    ] * 5
+    for i, (n_words, stops) in enumerate(specs):
+        toks = list(stops) + [
+            f"pg{i}w{k}" for k in range(n_words - len(stops))
+        ]
+        docs.append((-(i + 1), " ".join(toks)))
+    return docs
+
+
+_PLANTED_GATE_VALUES_SQL = ",\n              ".join(
+    f"({i}, '{t}', 'xx', 'plantedgate')" for i, t in _planted_gate_docs()
+)
+
+# bump when the staged stage-1..5 chain changes (new scratch path per code
+# version; _scratch is already pid-namespaced, so stale dirs cost nothing)
+_CURATION_BASE_VERSION = "r8a"
+
+
+def _curation_base(spark: SparkSession, sf: str, plant_gate: bool) -> DataFrame:
+    """Stages 1-5 of the curation DAG — NFC -> line dedup -> Gopher gates
+    -> leakage-safe split -> quality score — materialized ONCE per
+    (process, sf) as a scratch parquet and shared VERBATIM by both
+    registered twins (they differ only from the dedup stage on).
+
+    This is the stage-store posture every production curation pipeline
+    runs (CCNet/Dolma write each stage's shards; downstream configs read
+    them) — recomputing identical upstream stages per dedup configuration
+    is exactly what you would never do at 100 TB. All staged columns are
+    strings/longs/booleans, so the parquet round-trip is bit-exact and
+    oracle parity is untouched. The artifact is keyed by code version and
+    pid-namespaced (see _scratch), so concurrent suites and code edits
+    never read a stale stage.
+    """
+    # key by the ABSOLUTE sf path, not just _scratch's basename: pytest
+    # fixtures reuse the basename "sf" for different tmp corpora within
+    # one process, and a basename-keyed stage would silently serve the
+    # previous fixture's rows
+    sf_key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    leaf = (
+        f"curation_base_{_CURATION_BASE_VERSION}_{sf_key}"
+        + ("p" if plant_gate else "")
+    )
+    path = _scratch(sf, leaf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf, "documents")
+        corpus = docs.filter(F.col("doc_id") >= 100)
+        nfc = corpus.select(
+            F.col("doc_id").cast("long").alias("id"),
+            nfc_normalize_text(F.col("text")).alias("ntext"),
+            "lang",
+            "source",
+        )
+        if plant_gate:
+            planted = spark.createDataFrame(
+                [(i, t, "xx", "plantedgate") for i, t in _planted_gate_docs()],
+                schema="id long, ntext string, lang string, source string",
+            )
+            nfc = nfc.unionByName(planted)
+        words = F.split(F.col("ntext"), " ")
+        framed = bind_once(
+            words,
+            lambda w: F.concat(
+                F.lit("shared "),
+                F.col("source"),
+                F.lit(" banner line\n"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.ceil(F.size(w) / F.lit(8)).cast("int") - 1
+                        ),
+                        lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
+                    ),
+                    "\n",
+                ),
+            ),
+        )
+        ld = line_dedup(
+            nfc.select("id", framed.alias("ftext"), "ntext", "lang", "source"),
+            "id",
+            "ftext",
+            delim="\n",
+            min_doc_freq=4,
+            carry_cols=("ntext", "lang", "source"),
+        ).select(
+            "id",
+            F.col("cleaned_text").alias("ldtext"),
+            (F.col("cleaned_text") != "").alias("__ld"),
+            "ntext",
+            "lang",
+            "source",
+        )
+        # the Gopher gate as an in-line stage (keep_cols passthrough, no
+        # doc-grain join back). The CHAIN gate is corpus-tuned (the
+        # synthetic corpus has low stopword variety and 10-100-word
+        # docs); the PUBLISHED Rae et al. thresholds (50 words / 2 stop
+        # hits) are strictly tighter on the same measures, so their
+        # audit flag derives from the one measurement pass — proven
+        # non-vacuously by the planted cohort (_planted_gate_docs).
+        gated = gopher_quality_rules(
+            ld,
+            "id",
+            "ldtext",
+            min_words=20,
+            min_stop_hits=1,
+            keep_cols=("ldtext", "__ld", "ntext", "lang", "source"),
+        ).select(
+            "id",
+            "ldtext",
+            "ntext",
+            "lang",
+            "source",
+            "__ld",
+            (F.col("__ld") & F.col("gopher_pass")).alias("__gok"),
+            (
+                F.col("__ld")
+                & F.col("gopher_pass")
+                & (F.col("n_words") >= 50)
+                & (F.col("stop_hits") >= 2)
+            ).alias("__gpub"),
+        )
+        (
+            hash_split(gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+            .withColumn("q4", (quality_score(F.col("ldtext")) * 4).cast("long"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def _curation_e2e(
     spark: SparkSession,
     sf: str,
     max_doc_freq: int | None,
     max_bucket_size: int | None,
+    plant_gate: bool = True,
 ) -> DataFrame:
     """The COMPLETE training-data curation DAG chained on one engine, one
     entry — the published CCNet / Gopher / Dolma stage order end to end:
 
       ingest -> NFC canonicalize -> corpus line dedup (boilerplate
-      removal) -> Gopher rule gate -> LM-proxy quality gate -> near-dup
-      dedup (MinHash-LSH bands -> Jaccard verify -> connected
+      removal) -> Gopher rule gate (corpus-tuned chain gate + the
+      PUBLISHED Rae et al. 50-words/2-stopwords audit row, proven by the
+      planted cohort of _planted_gate_docs) -> LM-proxy quality gate ->
+      near-dup dedup (MinHash-LSH bands -> Jaccard verify -> connected
       components) -> benchmark decontamination (8-gram) -> leakage-safe
       group split -> fixed-budget sequence packing
+
+    Stages 1-5 are built and staged by :func:`_curation_base` — ONE
+    scratch-parquet artifact per (process, sf), shared verbatim by both
+    registered twins; this entry's own work starts at the dedup stage.
 
     Emits one audit row per stage (stage_no, stage, n_rows) — the
     dataset-card trail a production curation run ships. Every stage is
@@ -908,75 +1070,11 @@ def _curation_e2e(
     Expand-duplicate every input row).
     """
     docs = _t(spark, sf, "documents")
-    corpus = docs.filter(F.col("doc_id") >= 100)
     bench = docs.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         nfc_normalize_text(F.col("text")).alias("text"),
     )
-    nfc = corpus.select(
-        F.col("doc_id").cast("long").alias("id"),
-        nfc_normalize_text(F.col("text")).alias("ntext"),
-        "lang",
-        "source",
-    )
-    words = F.split(F.col("ntext"), " ")
-    framed = bind_once(
-        words,
-        lambda w: F.concat(
-            F.lit("shared "),
-            F.col("source"),
-            F.lit(" banner line\n"),
-            F.array_join(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.ceil(F.size(w) / F.lit(8)).cast("int") - 1
-                    ),
-                    lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
-                ),
-                "\n",
-            ),
-        ),
-    )
-    ld = line_dedup(
-        nfc.select("id", framed.alias("ftext"), "ntext", "lang", "source"),
-        "id",
-        "ftext",
-        delim="\n",
-        min_doc_freq=4,
-        carry_cols=("ntext", "lang", "source"),
-    ).select(
-        "id",
-        F.col("cleaned_text").alias("ldtext"),
-        (F.col("cleaned_text") != "").alias("__ld"),
-        "ntext",
-        "lang",
-        "source",
-    )
-    # the Gopher gate as an in-line stage (keep_cols passthrough, no
-    # doc-grain join back); thresholds tuned to the synthetic corpus —
-    # its stopword variety is low (zero docs reach the published
-    # min_stop_hits=2) and its docs run 10-100 words
-    gated = gopher_quality_rules(
-        ld,
-        "id",
-        "ldtext",
-        min_words=20,
-        min_stop_hits=1,
-        keep_cols=("ldtext", "__ld", "ntext", "lang", "source"),
-    ).select(
-        "id",
-        "ldtext",
-        "ntext",
-        "lang",
-        "source",
-        "__ld",
-        (F.col("__ld") & F.col("gopher_pass")).alias("__gok"),
-    )
-    base = (
-        hash_split(gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
-        .withColumn("q4", (quality_score(F.col("ldtext")) * 4).cast("long"))
-        .persist()
-    )
+    base = _curation_base(spark, sf, plant_gate).persist()
 
     qdocs = base.filter(F.col("__gok") & (F.col("q4") >= 3)).select(
         "id", "ldtext"
@@ -1014,6 +1112,7 @@ def _curation_e2e(
             "ldtext",
             F.col("__ld").alias("__l"),
             F.col("__gok").alias("__g"),
+            F.col("__gpub").alias("__gp"),
             (F.col("__gok") & (F.col("q4") >= 3)).alias("__q"),
             F.col("__s").isNotNull().alias("__k"),
             (F.col("__s").isNotNull() & F.col("__c").isNull()).alias("__cl"),
@@ -1029,10 +1128,11 @@ def _curation_e2e(
         F.count(F.lit(1)).alias("n1"),
         F.sum(F.col("__l").cast("long")).alias("n3"),
         F.sum(F.col("__g").cast("long")).alias("n4"),
-        F.sum(F.col("__q").cast("long")).alias("n5"),
-        F.sum(F.col("__k").cast("long")).alias("n6"),
-        F.sum(F.col("__cl").cast("long")).alias("n7"),
-        F.sum(F.col("__tr").cast("long")).alias("n8"),
+        F.sum(F.col("__gp").cast("long")).alias("n5"),
+        F.sum(F.col("__q").cast("long")).alias("n6"),
+        F.sum(F.col("__k").cast("long")).alias("n7"),
+        F.sum(F.col("__cl").cast("long")).alias("n8"),
+        F.sum(F.col("__tr").cast("long")).alias("n9"),
     ).select(
         F.explode(
             F.array(
@@ -1046,10 +1146,11 @@ def _curation_e2e(
                         (1, "ingested"),
                         (3, "line_deduped"),
                         (4, "gopher_ok"),
-                        (5, "quality_ok"),
-                        (6, "near_deduped"),
-                        (7, "decontaminated"),
-                        (8, "train_split"),
+                        (5, "gopher_published"),
+                        (6, "quality_ok"),
+                        (7, "near_deduped"),
+                        (8, "decontaminated"),
+                        (9, "train_split"),
                     ]
                 ]
             )
@@ -1073,7 +1174,7 @@ def _curation_e2e(
     n_seq = packed.agg(
         F.count_distinct(F.struct("lang", "shard", "seq_bin")).alias("n_rows")
     ).select(
-        F.lit(9).cast("int").alias("stage_no"),
+        F.lit(10).cast("int").alias("stage_no"),
         F.lit("packed_sequences").alias("stage"),
         "n_rows",
     )
@@ -1151,6 +1252,12 @@ def _curation_oracle(cand_cte: str) -> str:
           SELECT CAST(doc_id AS BIGINT) AS id,
                  nfc_normalize(text) AS ntext, lang, source
           FROM documents WHERE doc_id >= 100
+          UNION ALL
+          -- the planted published-Gopher cohort (_planted_gate_docs):
+          -- pure-ASCII literals, NFC-invariant by construction
+          SELECT * FROM (VALUES
+              {_PLANTED_GATE_VALUES_SQL}
+          ) AS p(id, ntext, lang, source)
         ), fr AS (
           SELECT id, ntext, lang, source, string_split(ntext, ' ') AS w
           FROM raw
@@ -1220,12 +1327,16 @@ def _curation_oracle(cand_cte: str) -> str:
                  AND (stop_hits >= 1)
                  AND (((bullets*20000 + nl) // (nl*2)) / 10000.0 <= 0.9)
                  AND (((ellipses*20000 + nl) // (nl*2)) / 10000.0 <= 0.3)
-                   AS gpass
+                   AS gpass,
+                 -- the published Rae et al. thresholds are strictly
+                 -- tighter on the same two measures
+                 (nw >= 50 AND stop_hits >= 2) AS pub_extra
           FROM gm
         ), base AS MATERIALIZED (
           SELECT d.id, d.ntext, d.ldtext, d.lang, d.source,
                  (d.ldtext <> '') AS ld_ok,
                  ((d.ldtext <> '') AND g.gpass) AS gok,
+                 ((d.ldtext <> '') AND g.gpass AND g.pub_extra) AS gpub,
                  {{q4}} AS q4,
                  CAST('0x' || substr(md5('split|' || d.source), 1, 8)
                       AS BIGINT) % 10000 AS b
@@ -1324,15 +1435,17 @@ def _curation_oracle(cand_cte: str) -> str:
         UNION ALL
         SELECT 4, 'gopher_ok', COUNT(*) FROM base WHERE gok
         UNION ALL
-        SELECT 5, 'quality_ok', COUNT(*) FROM qd
+        SELECT 5, 'gopher_published', COUNT(*) FROM base WHERE gpub
         UNION ALL
-        SELECT 6, 'near_deduped', COUNT(*) FROM kept
+        SELECT 6, 'quality_ok', COUNT(*) FROM qd
         UNION ALL
-        SELECT 7, 'decontaminated', COUNT(*) FROM clean
+        SELECT 7, 'near_deduped', COUNT(*) FROM kept
         UNION ALL
-        SELECT 8, 'train_split', COUNT(*) FROM train
+        SELECT 8, 'decontaminated', COUNT(*) FROM clean
         UNION ALL
-        SELECT 9, 'packed_sequences',
+        SELECT 9, 'train_split', COUNT(*) FROM train
+        UNION ALL
+        SELECT 10, 'packed_sequences',
                COUNT(DISTINCT (lang, shard, seq_bin)) FROM packed
     """.replace("{q4}", _Q4_LDTEXT_SQL)
 

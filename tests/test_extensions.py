@@ -2025,7 +2025,7 @@ def test_curation_e2e_release_caches(spark):
     for build, n_held in ((q_x_curation_e2e, 4), (q_x_curation_e2e_capped, 5)):
         spark.catalog.clearCache()
         out = build(spark, "/root/testdata/sf0.001")
-        assert out.count() == 9
+        assert out.count() == 10
         # Checked via the tag, not getPersistentRDDs().size() == 0:
         # earlier tests' lazy localCheckpoint RDDs are GC-collected, so
         # the global count is order/GC-racy.
@@ -2033,6 +2033,47 @@ def test_curation_e2e_release_caches(spark):
         assert len(held) == n_held and all(f.is_cached for f in held)
         assert release_caches(out, blocking=True) == n_held
         assert all(not f.is_cached for f in held)
+
+
+def test_planted_gate_cohort_thresholds(spark):
+    """The planted published-Gopher cohort hits exactly its design: all
+    16 docs pass the corpus-tuned chain gate (min_words=20,
+    min_stop_hits=1); only the 6 long stopword-rich docs pass the
+    PUBLISHED Rae et al. gate (50/2); the 5 short docs fail ONLY
+    min_words and the 5 stopword-poor docs fail ONLY min_stop_hits —
+    every other published rule passes for all 16, so the registered
+    entries' gopher_ok vs gopher_published stage delta is attributable
+    to precisely the two published thresholds."""
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        gopher_quality_rules,
+    )
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        _planted_gate_docs,
+    )
+
+    docs = _planted_gate_docs()
+    assert len(docs) == 16 and all(i < 0 for i, _ in docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tuned = {r["id"]: r for r in gopher_quality_rules(
+        df, "doc_id", "text", min_words=20, min_stop_hits=1).collect()}
+    pub = {r["id"]: r for r in gopher_quality_rules(
+        df, "doc_id", "text").collect()}  # published defaults: 50 / 2
+    assert all(r["gopher_pass"] for r in tuned.values())
+    assert sum(r["gopher_pass"] for r in pub.values()) == 6
+    for i, r in pub.items():
+        # the non-threshold rules pass for every planted doc
+        assert r["ok_word_len"] and r["ok_symbols"] and r["ok_alpha"], i
+        if not r["gopher_pass"]:
+            assert (not r["ok_words"]) != (not r["ok_stopwords"]), i
+
+    # and the registered entry carries the delta end to end
+    from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
+        q_x_curation_e2e,
+    )
+    stages = {r["stage"]: r["n_rows"]
+              for r in q_x_curation_e2e(spark, "/root/testdata/sf0.001").collect()}
+    assert stages["gopher_published"] == 6
+    assert stages["gopher_ok"] > stages["gopher_published"]
 
 
 def test_curation_e2e_capped_stage_parity(spark):
@@ -2056,7 +2097,7 @@ def test_curation_e2e_capped_stage_parity(spark):
     # every stage is non-trivial: monotone non-increasing doc counts and
     # a real drop somewhere before packing
     by_no = [uncapped[k] for k in sorted(uncapped)]
-    assert by_no[0] > 0 and by_no[5] < by_no[4] <= by_no[0]
+    assert by_no[0] > 0 and by_no[6] < by_no[5] <= by_no[0]
 
 
 def test_embedding_dim_stats_exact_on_known_vectors(spark):
@@ -2308,7 +2349,7 @@ def test_curation_e2e_planted_stage_semantics(spark, tmp_path):
     near-dup stage; the Gopher gate (min_words=20, min_stop_hits=1) drops
     the short/stopword-free doc; near-dup keeps the min id per cohort."""
     from automotive_data_pipeline_demo_spark.plans.catalog_recent_extensions import (
-        q_x_curation_e2e,
+        _curation_e2e,
     )
 
     sf = str(tmp_path / "sf")
@@ -2333,8 +2374,13 @@ def test_curation_e2e_planted_stage_semantics(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string"
     ).write.parquet(f"{sf}/documents.parquet")
 
+    # plant_gate=False: this test pins the MICRO corpus's stage counts;
+    # the registered entries additionally union the published-Gopher
+    # cohort (covered by test_planted_gate_cohort_thresholds)
     stages = {r["stage"]: r["n_rows"]
-              for r in q_x_curation_e2e(spark, sf).collect()}
+              for r in _curation_e2e(spark, sf, max_doc_freq=None,
+                                     max_bucket_size=None,
+                                     plant_gate=False).collect()}
     assert stages["ingested"] == 4
     # every doc keeps its content lines (chrome stripped, none emptied)
     assert stages["line_deduped"] == 4
