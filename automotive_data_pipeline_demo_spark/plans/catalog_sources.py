@@ -109,10 +109,29 @@ def q_s1_csv_typed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     missing-column tolerance — glue_vehicle_sales_etl.py:54-68, 190-266),
     and aggregates. Matching the oracle run over the original parquet proves
     the CSV path loses nothing: types, nulls, negative decimals.
+
+    TIME-typed column deviation (SURVEY §7.3 hard spot #2): the reference
+    schema carries a ``TIME`` column (``optouttime``,
+    sql/redshift_table_schemas.sql:167-171) and Spark has no TimeType —
+    the documented encoding is 'HH:MM:SS' string (or seconds-of-day int).
+    Proven here round trip: a deterministic seconds-of-day value per
+    customer is FORMATTED to the string encoding for the export, survives
+    the CSV scan as a string, and parses back to the identical seconds —
+    ``sum_optout_sec`` hashes against the oracle's direct integer sum, so
+    the deviation loses nothing.
     """
     out = _scratch(sf, "customer_csv")
     c = _t(spark, sf, "customer")
-    c.write.mode("overwrite").option("header", True).csv(out)
+    sec = F.col("c_custkey").cast("long") % F.lit(86400)
+    hhmmss = F.concat_ws(
+        ":",
+        F.lpad((sec / 3600).cast("int").cast("string"), 2, "0"),
+        F.lpad(((sec % 3600) / 60).cast("int").cast("string"), 2, "0"),
+        F.lpad((sec % 60).cast("string"), 2, "0"),
+    )
+    c.withColumn("optouttime", hhmmss).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
     typed = read_csv_typed(
         spark,
         out,
@@ -122,6 +141,7 @@ def q_s1_csv_typed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "c_nationkey": "int",
             "c_acctbal": "double",
             "c_mktsegment": "string",
+            "optouttime": "string",     # TIME has no Spark type (§7.3 #2)
             "loyalty_tier": "string",   # absent from the file -> typed NULL
         },
     )
@@ -130,11 +150,17 @@ def q_s1_csv_typed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         if "_corrupt_record" in typed.columns
         else F.sum(F.lit(0))
     )
+    parsed_sec = (
+        F.substring("optouttime", 1, 2).cast("long") * 3600
+        + F.substring("optouttime", 4, 2).cast("long") * 60
+        + F.substring("optouttime", 7, 2).cast("long")
+    )
     return typed.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_rows"),
         _dec_sum("c_acctbal", "sum_bal"),
         F.count("loyalty_tier").alias("n_loyalty"),
         n_corrupt.alias("n_corrupt"),
+        F.sum(parsed_sec).alias("sum_optout_sec"),
     )
 
 
@@ -145,7 +171,10 @@ _register(QuerySpec(
     oracle="""
         SELECT c_mktsegment, COUNT(*) AS n_rows,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
-               CAST(0 AS BIGINT) AS n_loyalty, CAST(0 AS BIGINT) AS n_corrupt
+               CAST(0 AS BIGINT) AS n_loyalty, CAST(0 AS BIGINT) AS n_corrupt,
+               -- the TIME encoding is format->parse lossless, so the
+               -- round-tripped sum equals the direct seconds-of-day sum
+               CAST(SUM(c_custkey % 86400) AS BIGINT) AS sum_optout_sec
         FROM customer GROUP BY c_mktsegment
     """,
     tags=("source", "csv"),
