@@ -1036,7 +1036,10 @@ def test_line_df_index_checkpoint_lifecycle(spark, tmp_path):
         compact_line_df_index,
     )
 
-    schema = "line_h string, n_docs long, epoch long"
+    # epoch is INT (the ingest writes F.lit(int(epoch_id))); a long-typed
+    # test row would mix INT32/INT64 parquet files in one index and trip
+    # the vectorized reader depending on file order
+    schema = "line_h string, n_docs long, epoch int"
 
     def acc_df(path):
         return {
