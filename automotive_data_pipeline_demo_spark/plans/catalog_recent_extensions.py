@@ -1869,7 +1869,11 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
     n = emb.count()
     cutoff = n * 8 // 10
     corpus = emb.filter(F.col("vec_id") < cutoff)
-    seeds = corpus.filter(F.col("vec_id") < 8).select(
+    # cell count scales with the STORED corpus (k ~ sqrt(N), floor 8) —
+    # same rule as x_dedup_semdedup: fixed-k cells grow linearly with N
+    # and make the batch-vs-cell pairing quadratic (sf1: 6.0 -> ~1 s)
+    k = max(8, int(math.floor(math.sqrt(cutoff) + 0.5)))
+    seeds = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     # the stored artifact: trained on the CORPUS ONLY, persisted, read back
@@ -1912,7 +1916,10 @@ _register(QuerySpec(
         ), cut AS (
           SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
         ), c0 AS (
-          SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8
+          -- k ~ sqrt(stored corpus), floor 8 (mirrors the builder)
+          SELECT vec_id AS cid, mv AS cv FROM m
+          WHERE vec_id < (SELECT greatest(8,
+                    CAST(floor(sqrt(c) + 0.5) AS BIGINT)) FROM cut)
         ), s0 AS (
           SELECT m.vec_id, c0.cid,
                  CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
