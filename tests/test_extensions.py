@@ -308,6 +308,69 @@ def test_stored_centroid_assign_matches_full_run(spark, embeddings, tmp_path):
         assign_to_stored_centroids(batch, stored.limit(0))
 
 
+def test_stored_centroid_assign_poison_rows(spark):
+    """NULL and wrong-dimension vectors are EXCLUDED by the stored-assign
+    path (same _micro_units guard as kmeans training), never crashed on —
+    on both the inline-codegen and numpy paths."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = clean.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    stored = kmeans_centroids(clean, seeds, n_iter=1)
+    poison = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),
+            (11, None),          # NULL vector -> excluded
+            (12, [0.5]),         # ragged dims -> excluded
+            (13, [-0.2, 0.8]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for k in (32, 0):
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_to_stored_centroids(
+                poison, stored, inline_max_k=k
+            ).collect()
+        }
+        assert sorted(got) == [10, 13], k
+
+
+def test_near_dup_pairs_null_new_flag_treated_as_old(spark):
+    """A NULL new_col flag means OLD (stored) on both strategies: the row
+    can appear as the a-side of a pair with a new row, but two NULL-flag
+    rows never pair with each other."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, None, [1.0, 0.0]),
+            (2, 0, None, [1.0, 0.001]),   # near-dup of 1, both NULL-flag
+            (3, 0, True, [1.0, 0.002]),   # new: pairs with 1 AND 2
+        ],
+        "vec_id long, cell int, is_new boolean, embedding array<double>",
+    )
+    for strategy in ("join", "blocked"):
+        pairs = sorted(
+            (r["a_id"], r["b_id"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.9, block_col="cell",
+                strategy=strategy, new_col="is_new",
+            ).collect()
+        )
+        assert pairs == [(1, 3), (2, 3)], strategy
+
+
 def test_near_dup_pairs_incremental_mode(spark, embeddings):
     """new_col restricts pair enumeration to pairs touching >= 1 new row:
     both strategies return exactly the full run's pairs filtered to those
