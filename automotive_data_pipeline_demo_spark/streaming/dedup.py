@@ -283,3 +283,117 @@ def compact_line_df_index(spark, index_path: str) -> dict:
     n = spark.read.parquet(index_path).count()
     after = plan_compaction(spark, index_path)["n_files"]
     return {"digests": n, "files_before": before, "files_after": after}
+
+
+def streaming_semdedup_ingest(
+    vectors_stream: DataFrame,
+    corpus_path: str,
+    centroids_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    checkpoint: str | None = None,
+    query_name: str = "streaming_semdedup_ingest",
+):
+    """Streaming twin of the stored-centroid incremental SemDeDup entry
+    (``x_dedup_semdedup_inc``) — the third stored-index ingest posture
+    alongside :func:`streaming_dedup_ingest` (minhash band index) and
+    :func:`streaming_line_dedup_ingest` (line-df index).
+
+    ``centroids_path`` holds the FROZEN cluster artifact of a past
+    full-corpus run (``extensions.similarity.kmeans_centroids`` — exact
+    integer sums, never retrained by the stream); ``corpus_path`` holds
+    the accepted corpus WITH its cell assignment
+    (``id_col, vec_col, centroid_id``) and is itself the dedup index.
+    Per micro-batch: (1) drop re-delivered ids already in the corpus (the
+    retry/exactly-once guard — a replayed batch's survivors are dropped
+    by id and its losers re-dedup against the same corpus and lose
+    again, so replays are no-ops), (2) assign the batch to the stored
+    cells (zero-shuffle, ``assign_to_stored_centroids``), (3) near-dup
+    score batch-vs-cell ONLY (``embedding_near_dup_pairs(new_col=...)``
+    — the accumulated corpus is never re-paired against itself, so a
+    daily batch pays O(|batch| x |cell|)), (4) drop every batch vector
+    that near-dups an accepted corpus vector or a smaller-id vector of
+    its own batch (the greedy keep-first policy of an append stream),
+    (5) append the survivors + assignments to ``corpus_path``.
+
+    Prefix-exact: a vector processed in batch k is deduped against the
+    corpus plus batches 1..k, which equals the batch entry's semantics
+    over the unioned prefix. Already-accepted vectors are never
+    retro-dropped when a later near-dup arrives — the same documented
+    streaming deviation as the other two ingest twins.
+    """
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        embedding_near_dup_pairs,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        if os.path.exists(corpus_path):
+            batch_df = batch_df.join(
+                spark.read.parquet(corpus_path).select(F.col(id_col)),
+                on=id_col,
+                how="left_anti",
+            )
+        # pin the survivor set: the corpus append below changes what a
+        # lazy recompute of the anti-join would return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        cents = spark.read.parquet(centroids_path)
+        assigned = assign_to_stored_centroids(
+            batch_df, cents, id_col=id_col, vec_col=vec_col
+        ).join(batch_df.select(id_col, vec_col), id_col)
+        if os.path.exists(corpus_path):
+            pool = (
+                spark.read.parquet(corpus_path)
+                .select(id_col, vec_col, "centroid_id")
+                .withColumn("__new", F.lit(False))
+                .unionByName(assigned.withColumn("__new", F.lit(True)))
+            )
+        else:
+            pool = assigned.withColumn("__new", F.lit(True))
+        pairs = embedding_near_dup_pairs(
+            pool, threshold=threshold, block_col="centroid_id",
+            id_col=id_col, vec_col=vec_col, new_col="__new",
+        )
+        # pairs are (a_id < b_id) touching >= 1 batch row, but stream ids
+        # carry no order vs the stored corpus: a batch vector loses when
+        # its counterpart is ACCEPTED corpus (either side) or a
+        # smaller-id batch mate (always the b side)
+        pa = pairs.join(
+            assigned.select(
+                F.col(id_col).alias("b_id"), F.lit(True).alias("__bn")
+            ),
+            "b_id",
+            "left",
+        )
+        # every pair touches >= 1 batch row, so exactly one loser per
+        # pair: the b side when it is a batch row (covers new-new, where
+        # the smaller batch id survives, and stored(a)-new(b)); else the
+        # a side, which is then necessarily the batch row of a
+        # new(a)-stored(b) pair — stored vectors are never retro-dropped
+        losers = (
+            pa.select(
+                F.when(F.col("__bn").isNotNull(), F.col("b_id"))
+                .otherwise(F.col("a_id"))
+                .alias(id_col)
+            )
+            .distinct()
+        )
+        keep = assigned.join(losers, id_col, "left_anti")
+        keep.select(id_col, vec_col, "centroid_id").write.mode(
+            "append"
+        ).parquet(corpus_path)
+
+    writer = (
+        vectors_stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1023,6 +1023,79 @@ def test_line_df_index_compaction_preserves_accumulation(spark, tmp_path):
     assert got[bh] == 2
 
 
+def test_streaming_semdedup_ingest_accumulates_and_replays(spark, tmp_path):
+    """The stored-centroid streaming ingest twin: batch vectors near-dup
+    against the accepted corpus AND earlier arrivals (prefix semantics —
+    a batch-2 vector duplicating a batch-1 survivor is dropped), in-batch
+    dups keep the smaller id, stored vectors are never retro-dropped, and
+    a re-delivered batch is a no-op (exactly-once by id for survivors,
+    by re-losing for losers)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus_rows = [(i, [1.0, 0.001 * i]) for i in range(4)] + [
+        (10 + i, [0.001 * i, 1.0]) for i in range(4)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    seeds = corpus.filter(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    cents_path = str(tmp_path / "cents")
+    corpus_path = str(tmp_path / "corpus")
+    kmeans_centroids(corpus, seeds, n_iter=1).write.parquet(cents_path)
+    stored_cents = spark.read.parquet(cents_path)
+    assign_to_stored_centroids(corpus, stored_cents).join(corpus, "vec_id").select(
+        "vec_id", "embedding", "centroid_id"
+    ).write.parquet(corpus_path)
+
+    src = tmp_path / "incoming"
+    b1 = [
+        (100, [1.0, 0.0005]),   # dups stored cluster A -> dropped
+        (101, [0.6, 0.8]),      # novel direction -> kept (cell B)
+        (102, [0.0005, 1.0]),   # dups stored cluster B -> dropped
+    ]
+    b2 = [
+        (200, [0.6, 0.8]),      # dups the ACCEPTED 101 -> dropped (prefix)
+        (201, [0.8, 0.6]),      # novel -> kept
+        (203, [0.8, 0.6001]),   # in-batch dup of 201 -> larger id dropped
+        (202, [1.0, 0.0015]),   # dups stored cluster A -> dropped
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        q = streaming_semdedup_ingest(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            corpus_path, cents_path,
+            threshold=0.99,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    got = {r["vec_id"] for r in spark.read.parquet(corpus_path).collect()}
+    assert got == {0, 1, 2, 3, 10, 11, 12, 13, 101, 201}
+    # assignments ride along and come from the STORED cells
+    cells = {r["vec_id"]: r["centroid_id"]
+             for r in spark.read.parquet(corpus_path).collect()}
+    assert cells[101] == 10 and cells[201] == 0
+
+    # re-delivery: replay batch 1 as a new file -> no change, no dup rows
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    rows = spark.read.parquet(corpus_path).collect()
+    assert len(rows) == 10
+    assert {r["vec_id"] for r in rows} == got
+
+
 def test_line_df_index_checkpoint_lifecycle(spark, tmp_path):
     """index_path and checkpoint share a lifecycle (the documented
     contract): epoch ids are unique only per checkpoint lineage, so two
