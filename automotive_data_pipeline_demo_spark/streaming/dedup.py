@@ -322,6 +322,15 @@ def streaming_semdedup_ingest(
     over the unioned prefix. Already-accepted vectors are never
     retro-dropped when a later near-dup arrives — the same documented
     streaming deviation as the other two ingest twins.
+
+    Maintenance: ``corpus_path`` accretes one small file set per batch —
+    fold periodically with ``sources/compact.py``'s ``compact_parquet``
+    (stream stopped; plain row-preserving compaction suffices, the corpus
+    carries no per-epoch keys). Re-clustering drift is an offline
+    concern: when the corpus outgrows the frozen cells, retrain with
+    ``kmeans_centroids`` and atomically swap ``centroids_path`` — the
+    next batch assigns against the new cells; accepted rows keep their
+    historical assignment unless backfilled.
     """
     from automotive_data_pipeline_demo_spark.extensions.similarity import (
         assign_to_stored_centroids,

@@ -733,3 +733,55 @@ def test_collapsed_graph_components_match_per_id_chain(spark, docs, thr):
         for r in connected_components(edges, "id_a", "id_b").collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.booleans(),
+            st.lists(
+                st.sampled_from([0.1, -0.25, 1.5, 0.0, 3.0e5, -7.25e-3]),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_near_dup_incremental_mode_randomized(spark, rows):
+    """Randomized: incremental pair mode (new_col) equals the full run's
+    pairs filtered to those touching a new row — identical (pair, score)
+    sets on BOTH strategies, across random block shapes, flag mixes,
+    inexact-binary values, zero vectors (NaN scores), and repeated
+    vectors."""
+    import math
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lab, is_new, vec) for i, (lab, is_new, vec) in enumerate(rows)],
+        "vec_id long, label string, is_new boolean, embedding array<float>",
+    )
+    new_ids = {i for i, (_, is_new, _) in enumerate(rows) if is_new}
+
+    def rendered(strategy, new_col):
+        out = embedding_near_dup_pairs(
+            df, threshold=-1.0, block_col="label", strategy=strategy,
+            chunk_pairs=5, new_col=new_col,
+        ).collect()
+        return sorted(
+            (r.a_id, r.b_id, "nan" if math.isnan(r.score) else r.score)
+            for r in out
+        )
+
+    want = [
+        t for t in rendered("join", None)
+        if t[0] in new_ids or t[1] in new_ids
+    ]
+    assert rendered("join", "is_new") == want
+    assert rendered("blocked", "is_new") == want
