@@ -58,6 +58,9 @@ def _shuffles(plan: str) -> int:
         # of 1 relied on a toy-scale broadcast that misrepresents 100 TB
         ("j2_w4_primary_priority", 2),
         ("x_sim_ivf", 1),
+        # 3 = assignment join by id + the cell groupBy into the blocked
+        # scorer + the losers distinct; assignment itself is zero-shuffle
+        ("x_dedup_semdedup_inc", 3),
         ("x_dedup_simhash", 1),
         # 3 = minhash groupBy(id) + bucket groupBy(band,key) + pair
         # distinct. The old self-join shape counted 2 but exchanged the
