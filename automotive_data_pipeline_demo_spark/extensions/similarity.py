@@ -452,14 +452,27 @@ def _near_dup_pairs_blocked(
                 oi = np.flatnonzero(~isnew)
                 if len(wi) == 0:
                     continue
-                ta, tb = np.triu_indices(len(wi), k=1)
-                ai = np.concatenate([np.repeat(oi, len(wi)), wi[ta]])
-                bi = np.concatenate([np.tile(wi, len(oi)), wi[tb]])
+
+                def idx_chunks(wi=wi, oi=oi):
+                    # old×new pairs generate LAZILY, oi in slices: a
+                    # materialized |old|·|new| index grows with the
+                    # accumulated corpus — the bounded incremental
+                    # posture needs peak index memory O(chunk_pairs)
+                    # (floor: one old row × the batch when |new| >
+                    # chunk_pairs — batch-side, bounded by definition)
+                    step = max(1, chunk_pairs // len(wi))
+                    for s in range(0, len(oi), step):
+                        o = oi[s:s + step]
+                        yield np.repeat(o, len(wi)), np.tile(wi, len(o))
+                    ta, tb = np.triu_indices(len(wi), k=1)  # new×new: batch²
+                    for s in range(0, len(ta), chunk_pairs):
+                        yield wi[ta[s:s + chunk_pairs]], wi[tb[s:s + chunk_pairs]]
             else:
-                ai, bi = np.triu_indices(n, k=1)
-            for s in range(0, len(ai), chunk_pairs):
-                a = ai[s:s + chunk_pairs]
-                b = bi[s:s + chunk_pairs]
+                def idx_chunks():
+                    ai, bi = np.triu_indices(n, k=1)
+                    for s in range(0, len(ai), chunk_pairs):
+                        yield ai[s:s + chunk_pairs], bi[s:s + chunk_pairs]
+            for a, b in idx_chunks():
                 dot = np.zeros(len(a))
                 for d in range(_length):
                     x = mt[d]

@@ -1916,10 +1916,14 @@ _register(QuerySpec(
         ), cut AS (
           SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
         ), c0 AS (
-          -- k ~ sqrt(stored corpus), floor 8 (mirrors the builder)
+          -- k ~ sqrt(stored corpus), floor 8 (mirrors the builder); the
+          -- stored-corpus bound matters when the corpus has < 8 rows —
+          -- the builder seeds from corpus.filter(vec_id < k) so batch
+          -- vectors must never become seeds here either
           SELECT vec_id AS cid, mv AS cv FROM m
           WHERE vec_id < (SELECT greatest(8,
                     CAST(floor(sqrt(c) + 0.5) AS BIGINT)) FROM cut)
+            AND vec_id < (SELECT c FROM cut)
         ), s0 AS (
           SELECT m.vec_id, c0.cid,
                  CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),

@@ -317,11 +317,23 @@ def streaming_semdedup_ingest(
     its own batch (the greedy keep-first policy of an append stream),
     (5) append the survivors + assignments to ``corpus_path``.
 
-    Prefix-exact: a vector processed in batch k is deduped against the
-    corpus plus batches 1..k, which equals the batch entry's semantics
-    over the unioned prefix. Already-accepted vectors are never
-    retro-dropped when a later near-dup arrives — the same documented
-    streaming deviation as the other two ingest twins.
+    Semantics vs the batch entry (``x_dedup_semdedup_inc``) — two
+    documented deviations, both inherent to an append stream:
+
+    1. Already-accepted vectors are never retro-dropped when a later
+       near-dup arrives (shared with the other two ingest twins).
+    2. **Loser chains truncate at micro-batch boundaries.** Each batch
+       dedups against ACCEPTED survivors only — a batch-k vector whose
+       only near-dup is a batch-(k-1) REJECTED vector is kept here,
+       while the batch entry over the unioned prefix would drop it
+       (there, any smaller-id near-dup kills, accepted or not). So
+       results can depend on how vectors split into micro-batches; the
+       two agree exactly when no near-dup chain spans a rejected
+       cross-batch vector (in particular: single-batch runs, and
+       corpora whose duplicate clusters always include an accepted
+       representative in the same or an earlier batch — the common
+       case, since each cluster's first arrival is always accepted).
+       Pinned by test_streaming_semdedup_loser_chain_truncates.
 
     Maintenance: ``corpus_path`` accretes one small file set per batch —
     fold periodically with ``sources/compact.py``'s ``compact_parquet``
@@ -341,6 +353,11 @@ def streaming_semdedup_ingest(
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
+        # per-id exactly-once needs BOTH guards: the anti-join only blocks
+        # cross-batch re-delivery, and the pair stage filters same-id pairs
+        # (a_id != b_id), so two same-id rows in ONE micro-batch would both
+        # append and leave duplicate ids in the corpus index
+        batch_df = batch_df.dropDuplicates([id_col])
         if os.path.exists(corpus_path):
             batch_df = batch_df.join(
                 spark.read.parquet(corpus_path).select(F.col(id_col)),

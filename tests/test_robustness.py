@@ -353,3 +353,41 @@ def test_embed_stats_saturate_instead_of_wrapping(spark, poison_emb_dir):
     rows = spec.build(spark, poison_emb_dir).collect()
     assert all(r["mean_sq"] >= 0.0 for r in rows)
     assert max(r["max_v"] for r in rows) == pytest.approx(1e30, rel=1e-6)
+
+
+def test_semdedup_inc_tiny_corpus_oracle_parity(spark, tmp_path):
+    """Builder/oracle seed agreement when the stored corpus has fewer rows
+    than the k floor (n < 10 -> cutoff < 8): both sides must seed from the
+    STORED corpus only — an oracle c0 that selected vec_id < 8 from ALL
+    embeddings would pull batch vectors into the seed set and diverge."""
+    from tests.oracle_harness import compare, duckdb_conn
+
+    d = str(tmp_path)
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    # 9 rows -> cutoff = 7: vec_ids 7, 8 are the batch; seed floor 8 > 7.
+    # Vector 7 points far from every stored vector, so a seed set that
+    # wrongly included it would move centroids and change assignments.
+    con.execute(
+        "CREATE TABLE emb AS SELECT CAST(i AS BIGINT) AS vec_id,"
+        " CASE WHEN i < 7 THEN [CAST(1.0 + 0.01*i AS FLOAT),"
+        "                       CAST(0.01*i AS FLOAT),"
+        "                       CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT)]"
+        "      ELSE [CAST(-0.01*i AS FLOAT), CAST(1.0 AS FLOAT),"
+        "            CAST(-0.3 AS FLOAT), CAST(0.05 AS FLOAT)] END"
+        " AS embedding, CAST(i % 3 AS INT) AS label"
+        " FROM range(9) t(i)"
+    )
+    con.execute(f"COPY emb TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    spec = next(s for s in CATALOG if s.name == "x_dedup_semdedup_inc")
+    spark_pdf = spec.build(spark, d).toPandas()
+    ocon = duckdb_conn(d)
+    oracle_pdf = ocon.execute(spec.oracle).fetchdf()
+    ocon.close()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, "; ".join(problems)

@@ -1208,3 +1208,106 @@ def test_incremental_line_dedup_entry_matches_streaming_prefix(spark, tmp_path):
         if r["doc_id"] >= 400
     }
     assert stream_got == got
+
+
+def test_streaming_semdedup_intra_batch_duplicate_ids(spark, tmp_path):
+    """Two rows with the SAME id in one micro-batch must not both append:
+    the anti-join only guards cross-batch re-delivery and the pair stage
+    filters same-id pairs, so without the per-batch dropDuplicates the
+    corpus index would end up with duplicate ids that the id-based replay
+    guard then treats as one."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    seeds = corpus.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    cents_path = str(tmp_path / "cents")
+    corpus_path = str(tmp_path / "corpus")
+    kmeans_centroids(corpus, seeds, n_iter=1).write.parquet(cents_path)
+
+    src = tmp_path / "incoming"
+    # same id twice in ONE batch, plus a distinct novel vector
+    batch = [(100, [0.0, 1.0]), (100, [0.0, 1.0]), (101, [0.7, 0.7])]
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(str(src))
+    q = streaming_semdedup_ingest(
+        spark.readStream.schema(schema).parquet(str(src)),
+        corpus_path, cents_path,
+        threshold=0.99,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(corpus_path).collect()
+    ids = sorted(r["vec_id"] for r in rows)
+    assert ids == [100, 101]  # exactly one row per id
+
+
+def test_streaming_semdedup_loser_chain_truncates(spark, tmp_path):
+    """Pins documented deviation 2 (streaming/dedup.py): near-dup loser
+    chains truncate at micro-batch boundaries. v100 (batch 1) loses to
+    stored v0; v200 (batch 2) near-dups ONLY the rejected v100 — the
+    stream keeps v200 (it dedups against accepted survivors only), while
+    the same vectors in ONE batch drop both (any smaller-id near-dup
+    kills, matching the batch entry over the unioned prefix)."""
+    import math as m
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    # chain on the unit circle: 0deg (stored), 6deg, 12deg.
+    # cos(6deg)=0.9945 >= 0.99 (near-dup); cos(12deg)=0.978 < 0.99.
+    def ang(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    corpus = spark.createDataFrame([(0, ang(0))], schema)
+    seeds = corpus.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def run(batches, sub):
+        from automotive_data_pipeline_demo_spark.extensions.similarity import (
+            assign_to_stored_centroids,
+        )
+
+        cents_path = str(tmp_path / sub / "cents")
+        corpus_path = str(tmp_path / sub / "corpus")
+        kmeans_centroids(corpus, seeds, n_iter=1).write.parquet(cents_path)
+        assign_to_stored_centroids(
+            corpus, spark.read.parquet(cents_path)
+        ).join(corpus, "vec_id").select(
+            "vec_id", "embedding", "centroid_id"
+        ).write.parquet(corpus_path)
+        src = tmp_path / sub / "incoming"
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+        q = streaming_semdedup_ingest(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            corpus_path, cents_path,
+            threshold=0.99,
+            checkpoint=str(tmp_path / sub / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {r["vec_id"] for r in spark.read.parquet(corpus_path).collect()}
+
+    b1 = [(100, ang(6))]    # near-dups stored v0 -> rejected
+    b2 = [(200, ang(12))]   # near-dups ONLY v100 (rejected)
+    # split across batches: the chain truncates, v200 survives
+    assert run([b1, b2], "split") == {100 - 100, 200}  # {0, 200}
+    # same vectors in one batch: v200 pairs with smaller-id v100 -> both drop
+    assert run([b1 + b2], "joint") == {0}
