@@ -782,6 +782,53 @@ def _assign_exact(
     return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
 
 
+def centroid_assignment_drift(
+    corpus_assign: DataFrame,
+    batch_assign: DataFrame,
+    centroid_id_col: str = "centroid_id",
+    quant: float = 1e9,
+) -> DataFrame:
+    """Cell-occupancy drift between the stored corpus and an incoming
+    batch — the staleness signal of the stored-centroid index
+    (:func:`kmeans_centroids` / :func:`assign_to_stored_centroids`).
+
+    The frozen cells were trained on a past corpus; they stay valid only
+    while new data keeps landing in roughly the corpus's cell-occupancy
+    distribution. This report answers "WHEN have the cells outgrown the
+    data": tag each assignment frame with its origin and reuse
+    ``source_drift_report``'s quantized TVD/chi-square fold over the cell
+    id (bin width 1 — cells are already categorical). Output is one row
+    per origin, ``(source, n_docs, tvd, chi2)`` with ``source`` in
+    {'corpus', 'batch'}: each origin's occupancy is compared against the
+    POOLED distribution, so the 'corpus' row is the near-zero reference
+    (it dominates the pool) and the 'batch' row is the drift signal —
+    alert/refresh (``streaming.dedup.refresh_centroids``) when its tvd
+    crosses the operator's threshold. In-distribution batches score near
+    the corpus row; a shifted batch (new domain, new embedding model,
+    upstream drift) concentrates in few cells and scores high.
+
+    Scale shape: inherited from ``source_drift_report`` — both inputs
+    fold to (origin, cell) grain in ONE exchange (map-side combine), and
+    everything after is arithmetic on two post-aggregate frames of at
+    most 2 x k rows. The assignment frames are (id, centroid_id)
+    projections; embeddings never enter.
+    """
+    from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
+        source_drift_report,
+    )
+
+    tagged = corpus_assign.select(
+        F.lit("corpus").alias("__origin"), F.col(centroid_id_col)
+    ).unionByName(
+        batch_assign.select(
+            F.lit("batch").alias("__origin"), F.col(centroid_id_col)
+        )
+    )
+    return source_drift_report(
+        tagged, "__origin", centroid_id_col, bin_width=1, quant=quant
+    )
+
+
 def embedding_dim_stats(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1982,3 +1982,145 @@ _register(QuerySpec(
     """,
     tags=("dedup", "similarity", "incremental"),
 ))
+
+
+# --------------------------------------------------------------------------
+# Round-9 extensions: centroid-index maintenance (assignment-drift signal)
+# --------------------------------------------------------------------------
+
+from automotive_data_pipeline_demo_spark.extensions.similarity import (  # noqa: E402
+    centroid_assignment_drift,
+)
+
+
+def q_x_dedup_semdedup_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Assignment-drift report for the stored-centroid index — the
+    staleness signal that tells the operator WHEN to run
+    ``streaming.dedup.refresh_centroids``: the frozen cells of
+    ``x_dedup_semdedup_inc`` stay valid only while incoming batches land
+    in roughly the stored corpus's cell-occupancy distribution.
+
+    Same framing as the incremental entry (stored corpus = first 80% of
+    vec_ids, batch = last 20%; centroids trained on the corpus only,
+    k ~ sqrt(corpus) with floor 8): both sides assign to the frozen
+    cells, then ``centroid_assignment_drift`` folds the two occupancy
+    distributions through ``source_drift_report``'s quantized
+    TVD/chi-square. Output: one row per origin ('corpus' is the
+    near-zero reference, 'batch' is the signal).
+
+    Scale shape: one zero-shuffle assignment pass over the vectors
+    (persisted — both origin slices read it), one exchange folding to
+    (origin, cell) grain, then pure arithmetic on 2 x k post-aggregate
+    rows (a broadcast comparison grid, the x_corpus_drift shape — never
+    a data-grain join). Embeddings never cross the wire.
+    """
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    cutoff = n * 8 // 10
+    corpus = emb.filter(F.col("vec_id") < cutoff)
+    k = max(8, int(math.floor(math.sqrt(cutoff) + 0.5)))
+    seeds = corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    cents = kmeans_centroids(corpus, seeds, n_iter=1)
+    # one assignment pass, two origin-slice consumers
+    assign_all = assign_to_stored_centroids(emb, cents).persist()
+    report = centroid_assignment_drift(
+        assign_all.filter(F.col("vec_id") < cutoff),
+        assign_all.filter(F.col("vec_id") >= cutoff),
+    )
+    out = report.select(
+        F.col("source").alias("origin"),
+        F.col("n_docs"),
+        "tvd",
+        "chi2",
+    )
+    return register_caches(out, assign_all)
+
+
+_register(QuerySpec(
+    name="x_dedup_semdedup_drift",
+    survey="north-star: stored-centroid staleness signal (cell-occupancy drift, batch vs corpus)",
+    build=q_x_dedup_semdedup_drift,
+    oracle="""
+        WITH m AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+          FROM embeddings
+        ), cut AS (
+          SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cid, mv AS cv FROM m
+          WHERE vec_id < (SELECT greatest(8,
+                    CAST(floor(sqrt(c) + 0.5) AS BIGINT)) FROM cut)
+            AND vec_id < (SELECT c FROM cut)
+        ), s0 AS (
+          SELECT m.vec_id, c0.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c0
+          WHERE m.vec_id < (SELECT c FROM cut)
+        ), a0 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
+          WHERE rn = 1
+        ), sums AS (
+          SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
+          FROM a0 JOIN m USING (vec_id),
+               UNNEST(generate_series(1, len(m.mv))) AS p(pos)
+          GROUP BY a0.cid, p.pos
+        ), c1 AS MATERIALIZED (
+          SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
+          FROM sums GROUP BY cid
+        ), s1 AS (
+          SELECT m.vec_id, c1.cid,
+                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
+                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
+                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
+          FROM m CROSS JOIN c1
+        ), a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid ASC) AS rn FROM s1)
+          WHERE rn = 1
+        ), occ AS MATERIALIZED (
+          -- (origin, cell) occupancy counts; bin width 1 (categorical)
+          SELECT CASE WHEN vec_id >= (SELECT c FROM cut)
+                      THEN 'batch' ELSE 'corpus' END AS origin,
+                 cid AS bin, COUNT(*) AS n_sb
+          FROM a1 GROUP BY 1, 2
+        ), s_tot AS (
+          SELECT origin, CAST(SUM(n_sb) AS BIGINT) AS n_s
+          FROM occ GROUP BY 1
+        ), c_bin AS (
+          SELECT bin, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM occ GROUP BY 1
+        ), c_tot AS (
+          SELECT CAST(SUM(n_b) AS BIGINT) AS n_c FROM c_bin
+        ), grid AS (
+          -- full origin x bin comparison grid (zero-mass cells included),
+          -- p_s / p_c as single IEEE divisions of exact counts — mirrors
+          -- source_drift_report
+          SELECT st.origin, st.n_s,
+                 CAST(COALESCE(o.n_sb, 0) AS DOUBLE)
+                   / CAST(st.n_s AS DOUBLE) AS p_s,
+                 CAST(cb.n_b AS DOUBLE) / CAST(ct.n_c AS DOUBLE) AS p_c
+          FROM s_tot st CROSS JOIN c_bin cb CROSS JOIN c_tot ct
+          LEFT JOIN occ o ON o.origin = st.origin AND o.bin = cb.bin
+        )
+        SELECT origin,
+               CAST(MAX(n_s) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(floor(abs(p_s - p_c) * 1000000000.0)
+                             AS BIGINT)) AS DOUBLE) / 2000000000.0 AS tvd,
+               CAST(SUM(CAST(floor((p_s - p_c) * (p_s - p_c) / p_c
+                                   * 1000000000.0)
+                             AS BIGINT)) AS DOUBLE) / 1000000000.0 AS chi2
+        FROM grid GROUP BY origin
+    """,
+    tags=("dedup", "similarity", "incremental", "monitoring"),
+))

@@ -338,11 +338,14 @@ def streaming_semdedup_ingest(
     Maintenance: ``corpus_path`` accretes one small file set per batch —
     fold periodically with ``sources/compact.py``'s ``compact_parquet``
     (stream stopped; plain row-preserving compaction suffices, the corpus
-    carries no per-epoch keys). Re-clustering drift is an offline
-    concern: when the corpus outgrows the frozen cells, retrain with
-    ``kmeans_centroids`` and atomically swap ``centroids_path`` — the
-    next batch assigns against the new cells; accepted rows keep their
-    historical assignment unless backfilled.
+    carries no per-epoch keys). Staleness of the frozen cells is
+    MEASURED, not guessed: run
+    ``extensions.similarity.centroid_assignment_drift`` on a batch's
+    assignments vs the stored corpus's (the ``x_dedup_semdedup_drift``
+    entry is the oracled batch shape), and when the batch row's tvd
+    crosses the operator's threshold, retrain + re-assign + swap both
+    artifacts in one maintenance window with :func:`refresh_centroids`
+    (stream stopped — same contract as ``compact_line_df_index``).
     """
     from automotive_data_pipeline_demo_spark.extensions.similarity import (
         assign_to_stored_centroids,
@@ -423,3 +426,120 @@ def streaming_semdedup_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def refresh_centroids(
+    spark,
+    corpus_path: str,
+    centroids_path: str,
+    k: int | None = None,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Retrain the frozen centroid index on the ACCUMULATED corpus and
+    re-assign the stored rows — the maintenance half of the
+    stored-centroid ingest (:func:`streaming_semdedup_ingest`), the
+    centroid index's analog of :func:`compact_line_df_index`.
+
+    Run it when :func:`...extensions.similarity.centroid_assignment_drift`
+    says the frozen cells have outgrown the data. Retraining changes the
+    cell GEOMETRY only — never the corpus membership:
+
+    - **Kept stays kept.** The corpus rows are rewritten with their new
+      ``centroid_id`` but the (id, vector) set is byte-identical — the
+      append-only acceptance decisions are history, not a function of the
+      index. Guarded here by an exact row-count check before the swap.
+    - **Dropped stays dropped.** Losers were never written, and a
+      re-delivered batch still anti-joins away its survivors by id while
+      its losers re-dedup against the same (now re-celled) corpus. An
+      exact duplicate of a survivor re-loses under ANY centroid geometry
+      (identical vectors assign identically, so the pair is always
+      enumerated in-cell); a borderline near-dup pair can in principle
+      straddle a new cell boundary — the same recall property every
+      in-cell-pairs SemDeDup run has, full or incremental.
+
+    Cost: one Lloyd pass per iteration over the corpus (zero-shuffle
+    assignment + one member-sum exchange — ``kmeans_centroids``), one
+    re-assignment pass, one staged rewrite of each artifact. Both swaps
+    use the staged-rewrite protocol of ``sources/compact.py``; run only
+    while the stream is STOPPED with all epochs committed (the
+    maintenance-window contract of ``compact_line_df_index``).
+
+    ``k`` defaults to ``max(8, round(sqrt(n)))`` — the same rule the
+    full-run entries use; seeds are the ``k`` smallest-id corpus vectors
+    (deterministic, so a refresh is reproducible across engines).
+
+    Returns ``{"n_vectors", "k", "cells_before", "cells_after",
+    "moved"}`` where ``moved`` counts rows whose cell changed.
+    """
+    import math
+    import uuid
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.sources.compact import (
+        swap_directory,
+    )
+
+    corpus = spark.read.parquet(corpus_path)
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("refresh_centroids: empty corpus")
+    if k is None:
+        k = max(8, int(math.floor(math.sqrt(n) + 0.5)))
+    cells_before = corpus.select("centroid_id").distinct().count()
+    # seeds: k smallest ids — driver-bounded (k rows), deterministic
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    new_cents = kmeans_centroids(corpus, seeds, n_iter=n_iter,
+                                 id_col=id_col, vec_col=vec_col)
+    reassigned = (
+        assign_to_stored_centroids(
+            corpus, new_cents, id_col=id_col, vec_col=vec_col
+        )
+        .withColumnRenamed("centroid_id", "__new_cid")
+        .join(corpus.withColumnRenamed("centroid_id", "__old_cid"), id_col)
+    )
+    # pin before the swaps: the frame must not lazily re-read the paths
+    # it is about to replace
+    reassigned = reassigned.localCheckpoint(eager=True)
+    n_after = reassigned.count()
+    if n_after != n:
+        raise ValueError(
+            f"refresh_centroids: re-assignment would change the corpus "
+            f"({n} rows -> {n_after}) — kept-stays-kept violated; the "
+            "corpus contains vectors the assignment excludes (NULL or "
+            "off-dimension), which the ingest path never appends"
+        )
+    moved = reassigned.filter(
+        ~F.col("__new_cid").eqNullSafe(F.col("__old_cid"))
+    ).count()
+    cent_staging = f"{centroids_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
+    new_cents.write.parquet(cent_staging)
+    corp_staging = f"{corpus_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
+    reassigned.select(
+        F.col(id_col), F.col(vec_col), F.col("__new_cid").alias("centroid_id")
+    ).write.parquet(corp_staging)
+    # corpus first: a crash between the swaps leaves new cells in the
+    # corpus with old centroids on disk — the next refresh re-derives
+    # both; the ingest reads centroid geometry only from centroids_path,
+    # so a half-swapped state misroutes recall, never correctness of ids
+    swap_directory(spark, corpus_path, corp_staging)
+    swap_directory(spark, centroids_path, cent_staging)
+    return {
+        "n_vectors": n,
+        "k": k,
+        "cells_before": cells_before,
+        "cells_after": new_cents.count(),
+        "moved": moved,
+    }

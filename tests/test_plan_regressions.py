@@ -152,6 +152,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # sources x corpus-bins comparison grid: a broadcast product of two
         # POST-AGGREGATE frames, both orders of magnitude under the corpus
         "x_corpus_drift",
+        "x_dedup_semdedup_drift",  # same grid shape at (origin x cell) grain
     }
     for spec in CATALOG:
         plan = _plan(spec.build(spark, sf_dir))

@@ -1311,3 +1311,139 @@ def test_streaming_semdedup_loser_chain_truncates(spark, tmp_path):
     assert run([b1, b2], "split") == {100 - 100, 200}  # {0, 200}
     # same vectors in one batch: v200 pairs with smaller-id v100 -> both drop
     assert run([b1 + b2], "joint") == {0}
+
+
+def _seed_semdedup_store(spark, tmp_path, corpus_rows, sub="store"):
+    """Train centroids on corpus_rows, persist both stored-centroid
+    artifacts (the streaming_semdedup_ingest preamble), return paths."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    seed_ids = sorted(r[0] for r in corpus_rows)[:2]
+    seeds = corpus.filter(F.col("vec_id").isin(seed_ids)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    cents_path = str(tmp_path / sub / "cents")
+    corpus_path = str(tmp_path / sub / "corpus")
+    kmeans_centroids(corpus, seeds, n_iter=1).write.parquet(cents_path)
+    assign_to_stored_centroids(corpus, spark.read.parquet(cents_path)).join(
+        corpus, "vec_id"
+    ).select("vec_id", "embedding", "centroid_id").write.parquet(corpus_path)
+    return corpus_path, cents_path
+
+
+def test_refresh_centroids_keep_stability(spark, tmp_path):
+    """refresh_centroids changes cell geometry only: the (id, vector) set
+    is byte-identical after the swap, a previously-rejected exact
+    duplicate still loses against the refreshed index, and a replayed
+    batch stays a no-op."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        refresh_centroids,
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus_rows = [(i, [1.0, 0.01 * i]) for i in range(4)] + [
+        (10 + i, [0.01 * i, 1.0]) for i in range(4)
+    ]
+    corpus_path, cents_path = _seed_semdedup_store(spark, tmp_path, corpus_rows)
+
+    # ingest one batch: 100 dups stored vec 0 (rejected), 101 novel (kept)
+    src = tmp_path / "incoming"
+    b1 = [(100, [1.0, 0.0001]), (101, [-0.7, 0.7])]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src))
+
+    def run(ck):
+        q = streaming_semdedup_ingest(
+            spark.readStream.schema(schema).parquet(str(src)),
+            corpus_path, cents_path, threshold=0.99,
+            checkpoint=str(tmp_path / ck),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    before = {
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert {i for i, _ in before} == {0, 1, 2, 3, 10, 11, 12, 13, 101}
+
+    report = refresh_centroids(spark, corpus_path, cents_path, k=3)
+    after_rows = spark.read.parquet(corpus_path).collect()
+    after = {(r["vec_id"], tuple(r["embedding"])) for r in after_rows}
+    # kept stays kept: identical (id, vector) set, only cells may move
+    assert after == before
+    assert report["n_vectors"] == 9 and report["cells_after"] == 3
+    # the swapped centroid artifact matches the corpus's cell vocabulary
+    cents = {r["centroid_id"]
+             for r in spark.read.parquet(cents_path).collect()}
+    assert {r["centroid_id"] for r in after_rows} <= cents
+
+    # dropped stays dropped: an exact duplicate of stored vec 0 re-loses
+    # against the refreshed index (identical vectors share any cell), and
+    # a replayed batch is still a no-op
+    b2 = [(200, [1.0, 0.0])]  # exact dup of vec 0
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    run("ck2")  # fresh checkpoint replays everything: ids guard survivors
+    final = {r["vec_id"] for r in spark.read.parquet(corpus_path).collect()}
+    assert final == {0, 1, 2, 3, 10, 11, 12, 13, 101}
+
+
+def test_refresh_centroids_refuses_unassignable_rows(spark, tmp_path):
+    """A corpus row the assignment would exclude (ragged vector) must
+    abort the refresh BEFORE any swap — kept-stays-kept is a hard
+    contract, not a best effort."""
+    import pytest as _pytest
+
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        refresh_centroids,
+    )
+
+    corpus_rows = [(i, [1.0, 0.01 * i]) for i in range(4)]
+    corpus_path, cents_path = _seed_semdedup_store(spark, tmp_path, corpus_rows)
+    # sneak in a 3-dim row (e.g. written by a buggy upstream)
+    spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, centroid_id long",
+    ).write.mode("append").parquet(corpus_path)
+    before = {(r["vec_id"], tuple(r["embedding"]))
+              for r in spark.read.parquet(corpus_path).collect()}
+    with _pytest.raises(ValueError, match="kept-stays-kept"):
+        refresh_centroids(spark, corpus_path, cents_path, k=2)
+    after = {(r["vec_id"], tuple(r["embedding"]))
+             for r in spark.read.parquet(corpus_path).collect()}
+    assert after == before  # no partial swap
+
+
+def test_centroid_drift_report_separates_shifted_batch(spark):
+    """The staleness signal: an in-distribution batch scores near the
+    corpus reference row; a batch concentrated in one cell (new domain /
+    embedding-model change) scores high."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        centroid_assignment_drift,
+    )
+
+    schema = "vec_id long, centroid_id long"
+    corpus = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], schema
+    )
+    in_dist = spark.createDataFrame(
+        [(1000 + i, i % 4) for i in range(40)], schema
+    )
+    shifted = spark.createDataFrame(
+        [(2000 + i, 3) for i in range(40)], schema
+    )
+    ok = {r["source"]: r for r in
+          centroid_assignment_drift(corpus, in_dist).collect()}
+    bad = {r["source"]: r for r in
+           centroid_assignment_drift(corpus, shifted).collect()}
+    assert ok["batch"]["tvd"] < 0.01                  # matches the corpus
+    assert bad["batch"]["tvd"] > 0.5                  # concentrated drift
+    assert bad["batch"]["tvd"] > 10 * bad["corpus"]["tvd"]  # vs reference
+    assert ok["corpus"]["n_docs"] == 400 and ok["batch"]["n_docs"] == 40
