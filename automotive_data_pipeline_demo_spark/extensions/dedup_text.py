@@ -197,6 +197,84 @@ def ngram_contamination(
     )
 
 
+def fuzzy_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_jaccard: float = 0.05,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Thresholded (paraphrase-level) benchmark decontamination — the
+    GPT-3/PaLM appendix recipe: instead of "any shared exact n-gram"
+    (:func:`ngram_contamination`, long grams, catches verbatim quotes), a
+    (doc, eval-item) pair is flagged when their SHORT-gram sets overlap
+    past a Jaccard threshold and/or share at least ``min_shared``
+    distinct grams. Paraphrased leakage rewrites enough words that no
+    long run survives verbatim, but the short-gram profile still
+    overlaps heavily — exactly what this mode scores.
+
+    Returns (id, benchmark_id, n_shared, jaccard) with jaccard rounded
+    to 4 dp and thresholds applied on the ROUNDED value (cross-engine
+    determinism; same discipline as the minhash verify stage).
+
+    Scale shape: the per-doc gram ARRAY materializes once per side and is
+    persisted (one tokenize pass serves the join stream, the size
+    projection, and both would otherwise re-run the extraction regex per
+    reference — the projection-collapse duplication trap); the benchmark
+    side is fixed-size and broadcasts, so the corpus gram stream is
+    generated inside the scan and hash-joined without a corpus shuffle;
+    only the sparse hit pairs pay the pair aggregation, then join
+    doc-grain size frames (longs, not text). If the corpus-side cache
+    cannot be afforded, the alternative is a second tokenize scan —
+    swap the persist for nothing and Spark recomputes.
+    """
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias(alias),
+            word_shingles(F.col(text_col), n).alias("__gr"),
+        )
+
+    c = grams(corpus, "id").persist()
+    b = grams(benchmark, "benchmark_id")
+    hits = (
+        c.select("id", F.explode("__gr").alias("g"))
+        .join(
+            F.broadcast(b.select("benchmark_id", F.explode("__gr").alias("g"))),
+            "g",
+        )
+        .groupBy("id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        hits.join(c.select("id", F.size("__gr").alias("__sza")), "id")
+        .join(
+            F.broadcast(
+                b.select("benchmark_id", F.size("__gr").alias("__szb"))
+            ),
+            "benchmark_id",
+        )
+        .select(
+            "id",
+            "benchmark_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("jaccard") >= F.lit(min_jaccard))
+            & (F.col("n_shared") >= F.lit(min_shared))
+        )
+    )
+    return register_caches(out, c)
+
+
 def build_band_index(
     df: DataFrame,
     id_col: str,

@@ -67,6 +67,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     dedup_corpus_best,
     duplicated_ngram_fraction,
     exact_dedup,
+    fuzzy_ngram_contamination,
     minhash_candidate_pairs,
     minhash_jaccard_estimate,
     near_dup_against_index,

@@ -176,42 +176,87 @@ _register(QuerySpec(
 
 
 def q_x_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs sharing any exact 8-gram with
-    the held-out eval set. The eval set is a FIXED-SIZE slice (doc_id <
-    100) — real benchmarks don't grow with the corpus, and the broadcast
-    gram set must stay constant-size at 100 TB (a fractional split like
-    doc_id % 5 would broadcast 20% of the corpus). The corpus is scanned
-    once, never shuffled — only sparse hits pay the pair aggregation.
+    """Benchmark decontamination, BOTH published modes in one tagged frame
+    (the x_dedup_jaccard_capped fold pattern):
+
+    - ``exact`` — corpus docs sharing any exact 8-gram with the held-out
+      eval set (the GPT-3 verbatim-collision recipe;
+      ``ngram_contamination``). Catches quoted answers.
+    - ``fuzzy`` — short-gram (n=4) Jaccard >= 0.05 per (doc, eval-item)
+      pair (``fuzzy_ngram_contamination``, the GPT-3/PaLM appendix
+      thresholded recipe). Catches paraphrase-level leakage where no
+      8-token run survives verbatim; on this synthetic corpus (copy-level
+      contamination only) the two modes flag the same pairs — the planted
+      paraphrase divergence is pinned in pytest.
+
+    The eval set is a FIXED-SIZE slice (doc_id < 100) — real benchmarks
+    don't grow with the corpus, and the broadcast gram set must stay
+    constant-size at 100 TB (a fractional split like doc_id % 5 would
+    broadcast 20% of the corpus). Per mode the corpus is scanned, never
+    shuffled — only sparse hits pay the pair aggregation.
     """
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") >= 100)
     bench = docs.filter(F.col("doc_id") < 100)
-    out = ngram_contamination(corpus, bench, "doc_id", "text", n=8)
-    return out.select(
-        F.col("id").alias("doc_id"), "benchmark_id",
+    exact = ngram_contamination(corpus, bench, "doc_id", "text", n=8).select(
+        F.lit("exact").alias("mode"),
+        F.col("id").alias("doc_id"),
+        "benchmark_id",
         F.col("n_shared").cast("long").alias("n_shared"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    fuzzy = fuzzy_ngram_contamination(
+        corpus, bench, "doc_id", "text", n=4, min_jaccard=0.05
+    ).select(
+        F.lit("fuzzy").alias("mode"),
+        F.col("id").alias("doc_id"),
+        "benchmark_id",
+        "n_shared",
+        "jaccard",
+    )
+    return exact.unionByName(fuzzy)
 
 
 _register(QuerySpec(
     name="x_text_contamination",
-    survey="north-star: benchmark decontamination (exact n-gram collision)",
+    survey="north-star: benchmark decontamination (exact + fuzzy/paraphrase n-gram modes)",
     build=q_x_text_contamination,
     oracle="""
-        WITH tk AS (
+        WITH tk AS MATERIALIZED (
           SELECT CAST(doc_id AS BIGINT) AS id,
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> t <> '') AS toks
           FROM documents
-        ), grams AS (
+        ), g8 AS (
           SELECT DISTINCT id, array_to_string(toks[i : i + 7], ' ') AS g
           FROM tk, UNNEST(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)
-        ), bench AS (SELECT * FROM grams WHERE id < 100),
-           corp  AS (SELECT * FROM grams WHERE id >= 100)
-        SELECT corp.id AS doc_id, bench.id AS benchmark_id,
-               CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM corp JOIN bench USING (g)
-        GROUP BY 1, 2
+        ), g4 AS MATERIALIZED (
+          SELECT DISTINCT id, array_to_string(toks[i : i + 3], ' ') AS g
+          FROM tk, UNNEST(range(1, greatest(len(toks) - 3, 1) + 1)) AS u(i)
+        ), ex AS (
+          SELECT 'exact' AS mode, c.id AS doc_id, b.id AS benchmark_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared,
+                 CAST(NULL AS DOUBLE) AS jaccard
+          FROM (SELECT * FROM g8 WHERE id >= 100) c
+          JOIN (SELECT * FROM g8 WHERE id < 100) b USING (g)
+          GROUP BY 2, 3
+        ), sz AS (
+          SELECT id, COUNT(*) AS n FROM g4 GROUP BY 1
+        ), fh AS (
+          SELECT c.id AS doc_id, b.id AS benchmark_id, COUNT(*) AS shared
+          FROM (SELECT * FROM g4 WHERE id >= 100) c
+          JOIN (SELECT * FROM g4 WHERE id < 100) b USING (g)
+          GROUP BY 1, 2
+        ), fz AS (
+          SELECT 'fuzzy' AS mode, f.doc_id, f.benchmark_id,
+                 CAST(f.shared AS BIGINT) AS n_shared,
+                 ROUND(f.shared * 1.0 / (sa.n + sb.n - f.shared), 4) AS jaccard
+          FROM fh f
+          JOIN sz sa ON sa.id = f.doc_id
+          JOIN sz sb ON sb.id = f.benchmark_id
+          WHERE ROUND(f.shared * 1.0 / (sa.n + sb.n - f.shared), 4) >= 0.05
+        )
+        SELECT * FROM ex UNION ALL SELECT * FROM fz
     """,
     tags=("text", "decontamination"),
 ))

@@ -2453,3 +2453,48 @@ def test_curation_e2e_planted_stage_semantics(spark, tmp_path):
     # cohort {100, 101} collapses to min id 100
     assert stages["near_deduped"] == 2
     assert stages["decontaminated"] == 2
+
+
+def test_fuzzy_contamination_catches_planted_paraphrase(spark):
+    """The fuzzy mode's reason to exist: a paraphrased eval item (every
+    5th word rewritten — longest verbatim run is 4 tokens) shares NO
+    exact 8-gram, so the GPT-3 verbatim mode misses it, while the
+    short-gram Jaccard mode flags it; a verbatim quote is flagged by
+    both; an unrelated doc by neither."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        fuzzy_ngram_contamination,
+        ngram_contamination,
+    )
+
+    bench_words = [f"tok{i}" for i in range(1, 21)]
+    para = list(bench_words)
+    for p in (4, 9, 14, 19):  # 0-based: every 5th word rewritten
+        para[p] = f"alt{p}"
+    rows_b = [(1, " ".join(bench_words))]
+    rows_c = [
+        (100, " ".join(para)),                      # paraphrase
+        (101, "intro words " + " ".join(bench_words[:10]) + " outro"),  # quote
+        (102, " ".join(f"zz{i}" for i in range(20))),  # unrelated
+    ]
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(rows_b, schema)
+    corpus = spark.createDataFrame(rows_c, schema)
+
+    exact = {
+        r["id"]
+        for r in ngram_contamination(corpus, bench, "doc_id", "text", n=8)
+        .collect()
+    }
+    assert exact == {101}  # verbatim only — the paraphrase slips through
+
+    fz = {
+        r["id"]: r
+        for r in fuzzy_ngram_contamination(
+            corpus, bench, "doc_id", "text", n=4, min_jaccard=0.05
+        ).collect()
+    }
+    assert set(fz) == {100, 101}
+    # paraphrase: 4 surviving 4-gram runs over 17+17-gram vocabularies
+    assert fz[100]["n_shared"] == 4
+    assert fz[100]["jaccard"] == round(4 / (17 + 17 - 4), 4)
+    spark.catalog.clearCache()
