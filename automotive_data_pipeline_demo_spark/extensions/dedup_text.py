@@ -1606,7 +1606,8 @@ def line_dedup(
     min_doc_freq: int = 2,
     carry_cols: tuple[str, ...] = (),
     hot_digests: DataFrame | None = None,
-    broadcast_hot: bool = True,
+    broadcast_hot: bool | str = True,
+    broadcast_hot_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Corpus-level line dedup — the CCNet / RefinedWeb / Dolma
     boilerplate-removal stage: drop every line whose EXACT content appears
@@ -1644,10 +1645,15 @@ def line_dedup(
     forced broadcast does not auto-degrade, so ``broadcast_hot=False``
     drops the hint and lets the anti-join plan as a shuffle join (equi
     join, so the fallback is safe — no pair blow-up anywhere). Use it on
-    a pathological corpus whose hot set outgrows executor memory, and
-    especially from long-lived streaming ingest, where the accumulated
-    cross-batch hot set grows without bound
-    (streaming/dedup.py::streaming_line_dedup_ingest plumbs the knob).
+    a pathological corpus whose hot set outgrows executor memory.
+    ``broadcast_hot="auto"`` measures instead of asking the caller to
+    know executor memory: the hot set is persisted and counted (digests
+    are fixed-width md5, so bytes ~ count x 48), the broadcast hint is
+    kept only under ``broadcast_hot_max_bytes``, and the decision is
+    logged. The count is one extra digest-grain aggregate — worth it for
+    long-lived streaming ingest, where the accumulated cross-batch hot
+    set grows without bound
+    (streaming/dedup.py::streaming_line_dedup_ingest defaults to "auto").
 
     ``carry_cols`` ride through to the output unchanged (the doc-grain
     attributes a pipeline stage needs downstream — lang, source, raw
@@ -1685,8 +1691,23 @@ def line_dedup(
             .filter(F.col("__df") >= min_doc_freq)
             .select("__h")
         )
+    held: list[DataFrame] = []
+    if broadcast_hot == "auto":
+        import logging
+
+        hot = hot.persist()
+        held.append(hot)
+        est_bytes = hot.count() * 48  # 32-char md5 + row overhead
+        use_broadcast = est_bytes <= broadcast_hot_max_bytes
+        logging.getLogger(__name__).info(
+            "line_dedup hot-set ~%d bytes -> %s join",
+            est_bytes,
+            "broadcast" if use_broadcast else "shuffle",
+        )
+    else:
+        use_broadcast = bool(broadcast_hot)
     kept = lines.withColumn("__h", F.md5("line")).join(
-        F.broadcast(hot) if broadcast_hot else hot, "__h", "left_anti"
+        F.broadcast(hot) if use_broadcast else hot, "__h", "left_anti"
     )
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
@@ -1698,7 +1719,7 @@ def line_dedup(
         ).alias("__cleaned"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    return (
+    out = (
         base.select("id", F.size("__lines").alias("__n"), *carry_cols)
         .join(rebuilt, "id", "left")
         .select(
@@ -1711,3 +1732,4 @@ def line_dedup(
             *carry_cols,
         )
     )
+    return register_caches(out, *held) if held else out

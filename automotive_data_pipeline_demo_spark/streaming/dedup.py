@@ -131,7 +131,7 @@ def streaming_line_dedup_ingest(
     min_doc_freq: int = 2,
     checkpoint: str | None = None,
     query_name: str = "streaming_line_dedup_ingest",
-    broadcast_hot: bool = True,
+    broadcast_hot: bool | str = "auto",
 ):
     """Streaming twin of :func:`...extensions.dedup_text.line_dedup` —
     corpus-level boilerplate-line removal in the daily-ingest posture.
@@ -175,10 +175,13 @@ def streaming_line_dedup_ingest(
     never share one ``index_path`` between two live queries.
 
     ``broadcast_hot`` passes through to the per-batch
-    :func:`...extensions.dedup_text.line_dedup` call: the accumulated
-    cross-batch hot set grows for the life of the stream, so a
-    long-lived ingest should set ``False`` to use the shuffle-join
-    fallback before the hot set outgrows executor memory.
+    :func:`...extensions.dedup_text.line_dedup` call. The accumulated
+    cross-batch hot set grows for the life of the stream, so the
+    default is ``"auto"``: each batch measures the hot set (one
+    digest-grain count) and keeps the broadcast hint only while it fits
+    ``line_dedup``'s byte ceiling, degrading to the shuffle join —
+    logged — once the stream outgrows it. Force ``True``/``False`` to
+    skip the measurement when the scale is known.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -2498,3 +2498,39 @@ def test_fuzzy_contamination_catches_planted_paraphrase(spark):
     assert fz[100]["n_shared"] == 4
     assert fz[100]["jaccard"] == round(4 / (17 + 17 - 4), 4)
     spark.catalog.clearCache()
+
+
+def test_line_dedup_auto_broadcast_degrades_by_size(spark):
+    """broadcast_hot='auto' measures the hot set instead of asking the
+    caller: under the byte ceiling the anti-join keeps the broadcast
+    hint; past it (forced here with a zero ceiling) it degrades to the
+    shuffle join — same rows either way."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+
+    rows = [(i, "hot line\nuniq %d" % i) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def anti_is_hinted(df):
+        # hint presence, not physical join choice: on a toy frame the
+        # planner broadcasts the tiny side anyway (stats under
+        # autoBroadcastJoinThreshold) — what "auto" controls is whether
+        # the FORCED hint overrides those stats at scale
+        op = df._jdf.queryExecution().optimizedPlan().toString()
+        anti = [l for l in op.splitlines() if "LeftAnti" in l]
+        assert anti, op
+        return all("strategy=broadcast" in l for l in anti)
+
+    small = line_dedup(docs, "doc_id", "text", broadcast_hot="auto")
+    big = line_dedup(
+        docs, "doc_id", "text", broadcast_hot="auto",
+        broadcast_hot_max_bytes=0,
+    )
+    assert anti_is_hinted(small) is True
+    assert anti_is_hinted(big) is False
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b
+    assert all("hot line" not in r[1] for r in a)  # the hot line stripped
+    spark.catalog.clearCache()
