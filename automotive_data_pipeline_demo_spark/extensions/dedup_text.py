@@ -219,41 +219,38 @@ def fuzzy_ngram_contamination(
     to 4 dp and thresholds applied on the ROUNDED value (cross-engine
     determinism; same discipline as the minhash verify stage).
 
-    Scale shape: the per-doc gram ARRAY materializes once per side and is
-    persisted (one tokenize pass serves the join stream, the size
-    projection, and both would otherwise re-run the extraction regex per
-    reference — the projection-collapse duplication trap); the benchmark
-    side is fixed-size and broadcasts, so the corpus gram stream is
-    generated inside the scan and hash-joined without a corpus shuffle;
-    only the sparse hit pairs pay the pair aggregation, then join
-    doc-grain size frames (longs, not text). If the corpus-side cache
-    cannot be afforded, the alternative is a second tokenize scan —
-    swap the persist for nothing and Spark recomputes.
+    Scale shape: ONE exchange total. The per-doc gram ARRAY materializes
+    once per side and is persisted (size + explode both read the cached
+    array — inlined, the extraction regex would re-run per reference,
+    the projection-collapse duplication trap); the gram-set SIZE rides
+    each exploded row as one long, so the Jaccard denominator folds
+    inside the same (doc, eval-item) aggregate as the intersection count
+    — no doc-grain size table is ever joined back. The benchmark side is
+    fixed-size and broadcasts, so the corpus gram stream is generated
+    inside the scan and hash-joined without a corpus shuffle; only the
+    sparse hit pairs pay the pair aggregation.
     """
-    def grams(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
+    def grams(df: DataFrame, alias: str, sz: str) -> DataFrame:
+        base = df.select(
             F.col(id_col).cast("long").alias(alias),
             word_shingles(F.col(text_col), n).alias("__gr"),
+        ).persist()
+        return base, base.select(
+            alias,
+            F.size("__gr").alias(sz),
+            F.explode("__gr").alias("g"),
         )
 
-    c = grams(corpus, "id").persist()
-    b = grams(benchmark, "benchmark_id")
-    hits = (
-        c.select("id", F.explode("__gr").alias("g"))
-        .join(
-            F.broadcast(b.select("benchmark_id", F.explode("__gr").alias("g"))),
-            "g",
-        )
-        .groupBy("id", "benchmark_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    c_held, c = grams(corpus, "id", "__sza")
+    b_held, b = grams(benchmark, "benchmark_id", "__szb")
     out = (
-        hits.join(c.select("id", F.size("__gr").alias("__sza")), "id")
-        .join(
-            F.broadcast(
-                b.select("benchmark_id", F.size("__gr").alias("__szb"))
-            ),
-            "benchmark_id",
+        c.join(F.broadcast(b), "g")
+        .groupBy("id", "benchmark_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            # functionally dependent on the group key; min = the value
+            F.min("__sza").alias("__sza"),
+            F.min("__szb").alias("__szb"),
         )
         .select(
             "id",
@@ -272,7 +269,7 @@ def fuzzy_ngram_contamination(
             & (F.col("n_shared") >= F.lit(min_shared))
         )
     )
-    return register_caches(out, c)
+    return register_caches(out, c_held, b_held)
 
 
 def build_band_index(

@@ -71,7 +71,11 @@ def _shuffles(plan: str) -> int:
         ("x_text_repetition", 0),
         ("x_text_chunking", 0),
         ("x_sample_mixture", 0),
-        ("x_text_contamination", 1),
+        # 2 = one (doc, eval-item) pair aggregate per mode (exact 8-gram,
+        # fuzzy 4-gram); the fuzzy Jaccard denominator rides the exploded
+        # rows as one long and folds in the same aggregate — never a
+        # doc-grain size join; the union adds none
+        ("x_text_contamination", 2),
         # 8 = two independent 4-exchange mode subtrees (exact + capped)
         # under one union; the union itself must add none
         ("x_dedup_jaccard_capped", 8),

@@ -785,3 +785,47 @@ def test_near_dup_incremental_mode_randomized(spark, rows):
     ]
     assert rendered("join", "is_new") == want
     assert rendered("blocked", "is_new") == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_contamination_degenerates_to_exact(spark, docs):
+    """Randomized: the thresholded recipe strictly generalizes the GPT-3
+    verbatim one — fuzzy mode at the exact mode's gram width with a zero
+    Jaccard threshold flags exactly the exact mode's (pair, n_shared)
+    set, across random small vocabularies, repeats, short docs (one-
+    shingle fallback), and empty docs."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        fuzzy_ngram_contamination,
+        ngram_contamination,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id < 1")
+    corpus = df.filter("doc_id >= 1")
+    exact = {
+        (r["id"], r["benchmark_id"]): r["n_shared"]
+        for r in ngram_contamination(
+            corpus, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    fuzzy = {
+        (r["id"], r["benchmark_id"]): r["n_shared"]
+        for r in fuzzy_ngram_contamination(
+            corpus, bench, "doc_id", "text", n=3,
+            min_jaccard=0.0, min_shared=1,
+        ).collect()
+    }
+    assert fuzzy == exact
+    spark.catalog.clearCache()

@@ -89,7 +89,8 @@ def test_stats_never_emit_negative_counts(spark, poison_dir):
 _EMB_ENTRIES = [
     "x_sim_bruteforce", "x_sim_lsh", "x_sim_ivf", "x_sim_quantized",
     "x_sim_rerank", "x_sim_kmeans", "x_dedup_embed", "x_dedup_semdedup",
-    "x_dedup_semdedup_inc", "x_dedup_threshold_sweep", "x_embed_stats",
+    "x_dedup_semdedup_inc", "x_dedup_semdedup_drift",
+    "x_dedup_threshold_sweep", "x_embed_stats",
 ]
 
 
