@@ -735,9 +735,15 @@ def _assign_exact(
         best = F.sort_array(F.array(*structs), asc=False)[0]
         # carry __mv through the assignment projection: the member-sum step
         # reads it directly off the same scan instead of shuffle-joining the
-        # assignment back to the corpus by id
+        # assignment back to the corpus by id. centroid_id is LONG to match
+        # the numpy path's declared schema: the two paths must be
+        # interchangeable file-by-file in an append-mode corpus store — a
+        # refresh crossing inline_max_k would otherwise flip the parquet
+        # physical type mid-directory and flake the vectorized reader
         return corpus.select(
-            F.col(id_col), (-best["ncid"]).alias("centroid_id"), F.col("__mv")
+            F.col(id_col),
+            (-best["ncid"]).cast("long").alias("centroid_id"),
+            F.col("__mv"),
         )
 
     def _assign_numpy() -> DataFrame:
