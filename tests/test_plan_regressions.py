@@ -61,6 +61,11 @@ def _shuffles(plan: str) -> int:
         # 3 = assignment join by id + the cell groupBy into the blocked
         # scorer + the losers distinct; assignment itself is zero-shuffle
         ("x_dedup_semdedup_inc", 3),
+        # 7 = ONE corpus-grain exchange (the (origin, cell) occupancy fold
+        # off the zero-shuffle assignment) + 6 on post-aggregate frames of
+        # <= 2 x k rows (the drift comparison grid); embeddings never
+        # cross the wire
+        ("x_dedup_semdedup_drift", 7),
         ("x_dedup_simhash", 1),
         # 3 = minhash groupBy(id) + bucket groupBy(band,key) + pair
         # distinct. The old self-join shape counted 2 but exchanged the
