@@ -1447,3 +1447,56 @@ def test_centroid_drift_report_separates_shifted_batch(spark):
     assert bad["batch"]["tvd"] > 0.5                  # concentrated drift
     assert bad["batch"]["tvd"] > 10 * bad["corpus"]["tvd"]  # vs reference
     assert ok["corpus"]["n_docs"] == 400 and ok["batch"]["n_docs"] == 40
+
+
+def test_centroid_drift_off_live_store(spark, tmp_path):
+    """The staleness loop wired end-to-end on the REAL artifacts: ingest a
+    batch into the stored-centroid corpus, compute the drift report from
+    the store's persisted assignments vs a new batch's frozen-cell
+    assignments, and confirm a shifted batch trips the signal that
+    refresh_centroids is the answer to."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        centroid_assignment_drift,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus_rows = [(i, [1.0, 0.01 * i]) for i in range(4)] + [
+        (10 + i, [0.01 * i, 1.0]) for i in range(4)
+    ]
+    corpus_path, cents_path = _seed_semdedup_store(
+        spark, tmp_path, corpus_rows, sub="live"
+    )
+    src = tmp_path / "incoming"
+    b1 = [(100, [0.9, 0.1]), (101, [0.1, 0.9])]  # balanced, novel enough
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src))
+    q = streaming_semdedup_ingest(
+        spark.readStream.schema(schema).parquet(str(src)),
+        corpus_path, cents_path, threshold=0.999,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stored = spark.read.parquet(corpus_path).select("vec_id", "centroid_id")
+    cents = spark.read.parquet(cents_path)
+    balanced = spark.createDataFrame(
+        [(200, [1.0, 0.02]), (201, [0.02, 1.0])], schema
+    )
+    shifted = spark.createDataFrame(
+        [(300 + i, [0.01 * i, 1.0]) for i in range(4)], schema
+    )
+    ok = {r["source"]: r for r in centroid_assignment_drift(
+        stored, assign_to_stored_centroids(balanced, cents)
+    ).collect()}
+    bad = {r["source"]: r for r in centroid_assignment_drift(
+        stored, assign_to_stored_centroids(shifted, cents)
+    ).collect()}
+    # the live store carries the ingested batch too (10 rows, 5 per cell)
+    assert ok["corpus"]["n_docs"] == 10
+    assert ok["batch"]["tvd"] == 0.0          # balanced batch: no drift
+    # one-cell batch of 4 vs the 14-row pool: 0.5*(5/14 + 5/14) = 0.357
+    assert bad["batch"]["tvd"] > 0.3          # signal well off the floor
