@@ -24,6 +24,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     line_dedup,
     near_dup_against_index,
 )
+from automotive_data_pipeline_demo_spark.functions.caching import release_caches
 
 
 def streaming_exact_dedup(
@@ -223,10 +224,15 @@ def streaming_line_dedup_ingest(
             .filter(F.col("df") >= min_doc_freq)
             .select("line_h")
         )
-        line_dedup(
+        cleaned = line_dedup(
             batch_df, id_col, text_col, delim=delim, hot_digests=hot,
             broadcast_hot=broadcast_hot,
-        ).write.mode("append").parquet(out_path)
+        )
+        cleaned.write.mode("append").parquet(out_path)
+        # the "auto" size probe persists the hot frame; a long-lived
+        # stream must release it per batch or the cache bookkeeping
+        # accumulates one pinned frame per micro-batch forever
+        release_caches(cleaned)
 
     writer = (
         docs_stream.writeStream.outputMode("append")

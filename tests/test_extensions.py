@@ -2534,3 +2534,30 @@ def test_line_dedup_auto_broadcast_degrades_by_size(spark):
     assert a == b
     assert all("hot line" not in r[1] for r in a)  # the hot line stripped
     spark.catalog.clearCache()
+
+
+def test_line_dedup_auto_tags_and_releases_hot_cache(spark):
+    """The 'auto' size probe persists the hot frame and tags it on the
+    result (the register_caches contract); release_caches after the
+    terminal action unpins it — the per-batch hygiene the streaming
+    ingest relies on to avoid one pinned frame per micro-batch forever."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_dedup,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hot line\nuniq %d" % i) for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = line_dedup(docs, "doc_id", "text", broadcast_hot="auto")
+    held = getattr(out, "_graft_persisted", [])
+    assert held and all(f.is_cached for f in held)
+    out.count()
+    assert release_caches(out) == len(held)
+    assert not any(f.is_cached for f in held)
+    # non-auto modes persist nothing
+    plain = line_dedup(docs, "doc_id", "text", broadcast_hot=True)
+    assert not getattr(plain, "_graft_persisted", [])
