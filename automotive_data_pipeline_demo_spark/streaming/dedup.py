@@ -70,9 +70,10 @@ def streaming_dedup_ingest(
     band signatures to ``index_path`` (both accrete one small file set per
     batch — fold them periodically with ``sources/compact.py``'s
     ``compact_parquet``, stream stopped, same maintenance-window contract
-    as ``compact_line_df_index``). Batch-internal duplicates of a
-    surviving doc land in the same batch append; they are caught one batch
-    later at the latest (documented at-least-once-dedup semantics —
+    as ``compact_line_df_index``). Same-ID rows within one micro-batch
+    collapse to one (per-id exactly-once); batch-internal NEAR-duplicates
+    of a surviving doc land in the same batch append and are caught one
+    batch later at the latest (documented at-least-once-dedup semantics —
     tighten with an intra-batch near_dup_dedup upstream if needed).
     """
 
@@ -80,6 +81,10 @@ def streaming_dedup_ingest(
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
+        # per-id exactly-once: the corpus anti-join only guards
+        # cross-batch re-delivery — two same-id rows in ONE micro-batch
+        # would both append (same contract as the semdedup twin)
+        batch_df = batch_df.dropDuplicates([id_col])
         corpus_exists = os.path.exists(corpus_path)
         if corpus_exists:
             corpus = spark.read.parquet(corpus_path)
@@ -189,6 +194,10 @@ def streaming_line_dedup_ingest(
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
+        # per-id exactly-once: the out_path anti-join only guards
+        # cross-batch re-delivery — two same-id rows in ONE micro-batch
+        # would both clean-and-append (same contract as the other twins)
+        batch_df = batch_df.dropDuplicates([id_col])
         if os.path.exists(out_path):
             batch_df = batch_df.join(
                 spark.read.parquet(out_path).select(F.col(id_col)),

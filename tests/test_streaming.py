@@ -1500,3 +1500,46 @@ def test_centroid_drift_off_live_store(spark, tmp_path):
     assert ok["batch"]["tvd"] == 0.0          # balanced batch: no drift
     # one-cell batch of 4 vs the 14-row pool: 0.5*(5/14 + 5/14) = 0.357
     assert bad["batch"]["tvd"] > 0.3          # signal well off the floor
+
+
+def test_ingest_twins_collapse_intra_batch_duplicate_ids(spark, tmp_path):
+    """All three stored-index ingest twins share the per-id exactly-once
+    contract: two same-id rows in ONE micro-batch collapse to one output
+    row (the anti-join alone only guards cross-batch re-delivery)."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_dedup_ingest,
+        streaming_line_dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    batch = [
+        (1, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+    ]
+
+    src1 = tmp_path / "in1"
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(str(src1))
+    q = streaming_dedup_ingest(
+        spark.readStream.schema(schema).parquet(str(src1)),
+        str(tmp_path / "corpus"), str(tmp_path / "index"),
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(tmp_path / "corpus")).collect())
+    assert ids == [1, 2]
+
+    src2 = tmp_path / "in2"
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(str(src2))
+    q = streaming_line_dedup_ingest(
+        spark.readStream.schema(schema).parquet(str(src2)),
+        str(tmp_path / "out"), str(tmp_path / "ldx"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert ids == [1, 2]
