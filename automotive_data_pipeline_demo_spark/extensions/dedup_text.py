@@ -219,10 +219,13 @@ def fuzzy_ngram_contamination(
     to 4 dp and thresholds applied on the ROUNDED value (cross-engine
     determinism; same discipline as the minhash verify stage).
 
-    Scale shape: ONE exchange total. The per-doc gram ARRAY materializes
-    once per side and is persisted (size + explode both read the cached
-    array — inlined, the extraction regex would re-run per reference,
-    the projection-collapse duplication trap); the gram-set SIZE rides
+    Scale shape: ONE exchange total, ZERO persists. The per-doc gram
+    ARRAY binds once per row via :func:`bind_once` into a (size, array)
+    struct — naively projecting the array and reading it from both
+    ``size()`` and ``explode()`` re-runs the extraction regex per
+    reference (the projection-collapse duplication trap; r9 paid a
+    corpus-scale persist to dodge it, which ADVICE r9 flagged as an
+    unreleasable cache footprint at 100 TB). The gram-set SIZE rides
     each exploded row as one long, so the Jaccard denominator folds
     inside the same (doc, eval-item) aggregate as the intersection count
     — no doc-grain size table is ever joined back. The benchmark side is
@@ -231,18 +234,20 @@ def fuzzy_ngram_contamination(
     sparse hit pairs pay the pair aggregation.
     """
     def grams(df: DataFrame, alias: str, sz: str) -> DataFrame:
-        base = df.select(
-            F.col(id_col).cast("long").alias(alias),
-            word_shingles(F.col(text_col), n).alias("__gr"),
-        ).persist()
-        return base, base.select(
+        gs = bind_once(
+            word_shingles(F.col(text_col), n),
+            lambda a: F.struct(F.size(a).alias("sz"), a.alias("arr")),
+        )
+        return df.select(
+            F.col(id_col).cast("long").alias(alias), gs.alias("__gs")
+        ).select(
             alias,
-            F.size("__gr").alias(sz),
-            F.explode("__gr").alias("g"),
+            F.col("__gs.sz").alias(sz),
+            F.explode("__gs.arr").alias("g"),
         )
 
-    c_held, c = grams(corpus, "id", "__sza")
-    b_held, b = grams(benchmark, "benchmark_id", "__szb")
+    c = grams(corpus, "id", "__sza")
+    b = grams(benchmark, "benchmark_id", "__szb")
     out = (
         c.join(F.broadcast(b), "g")
         .groupBy("id", "benchmark_id")
@@ -269,7 +274,7 @@ def fuzzy_ngram_contamination(
             & (F.col("n_shared") >= F.lit(min_shared))
         )
     )
-    return register_caches(out, c_held, b_held)
+    return out
 
 
 def build_band_index(

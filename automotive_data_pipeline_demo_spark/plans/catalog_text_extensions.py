@@ -13,6 +13,9 @@ from automotive_data_pipeline_demo_spark.plans.catalog import (  # noqa: F401
     _register,
     _t,
 )
+from automotive_data_pipeline_demo_spark.functions.caching import (  # noqa: F401
+    register_caches,
+)
 
 
 # --------------------------------------------------------------------------
@@ -205,16 +208,21 @@ def q_x_text_contamination(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("n_shared"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    fuzzy = fuzzy_ngram_contamination(
+    fz = fuzzy_ngram_contamination(
         corpus, bench, "doc_id", "text", n=4, min_jaccard=0.05
-    ).select(
+    )
+    fuzzy = fz.select(
         F.lit("fuzzy").alias("mode"),
         F.col("id").alias("doc_id"),
         "benchmark_id",
         "n_shared",
         "jaccard",
     )
-    return exact.unionByName(fuzzy)
+    # .select()/unionByName mint new DataFrame objects, so the operator's
+    # cache tags must be re-adopted onto the frame this entry returns —
+    # otherwise release_caches on the result frees nothing and the
+    # corpus-scale gram frame stays pinned.
+    return register_caches(exact.unionByName(fuzzy), fz)
 
 
 _register(QuerySpec(

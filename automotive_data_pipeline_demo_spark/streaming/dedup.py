@@ -27,6 +27,35 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
 from automotive_data_pipeline_demo_spark.functions.caching import release_caches
 
 
+def _dedupe_batch_ids(batch_df: DataFrame, id_col: str) -> DataFrame:
+    """Collapse same-id rows within one micro-batch to a DETERMINISTIC
+    winner: the row whose payload struct (every non-id column, in schema
+    order) is greatest.
+
+    ``dropDuplicates([id])`` keeps an arbitrary row when one batch
+    carries same-id rows with DIFFERENT payloads, and the winner can
+    change on checkpoint replay of a failed batch (partition order is not
+    stable across replays) — a replayed append could then disagree with
+    the original (ADVICE r9). ``max_by``-style struct ordering picks the
+    same winner regardless of arrival order, so replays converge. Costs
+    the same single hash-aggregate exchange ``dropDuplicates`` pays.
+
+    Works for the ingest twins' payloads (strings, numerics, arrays —
+    all orderable); map-typed columns would need an orderable surrogate.
+    """
+    others = [c for c in batch_df.columns if c != id_col]
+    if not others:
+        return batch_df.dropDuplicates([id_col])
+    payload = F.struct(*[F.col(c) for c in others])
+    picked = batch_df.groupBy(id_col).agg(F.max(payload).alias("__p"))
+    return picked.select(
+        *[
+            F.col(c) if c == id_col else F.col(f"__p.{c}").alias(c)
+            for c in batch_df.columns
+        ]
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     id_cols: list[str],
@@ -83,8 +112,9 @@ def streaming_dedup_ingest(
             return
         # per-id exactly-once: the corpus anti-join only guards
         # cross-batch re-delivery — two same-id rows in ONE micro-batch
-        # would both append (same contract as the semdedup twin)
-        batch_df = batch_df.dropDuplicates([id_col])
+        # would both append (same contract as the semdedup twin);
+        # deterministic winner so checkpoint replays converge
+        batch_df = _dedupe_batch_ids(batch_df, id_col)
         corpus_exists = os.path.exists(corpus_path)
         if corpus_exists:
             corpus = spark.read.parquet(corpus_path)
@@ -196,8 +226,9 @@ def streaming_line_dedup_ingest(
             return
         # per-id exactly-once: the out_path anti-join only guards
         # cross-batch re-delivery — two same-id rows in ONE micro-batch
-        # would both clean-and-append (same contract as the other twins)
-        batch_df = batch_df.dropDuplicates([id_col])
+        # would both clean-and-append (same contract as the other twins);
+        # deterministic winner so checkpoint replays converge
+        batch_df = _dedupe_batch_ids(batch_df, id_col)
         if os.path.exists(out_path):
             batch_df = batch_df.join(
                 spark.read.parquet(out_path).select(F.col(id_col)),
@@ -377,8 +408,9 @@ def streaming_semdedup_ingest(
         # per-id exactly-once needs BOTH guards: the anti-join only blocks
         # cross-batch re-delivery, and the pair stage filters same-id pairs
         # (a_id != b_id), so two same-id rows in ONE micro-batch would both
-        # append and leave duplicate ids in the corpus index
-        batch_df = batch_df.dropDuplicates([id_col])
+        # append and leave duplicate ids in the corpus index;
+        # deterministic winner so checkpoint replays converge
+        batch_df = _dedupe_batch_ids(batch_df, id_col)
         if os.path.exists(corpus_path):
             batch_df = batch_df.join(
                 spark.read.parquet(corpus_path).select(F.col(id_col)),
@@ -492,6 +524,7 @@ def refresh_centroids(
     "moved"}`` where ``moved`` counts rows whose cell changed.
     """
     import math
+    import shutil
     import uuid
 
     from automotive_data_pipeline_demo_spark.extensions.similarity import (
@@ -521,33 +554,52 @@ def refresh_centroids(
     )
     new_cents = kmeans_centroids(corpus, seeds, n_iter=n_iter,
                                  id_col=id_col, vec_col=vec_col)
+    # Materialize each artifact into its staging directory and read the
+    # guards back FROM the staged files — the staged parquet is the pin.
+    # (r9 localCheckpoint(eager=True)'d the reassigned corpus instead,
+    # which left corpus-size blocks in executor storage for the rest of
+    # the session — ADVICE r9; a staged-read guard costs one extra
+    # parquet scan and holds nothing after the swap.)
+    cent_staging = f"{centroids_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
+    new_cents.write.parquet(cent_staging)
+    new_cents = spark.read.parquet(cent_staging)
+    cells_after = new_cents.count()
     reassigned = (
         assign_to_stored_centroids(
             corpus, new_cents, id_col=id_col, vec_col=vec_col
         )
         .withColumnRenamed("centroid_id", "__new_cid")
-        .join(corpus.withColumnRenamed("centroid_id", "__old_cid"), id_col)
+        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
     )
-    # pin before the swaps: the frame must not lazily re-read the paths
-    # it is about to replace
-    reassigned = reassigned.localCheckpoint(eager=True)
-    n_after = reassigned.count()
+    corp_staging = f"{corpus_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
+    reassigned.select(
+        F.col(id_col), F.col(vec_col), F.col("__new_cid").alias("centroid_id")
+    ).write.parquet(corp_staging)
+    staged = spark.read.parquet(corp_staging)
+    n_after = staged.count()
     if n_after != n:
+        shutil.rmtree(corp_staging, ignore_errors=True)
+        shutil.rmtree(cent_staging, ignore_errors=True)
         raise ValueError(
             f"refresh_centroids: re-assignment would change the corpus "
             f"({n} rows -> {n_after}) — kept-stays-kept violated; the "
             "corpus contains vectors the assignment excludes (NULL or "
             "off-dimension), which the ingest path never appends"
         )
-    moved = reassigned.filter(
-        ~F.col("__new_cid").eqNullSafe(F.col("__old_cid"))
-    ).count()
-    cent_staging = f"{centroids_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
-    new_cents.write.parquet(cent_staging)
-    corp_staging = f"{corpus_path.rstrip('/')}__refresh_{uuid.uuid4().hex}"
-    reassigned.select(
-        F.col(id_col), F.col(vec_col), F.col("__new_cid").alias("centroid_id")
-    ).write.parquet(corp_staging)
+    # moved: staged (new cells) vs the still-unswapped corpus (old cells);
+    # every read of corpus_path happens BEFORE the swaps below, so lazy
+    # plans never observe the replaced directories
+    moved = (
+        staged.select(F.col(id_col), F.col("centroid_id").alias("__new_cid"))
+        .join(
+            corpus.select(
+                F.col(id_col), F.col("centroid_id").alias("__old_cid")
+            ),
+            id_col,
+        )
+        .filter(~F.col("__new_cid").eqNullSafe(F.col("__old_cid")))
+        .count()
+    )
     # corpus first: a crash between the swaps leaves new cells in the
     # corpus with old centroids on disk — the next refresh re-derives
     # both; the ingest reads centroid geometry only from centroids_path,
@@ -558,6 +610,6 @@ def refresh_centroids(
         "n_vectors": n,
         "k": k,
         "cells_before": cells_before,
-        "cells_after": new_cents.count(),
+        "cells_after": cells_after,
         "moved": moved,
     }

@@ -2561,3 +2561,28 @@ def test_line_dedup_auto_tags_and_releases_hot_cache(spark):
     # non-auto modes persist nothing
     plain = line_dedup(docs, "doc_id", "text", broadcast_hot=True)
     assert not getattr(plain, "_graft_persisted", [])
+
+
+def test_fuzzy_contamination_binds_grams_without_persist(spark):
+    """ADVICE r9: the per-side gram array is let-bound into a (size, array)
+    struct instead of persisted — zero cache footprint, and the extraction
+    regexes still evaluate once per row per side (the optimized plan
+    carries exactly one tokenize + one shingle regex per side; the naive
+    projection-collapse shape duplicated them into size() AND explode())."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        fuzzy_ngram_contamination,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100, "one two three four five six")], schema
+    )
+    bench = spark.createDataFrame([(1, "one two three four nine ten")], schema)
+    out = fuzzy_ngram_contamination(
+        corpus, bench, "doc_id", "text", n=2, min_jaccard=0.01
+    )
+    assert getattr(out, "_graft_persisted", []) == []
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # word_shingles = 1 tokenizer regex + 1 shingle regex; 2 sides => 4
+    assert plan.count("regexp_extract_all") == 4
+    assert out.count() >= 1

@@ -1543,3 +1543,91 @@ def test_ingest_twins_collapse_intra_batch_duplicate_ids(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in
                  spark.read.parquet(str(tmp_path / "out")).collect())
     assert ids == [1, 2]
+
+
+def test_dedupe_batch_ids_deterministic_winner(spark):
+    """ADVICE r9: dropDuplicates([id]) kept an ARBITRARY same-id row, so a
+    checkpoint replay of a failed batch could append a different payload
+    than the original attempt. The twins now pick the max-payload-struct
+    row — the same winner no matter how the rows arrive."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        _dedupe_batch_ids,
+    )
+
+    schema = "doc_id long, text string, score double"
+    rows = [
+        (1, "alpha", 0.2),
+        (1, "zeta", 0.1),   # max struct: text is the leading field
+        (2, "only", 1.0),
+    ]
+    for perm in (rows, rows[::-1]):
+        out = {
+            r["doc_id"]: (r["text"], r["score"])
+            for r in _dedupe_batch_ids(
+                spark.createDataFrame(perm, schema).repartition(4), "doc_id"
+            ).collect()
+        }
+        assert out == {1: ("zeta", 0.1), 2: ("only", 1.0)}
+
+    # id-only frame degrades to plain dropDuplicates
+    only = spark.createDataFrame([(7,), (7,)], "doc_id long")
+    assert _dedupe_batch_ids(only, "doc_id").collect() == [Row(doc_id=7)]
+
+    # array payloads (the semdedup twin's embedding column) are orderable
+    vecs = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (1, [0.3, 0.0])], "vec_id long, embedding array<double>"
+    )
+    picked = _dedupe_batch_ids(vecs, "vec_id").collect()
+    assert len(picked) == 1 and picked[0]["embedding"] == [0.3, 0.0]
+
+
+def test_ingest_twin_same_id_winner_is_order_independent(spark, tmp_path):
+    """End-to-end determinism: the same conflicting-payload batch fed in
+    both row orders appends the SAME surviving text."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    conflicting = [
+        (1, "alpha beta gamma delta"),
+        (1, "omega psi chi phi"),
+    ]
+    kept = []
+    for tag, perm in (("f", conflicting), ("r", conflicting[::-1])):
+        src = tmp_path / f"in_{tag}"
+        spark.createDataFrame(perm, schema).coalesce(1).write.parquet(str(src))
+        q = streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(str(src)),
+            str(tmp_path / f"corpus_{tag}"), str(tmp_path / f"index_{tag}"),
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.read.parquet(str(tmp_path / f"corpus_{tag}")).collect()
+        assert len(rows) == 1
+        kept.append(rows[0]["text"])
+    assert kept[0] == kept[1] == "omega psi chi phi"  # max payload struct
+
+
+def test_refresh_centroids_leaves_no_pinned_storage(spark, tmp_path):
+    """ADVICE r9: refresh_centroids localCheckpoint'ed the full reassigned
+    corpus and never unpersisted it — the blocks stayed pinned for the
+    rest of the session. The staged parquet is now the pin: after the
+    refresh, no NEW RDD storage blocks survive."""
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        refresh_centroids,
+    )
+
+    corpus_rows = [(i, [1.0, 0.01 * i]) for i in range(4)] + [
+        (10 + i, [0.01 * i, 1.0]) for i in range(4)
+    ]
+    corpus_path, cents_path = _seed_semdedup_store(
+        spark, tmp_path, corpus_rows, sub="nopin"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    report = refresh_centroids(spark, corpus_path, cents_path, k=3)
+    assert report["n_vectors"] == 8
+    after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert after - before == set()
