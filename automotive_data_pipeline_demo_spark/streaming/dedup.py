@@ -97,8 +97,10 @@ def streaming_dedup_ingest(
     retry/exactly-once guard), (2) drop docs Jaccard-near-duplicating the
     indexed corpus, (3) append the survivors to ``corpus_path`` and their
     band signatures to ``index_path`` (both accrete one small file set per
-    batch — fold them periodically with ``sources/compact.py``'s
-    ``compact_parquet``, stream stopped, same maintenance-window contract
+    batch — fold the corpus with ``sources/compact.py``'s
+    ``compact_parquet`` and the index with :func:`compact_band_index`,
+    which also retires band rows for since-removed docs; stream stopped,
+    same maintenance-window contract
     as ``compact_line_df_index``). Same-ID rows within one micro-batch
     collapse to one (per-id exactly-once); batch-internal NEAR-duplicates
     of a surviving doc land in the same batch append and are caught one
@@ -332,6 +334,92 @@ def compact_line_df_index(spark, index_path: str) -> dict:
     n = spark.read.parquet(index_path).count()
     after = plan_compaction(spark, index_path)["n_files"]
     return {"digests": n, "files_before": before, "files_after": after}
+
+
+def compact_band_index(
+    spark,
+    index_path: str,
+    corpus_path: str | None = None,
+    corpus_id_col: str = "doc_id",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance half of the minhash band index
+    (:func:`...extensions.dedup_text.build_band_index`, appended per
+    micro-batch by :func:`streaming_dedup_ingest`) — the band-index
+    analog of :func:`compact_line_df_index`, completing the stored-index
+    trilogy (band index / line-df / centroids).
+
+    Two jobs in one staged rewrite:
+
+    - **Small-file compaction.** The ingest appends one file set per
+      micro-batch, so after N batches a scan opens N file groups; fold
+      them to ``ceil(bytes/target_bytes)`` files (``sources/compact.py``
+      sizing — the rewrite never bottlenecks a corpus-scale index
+      through one writer task).
+    - **Retire removed ids.** Docs deleted from the corpus (retention /
+      GDPR cleanup rewrites ``corpus_path`` without them) leave orphan
+      band rows that keep generating candidate pairs forever — and a
+      retired id resurfacing as ``dup_of`` would point at a document
+      that no longer exists. When ``corpus_path`` is given, keep only
+      index rows whose id survives in the corpus (one semi-join — the
+      index side shuffles on id once; maintenance-grain, not per-batch).
+
+    Band rows are kept byte-identical (no folding is possible — each
+    (id, band, band_key) row is load-bearing for candidate generation),
+    so dedup results before and after are identical by construction;
+    guarded by an exact row-count check on the staged files before the
+    swap, mirroring ``refresh_centroids``.
+
+    Run only while the stream is STOPPED with all epochs committed (the
+    same maintenance-window contract as ``compact_line_df_index``): a
+    batch retried across the boundary would re-append rows for ids the
+    retire pass just dropped.
+
+    Returns ``{"rows_before", "rows_after", "retired_rows",
+    "files_before", "files_after"}``.
+    """
+    import shutil
+    import uuid
+
+    from automotive_data_pipeline_demo_spark.sources.compact import (
+        plan_compaction,
+        swap_directory,
+    )
+
+    plan = plan_compaction(spark, index_path)
+    files_before = plan["n_files"]
+    idx = spark.read.parquet(index_path)
+    rows_before = idx.count()
+    retained = idx
+    if corpus_path is not None:
+        live = spark.read.parquet(corpus_path).select(
+            F.col(corpus_id_col).cast("long").alias("__live_id")
+        )
+        retained = idx.join(
+            live, idx["id"] == F.col("__live_id"), "left_semi"
+        )
+    n_expected = retained.count()
+    staging = f"{index_path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    retained.coalesce(plan["target_files"]).write.mode("overwrite").parquet(
+        staging
+    )
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_expected:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"compact_band_index: staged rewrite changed the row set "
+            f"({n_expected} retained rows -> {n_staged} staged) — the "
+            "corpus or index was written during the maintenance window"
+        )
+    swap_directory(spark, index_path, staging)
+    files_after = plan_compaction(spark, index_path)["n_files"]
+    return {
+        "rows_before": rows_before,
+        "rows_after": n_staged,
+        "retired_rows": rows_before - n_staged,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def streaming_semdedup_ingest(

@@ -1631,3 +1631,100 @@ def test_refresh_centroids_leaves_no_pinned_storage(spark, tmp_path):
     assert report["n_vectors"] == 8
     after = {info.id() for info in jsc.getRDDStorageInfo()}
     assert after - before == set()
+
+
+def test_compact_band_index_folds_files_and_retires_removed_ids(
+    spark, tmp_path
+):
+    """The band index's maintenance half (stored-index trilogy complete):
+    per-batch small files fold into few, band rows for docs deleted from
+    the corpus are retired, dedup results are byte-identical through a
+    pure compaction, and a replayed batch stays a no-op afterwards."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        near_dup_against_index,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        compact_band_index,
+        streaming_dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    src = tmp_path / "incoming"
+    batches = [
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five")],
+        [(3, "alpha beta gamma delta epsilon zeta")],
+        [(4, "totally different words here now")],
+    ]
+
+    def run(ck):
+        q = streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(str(src)),
+            corpus_path, index_path, checkpoint=str(tmp_path / ck),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        run("ck1")  # same checkpoint: three committed micro-batches
+    stored = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    )
+
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),   # exact dup of 1
+         (101, "never seen before content words")],
+        schema,
+    )
+
+    def dedup_rows():
+        return sorted(
+            (r["new_id"], r["dup_of"], r["jaccard"])
+            for r in near_dup_against_index(
+                probe,
+                spark.read.parquet(index_path),
+                spark.read.parquet(corpus_path),
+                "doc_id", "text",
+            ).collect()
+        )
+
+    before_rows = dedup_rows()
+    assert [n for n, _, _ in before_rows] == [100]
+
+    # (1) pure compaction: fewer files, identical rows, identical dedup
+    idx_rows_before = sorted(
+        map(tuple, spark.read.parquet(index_path).collect())
+    )
+    report = compact_band_index(spark, index_path)
+    assert report["retired_rows"] == 0
+    assert report["files_after"] <= report["files_before"]
+    assert report["rows_after"] == report["rows_before"]
+    assert sorted(
+        map(tuple, spark.read.parquet(index_path).collect())
+    ) == idx_rows_before
+    assert dedup_rows() == before_rows
+
+    # (2) retire removed ids: GDPR-style corpus rewrite without doc 1,
+    # then the retire pass drops its band rows
+    kept = spark.read.parquet(corpus_path).filter(F.col("doc_id") != 1)
+    kept.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "corpus2")
+    )
+    report = compact_band_index(
+        spark, index_path, corpus_path=str(tmp_path / "corpus2")
+    )
+    assert report["retired_rows"] > 0
+    left = {r["id"] for r in spark.read.parquet(index_path).collect()}
+    assert 1 not in left
+    assert left == set(stored) - {1}
+
+    # (3) replay no-op: a fresh checkpoint re-delivers every batch; the
+    # corpus anti-join drops survivors, losers re-lose, nothing appends
+    n_before = spark.read.parquet(corpus_path).count()
+    run("ck_replay")
+    assert spark.read.parquet(corpus_path).count() == n_before
