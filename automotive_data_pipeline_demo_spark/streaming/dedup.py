@@ -581,7 +581,17 @@ def refresh_centroids(
     centroid index's analog of :func:`compact_line_df_index`.
 
     Run it when :func:`...extensions.similarity.centroid_assignment_drift`
-    says the frozen cells have outgrown the data. Retraining changes the
+    says the frozen cells have outgrown the data. **Calibrated trigger:
+    refresh when the batch row's ``tvd`` reaches ~0.15.** In the
+    planted-shift experiment (test_drift_threshold_calibrated_by_recall),
+    a batch concentrated between two frozen cells at tvd 0.18 lost ~20%
+    of its in-cell near-dup pairs vs brute force (recall 0.80), while
+    tvd-0 in-distribution batches held recall 1.0; refreshing with one
+    more cell restored recall to 1.0. Know the signal's blind spot: tvd
+    measures cell OCCUPANCY, so a batch straddling a cell boundary
+    symmetrically can lose recall (~0.95 in the same experiment) at
+    tvd 0 — schedule a periodic refresh as a backstop rather than
+    relying on the drift alert alone. Retraining changes the
     cell GEOMETRY only — never the corpus membership:
 
     - **Kept stays kept.** The corpus rows are rewritten with their new

@@ -1728,3 +1728,117 @@ def test_compact_band_index_folds_files_and_retires_removed_ids(
     n_before = spark.read.parquet(corpus_path).count()
     run("ck_replay")
     assert spark.read.parquet(corpus_path).count() == n_before
+
+
+def test_drift_threshold_calibrated_by_recall(spark, tmp_path):
+    """Calibrates WHAT the drift number means (VERDICT r9 item 2): plant a
+    shifted batch, measure in-cell near-dup recall against brute force
+    before and after refresh_centroids, and pin the TVD level at which
+    recall measurably degrades.
+
+    Geometry: frozen k=2 cells on two orthogonal clusters; the shifted
+    batch sits in the diagonal bulge between them, 8:2 across the cell
+    bisector, so its near-dup pairs straddle the frozen boundary AND its
+    occupancy departs from the pool. Pinned points (the numbers the
+    refresh_centroids docstring quotes):
+
+    - in-distribution batch: tvd = 0,     recall = 1.0
+    - symmetric straddle:    tvd = 0,     recall ~0.95  <- TVD's blind spot
+    - asymmetric shift:      tvd ~0.18,   recall ~0.80  <- refresh trigger
+    - after refresh (k=3):   recall = 1.0
+    """
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        centroid_assignment_drift,
+        embedding_near_dup_pairs,
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        refresh_centroids,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        sorted(
+            [(2 * j, [1.0, 0.03 * j]) for j in range(8)]
+            + [(2 * j + 1, [0.03 * j, 1.0]) for j in range(8)]
+        ),
+        schema,
+    )
+    seeds = (
+        corpus.orderBy("vec_id").limit(2)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_vec"))
+    )
+    cents = kmeans_centroids(corpus, seeds, n_iter=2)
+    corpus_assign = assign_to_stored_centroids(corpus, cents)
+
+    def batch(n_diag):
+        """10 docs; n_diag in the diagonal bulge (all but two on the
+        A side of the bisector), the rest in-distribution."""
+        rows = []
+        n_a_side = max(0, n_diag - 2)
+        for i in range(n_diag):
+            if i < n_a_side:
+                rows.append((100 + i, [0.72, 0.69 - 0.002 * i]))
+            else:
+                rows.append(
+                    (100 + i, [0.69 - 0.002 * (i - n_a_side), 0.72])
+                )
+        for i in range(10 - n_diag):
+            vec = [1.0, 0.015 + 0.03 * i]
+            rows.append((150 + i, vec if i % 2 == 0 else vec[::-1]))
+        return spark.createDataFrame(rows, schema)
+
+    def brute_truth(union_df):
+        return {(r["a_id"], r["b_id"]) for r in embedding_near_dup_pairs(
+            union_df, 0.995, strategy="join").collect()}
+
+    def recall(union_df, cents_df, truth):
+        blocked = union_df.join(
+            assign_to_stored_centroids(union_df, cents_df), "vec_id"
+        )
+        # strategy="join": bit-identical to the blocked Arrow scorer
+        # (pinned elsewhere) and ~2x faster at this toy scale
+        got = {(r["a_id"], r["b_id"]) for r in embedding_near_dup_pairs(
+            blocked, 0.995, block_col="centroid_id", strategy="join"
+        ).collect()}
+        assert got <= truth  # in-cell can only MISS pairs, never invent
+        return len(got) / len(truth)
+
+    points = {}
+    truths = {}
+    for n_diag in (0, 4, 10):
+        b = batch(n_diag)
+        drift = {r["source"]: r for r in centroid_assignment_drift(
+            corpus_assign, assign_to_stored_centroids(b, cents)
+        ).collect()}
+        union = corpus.unionByName(b)
+        truths[n_diag] = brute_truth(union)
+        points[n_diag] = (
+            drift["batch"]["tvd"], recall(union, cents, truths[n_diag])
+        )
+
+    tvd0, rec0 = points[0]
+    assert tvd0 == 0.0 and rec0 == 1.0
+    # TVD blind spot: a SYMMETRIC boundary-straddling batch keeps the
+    # occupancy distribution (tvd 0) while losing recall — why the
+    # docstring recommends scheduled refreshes as a backstop
+    tvd4, rec4 = points[4]
+    assert tvd4 == 0.0 and 0.90 <= rec4 < 1.0
+    # the asymmetric shift: occupancy signal fires AND recall degrades
+    tvd10, rec10 = points[10]
+    assert 0.15 <= tvd10 <= 0.25 and rec10 < 0.85
+
+    # refresh with one more cell: the bulge gets its own centroid and
+    # every straddling pair co-locates again
+    union = corpus.unionByName(batch(10))
+    store = str(tmp_path / "calib_store")
+    cdir = str(tmp_path / "calib_cents")
+    union.join(
+        assign_to_stored_centroids(union, cents), "vec_id"
+    ).select("vec_id", "embedding", "centroid_id").write.parquet(store)
+    cents.write.parquet(cdir)
+    report = refresh_centroids(spark, store, cdir, k=3, n_iter=3)
+    assert report["cells_after"] == 3 and report["moved"] >= 10
+    assert recall(union, spark.read.parquet(cdir), truths[10]) == 1.0
