@@ -1981,6 +1981,9 @@ _register(QuerySpec(
           AND a1.vec_id NOT IN (SELECT b_id FROM losers)
     """,
     tags=("dedup", "similarity", "incremental"),
+    # set v4 (r10): the 100 TB daily-ingest posture belongs in the
+    # tracked headline number, not just the correctness window
+    bench=True,
 ))
 
 
@@ -2123,4 +2126,5 @@ _register(QuerySpec(
         FROM grid GROUP BY origin
     """,
     tags=("dedup", "similarity", "incremental", "monitoring"),
+    bench=True,  # set v4 (r10): the staleness signal rides with the posture
 ))
