@@ -102,7 +102,9 @@ def streaming_dedup_ingest(
     which also retires band rows for since-removed docs; stream stopped,
     same maintenance-window contract
     as ``compact_line_df_index``). Same-ID rows within one micro-batch
-    collapse to one (per-id exactly-once); batch-internal NEAR-duplicates
+    collapse to one — the max-payload-struct row, deterministic across
+    checkpoint replays (:func:`_dedupe_batch_ids`), never an arbitrary
+    winner; batch-internal NEAR-duplicates
     of a surviving doc land in the same batch append and are caught one
     batch later at the latest (documented at-least-once-dedup semantics —
     tighten with an intra-batch near_dup_dedup upstream if needed).

@@ -1,0 +1,225 @@
+"""sf1 -> sf10 scaling probe for the heavy dedup/curation entries
+(VERDICT r9 item 3) -> SWEEP_SF10.md.
+
+The bench tops out at sf1 and the 100 TB claims rest on plan shapes;
+this probe measures how the heaviest entries actually scale across a
+10x corpus-size step and records the per-entry time ratio.
+
+## Data construction — decorrelated copies, not verbatim copies
+
+Both probe corpora are built from N dense-id-shifted copies of the
+sf0.1 ``documents``/``embeddings`` tables (sf1p = 10 copies ~50k docs,
+sf10p = 100 copies ~500k docs / 200k embeddings), but with the content
+DECORRELATED per copy. The bench's sf1 mirror copies text verbatim, so
+each distinct document gains one exact duplicate per copy — duplicate
+COHORT SIZE grows with the copy count and every pairwise stage inflates
+quadratically BY CONSTRUCTION; a scaling probe on that data would
+mis-attribute the data pathology to the plan. Here:
+
+- **documents**: every non-stopword token in copy k gets a ``c{k}x``
+  prefix — a per-copy token RENAMING. Jaccard/shingle/line-digest
+  structure is invariant under a bijective token rename, so every
+  within-copy near-dup relationship of the sf0.1 corpus is preserved
+  exactly, while cross-copy texts share (almost) no shingles. Stopwords
+  (the engine's 4 tiny language lists) keep their surface form so
+  stopword-gated stages (the curation chain's Gopher gate) pass the
+  same per-copy fraction. ``n_chars`` is recomputed after the rename.
+- **embeddings**: copy k is reflected through a deterministic per-copy
+  sign-flip mask (md5(k) bits, one per dimension). A sign flip applied
+  to both sides of a pair is an orthogonal transform, so every
+  within-copy cosine is preserved BIT-EXACTLY, while cross-copy
+  cosines decorrelate to noise.
+
+Net: the probe corpus is N independent sf0.1-like corpora under one
+roof — duplicate-cohort distribution, cluster geometry and gate pass
+rates all stay scale-invariant, so the measured ratio isolates how the
+PLAN scales with corpus size.
+
+## Reading the ratio
+
+10x rows => a linearly-scaling entry lands at ~10x (<= ~12x with
+scheduler/exchange overhead growth). Known super-linear-by-design:
+``x_dedup_semdedup`` enumerates in-cell pairs with k = sqrt(n) cells,
+so pair count grows ~n^1.5 (~31x for a 10x step) — the production
+lever is growing k with n (fixed cell size => linear), which
+``kmeans_centroids`` supports; the entry keeps the sqrt rule for
+oracle parity.
+
+Usage (QUIET box — same contention caveats as bench.py):
+
+    python tools/sweep_sf10.py           # generate (once) + time + write md
+    python tools/sweep_sf10.py --regen   # force data regeneration
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from automotive_data_pipeline_demo_spark.extensions.text_analysis import (  # noqa: E402
+    STOPWORDS,
+)
+from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG  # noqa: E402
+from automotive_data_pipeline_demo_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DIRS = {"sf1p": ("/tmp/spark_graft_sf1p", 10), "sf10p": ("/tmp/spark_graft_sf10p", 100)}
+DOCS_PER_COPY = 5000
+VECS_PER_COPY = 2000
+
+PROBE = [
+    "x_dedup_pipeline",
+    "x_dedup_semdedup",
+    "x_dedup_semdedup_inc",
+    "x_dedup_simhash_dedup",
+    "x_text_line_dedup",
+    "x_curation_e2e_capped",
+]
+
+# ratio <= this reads as linear-with-overhead for a 10x data step
+LINEAR_BAR = 12.0
+
+NOTES = {
+    "x_dedup_pipeline": "banded LSH + components; pair space bounded per band",
+    "x_dedup_semdedup": "in-cell pairs, k=sqrt(n) => ~n^1.5 pair space BY RULE; "
+                        "grow k with n for linear (see module docstring)",
+    "x_dedup_semdedup_inc": "batch-vs-cell pairs only; old x old never enumerated",
+    "x_dedup_simhash_dedup": "distinct-fingerprint banding, star edges linear in docs",
+    "x_text_line_dedup": "line-digest df + scrub; zero token-grain shuffles",
+    "x_curation_e2e_capped": "10-stage DAG, capped bands/doc-freq (100 TB path)",
+}
+
+
+def _rename_expr(k: int):
+    """Prefix every non-stopword token with c{k}x (see module docstring)."""
+    stops = sorted({w for lst in STOPWORDS.values() for w in lst})
+    pat = r"(?i)\b(?!(?:" + "|".join(stops) + r")\b)([A-Za-z0-9]+)"
+    return F.regexp_replace(F.col("text"), pat, f"c{k}x$1")
+
+
+def _flip_mask(k: int, dims: int) -> list[float]:
+    """Deterministic per-copy sign-flip mask from md5(k) bits."""
+    digest = hashlib.md5(str(k).encode()).digest()
+    return [
+        -1.0 if (digest[i // 8] >> (i % 8)) & 1 else 1.0
+        for i in range(dims)
+    ]
+
+
+def ensure_probe_dirs(spark, regen: bool = False) -> None:
+    dims = len(
+        spark.read.parquet(f"{SRC}/embeddings.parquet")
+        .select("embedding").first()[0]
+    )
+    for name, (path, copies) in DIRS.items():
+        marker = os.path.join(path, "_SPARK_GRAFT_PROBE_OK")
+        if os.path.exists(marker) and not regen:
+            continue
+        docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        doc_copies = []
+        for k in range(copies):
+            renamed = _rename_expr(k)
+            doc_copies.append(docs.select(
+                (F.col("doc_id") + F.lit(k * DOCS_PER_COPY)).alias("doc_id"),
+                renamed.alias("text"),
+                F.col("lang"),
+                F.col("source"),
+                F.length(renamed).cast("long").alias("n_chars"),
+            ))
+        out = doc_copies[0]
+        for c in doc_copies[1:]:
+            out = out.union(c)
+        out.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        emb_copies = []
+        for k in range(copies):
+            mask = F.array(*[F.lit(s).cast("float") for s in _flip_mask(k, dims)])
+            emb_copies.append(emb.select(
+                (F.col("vec_id") + F.lit(k * VECS_PER_COPY)).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding"), mask, lambda x, s: (x * s).cast("float")
+                ).alias("embedding"),
+                F.col("label"),
+            ))
+        out = emb_copies[0]
+        for c in emb_copies[1:]:
+            out = out.union(c)
+        out.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok\n")
+
+
+def time_entries(spark, sf_dir: str) -> dict[str, float]:
+    by_name = {s.name: s for s in CATALOG}
+    out: dict[str, float] = {}
+    for name in PROBE:
+        spec = by_name[name]
+        best = float("inf")
+        for _ in range(2):  # min-of-2: run 1 pays page cache/codegen/scratch
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+    return out
+
+
+HEADER = """# SWEEP_SF10 — sf1 -> sf10 scaling probe (heavy dedup/curation entries)
+
+{intro}
+
+| entry | sf1p sec | sf10p sec | ratio | verdict | scale shape |
+|---|---|---|---|---|---|
+"""
+
+INTRO = (
+    "Corpora: decorrelated dense-id copies of sf0.1 (sf1p = 10 copies "
+    "~50k docs / 20k vecs, sf10p = 100 copies ~500k docs / 200k vecs); "
+    "per-copy token renaming (documents) and orthogonal sign-flips "
+    "(embeddings) keep every within-copy dedup relationship exactly while "
+    "decorrelating copies, so the ratio isolates PLAN scaling, not "
+    "copy-inflated duplicate cohorts (see tools/sweep_sf10.py docstring). "
+    "min-of-2 per entry, clearCache between runs, quiet box. "
+    f"Linear-with-overhead bar for the 10x step: {LINEAR_BAR}x."
+)
+
+
+def main() -> None:
+    regen = "--regen" in sys.argv
+    spark = get_spark(app_name="sweep_sf10")
+    t0 = time.perf_counter()
+    ensure_probe_dirs(spark, regen)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    t1 = time_entries(spark, DIRS["sf1p"][0])
+    t10 = time_entries(spark, DIRS["sf10p"][0])
+    lines = []
+    for name in PROBE:
+        a, b = t1[name], t10[name]
+        ratio = round(b / a, 1) if a > 0 else float("inf")
+        verdict = "linear" if ratio <= LINEAR_BAR else "SUPER-LINEAR"
+        lines.append(
+            f"| {name} | {a} | {b} | {ratio}x | {verdict} | {NOTES[name]} |"
+        )
+        print(f"{name:28s} sf1p={a:8.2f}s sf10p={b:8.2f}s ratio={ratio}x {verdict}")
+    md = HEADER.format(intro=INTRO) + "\n".join(lines) + (
+        f"\n\n(data generation: {gen_sec}s, cached under /tmp; "
+        "`--regen` to rebuild)\n"
+    )
+    with open(os.path.join(_ROOT, "SWEEP_SF10.md"), "w", encoding="utf-8") as fh:
+        fh.write(md)
+    print("wrote SWEEP_SF10.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
