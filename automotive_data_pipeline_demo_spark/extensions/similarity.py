@@ -518,6 +518,8 @@ def kmeans_lloyd(
     centroid_vec_col: str = "c_vec",
     scale: int = 1_000_000,
     inline_max_k: int = 8,
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding corpus (cosine assignment) —
     the clustering step of SemDeDup-style semantic dedup and of
@@ -551,15 +553,24 @@ def kmeans_lloyd(
     per-cell member sums must stay under ~2^62/(scale·dims), fine through
     billions of rows at 64 dims. Ties break on centroid id ascending.
 
+    ``route_probe`` (with optional ``route_k1``, default ceil(sqrt(k)))
+    switches EVERY assignment pass — training sums and the returned final
+    assignment — to the two-level routed scorer
+    (:func:`_assign_numpy_routed`): O(n·sqrt(k)) per pass instead of
+    O(n·k), the posture that keeps the linear-pairing cell rule
+    k = n/cell_target from turning assignment into the quadratic term.
+    Routed assignment is approximate but deterministic;
+    ``route_probe >= k1`` reproduces the flat result bit-for-bit.
+
     Returns the final assignment: (id_col, centroid_id).
     """
     cents, corpus, id_type = _kmeans_train(
         vectors, seeds, n_iter, id_col, vec_col, centroid_id_col,
-        centroid_vec_col, scale, inline_max_k,
+        centroid_vec_col, scale, inline_max_k, route_probe, route_k1,
     )
-    return _assign_exact(corpus, cents, id_col, id_type, inline_max_k).select(
-        F.col(id_col), "centroid_id"
-    )
+    return _assign_exact(
+        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1
+    ).select(F.col(id_col), "centroid_id")
 
 
 def kmeans_centroids(
@@ -572,6 +583,8 @@ def kmeans_centroids(
     centroid_vec_col: str = "c_vec",
     scale: int = 1_000_000,
     inline_max_k: int = 8,
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> DataFrame:
     """Train k-means (same exact-integer contract as :func:`kmeans_lloyd`)
     and return the CENTROIDS — ``(centroid_id, c_sum: array<long>)``, the
@@ -584,10 +597,13 @@ def kmeans_centroids(
     of the stored minhash band index / line-df index patterns). Because
     the sums are exact integers, a centroid round-trips through parquet
     bit-identically and assignments stay oracle-reproducible.
+
+    ``route_probe``/``route_k1``: train with the routed assignment passes
+    of :func:`kmeans_lloyd` (same semantics).
     """
     cents, _corpus, _ = _kmeans_train(
         vectors, seeds, n_iter, id_col, vec_col, centroid_id_col,
-        centroid_vec_col, scale, inline_max_k,
+        centroid_vec_col, scale, inline_max_k, route_probe, route_k1,
     )
     return vectors.sparkSession.createDataFrame(
         [(int(cid), [int(x) for x in cv]) for cid, cv in sorted(cents.items())],
@@ -604,6 +620,8 @@ def assign_to_stored_centroids(
     centroid_sum_col: str = "c_sum",
     scale: int = 1_000_000,
     inline_max_k: int = 8,
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> DataFrame:
     """Assign vectors to STORED centroids (``kmeans_centroids`` output,
     read back from wherever it was persisted) — the incremental posture:
@@ -613,6 +631,13 @@ def assign_to_stored_centroids(
     ``inline_max_k`` — the identical bit-exact scoring of
     :func:`kmeans_lloyd`, so a batch lands in the same cell the full run
     would have put it in).
+
+    ``route_probe``/``route_k1``: assign through the two-level routed
+    scorer instead of the flat scan (:func:`_assign_numpy_routed`) —
+    O(batch·sqrt(k)) instead of O(batch·k), the daily-ingest cost model
+    once the stored index carries SemDeDup-scale cell counts
+    (k = corpus/cell_target). Deterministic; ``route_probe >= k1``
+    reproduces the flat assignment bit-for-bit.
 
     Returns (id_col, centroid_id).
     """
@@ -629,9 +654,9 @@ def assign_to_stored_centroids(
     id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
         id_col
     ].dataType.simpleString()
-    return _assign_exact(corpus, cents, id_col, id_type, inline_max_k).select(
-        F.col(id_col), "centroid_id"
-    )
+    return _assign_exact(
+        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1
+    ).select(F.col(id_col), "centroid_id")
 
 
 def _micro_units(
@@ -659,6 +684,8 @@ def _kmeans_train(
     centroid_vec_col: str,
     scale: int,
     inline_max_k: int,
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> tuple[dict[int, list[int]], DataFrame, str]:
     """Shared Lloyd training loop: returns (centroid sums, micro-unit
     corpus frame, id type) after ``n_iter`` iterations."""
@@ -689,7 +716,10 @@ def _kmeans_train(
 
     for _ in range(n_iter):
         sums = (
-            _assign_exact(corpus, cents, id_col, id_type, inline_max_k)
+            _assign_exact(
+                corpus, cents, id_col, id_type, inline_max_k,
+                route_probe, route_k1,
+            )
             .select("centroid_id", F.posexplode("__mv").alias("pos", "v"))
             .groupBy("centroid_id", "pos")
             .agg(F.sum("v").alias("s"))
@@ -708,12 +738,148 @@ def _kmeans_train(
     return cents, corpus, id_type
 
 
+def _route_plan(
+    cents: dict[int, list[int]], route_k1: int | None
+) -> tuple[list[int], dict[int, list[int]]]:
+    """Driver-side coarse routing plan over the (small) centroid table:
+    pick the ``route_k1`` representatives (the k1 smallest centroid ids —
+    deterministic, engine-free), then map every fine centroid to one rep
+    with the SAME exact-integer scoring rule assignment uses
+    (``double(dot)/sqrt(double(norm_rep))``, ties rep-id ascending). A rep
+    always maps to itself, so every rep's member list is non-empty and a
+    probed rep always contributes at least one candidate cell.
+
+    All dots/norms here are arbitrary-precision python ints (k × k1 work
+    on the driver — centroids are already a driver dict), so there is no
+    overflow bound on this step; an oracle replays it with HUGEINT.
+    ``route_k1=None`` defaults to ceil(sqrt(k)) — the count that balances
+    the rep-scan and probed-block terms of the routed assignment.
+    Returns (reps ascending, {rep -> member fine cids ascending}).
+    """
+    cids = sorted(cents)
+    if route_k1 is None:
+        route_k1 = math.ceil(math.sqrt(len(cids)))
+    k1 = max(1, min(route_k1, len(cids)))
+    reps = cids[:k1]
+    rep_set = set(reps)
+    rep_norm = {r: math.sqrt(float(sum(v * v for v in cents[r]))) for r in reps}
+    members: dict[int, list[int]] = {r: [] for r in reps}
+    for cid in cids:
+        if cid in rep_set:
+            members[cid].append(cid)
+            continue
+        best_s, best_r = None, None
+        fv = cents[cid]
+        for r in reps:
+            dot = sum(a * b for a, b in zip(fv, cents[r]))
+            s = float(dot) / rep_norm[r]
+            if best_s is None or s > best_s:
+                best_s, best_r = s, r
+        members[best_r].append(cid)
+    return reps, members
+
+
+def _assign_numpy_routed(
+    corpus: DataFrame,
+    cents: dict[int, list[int]],
+    id_col: str,
+    id_type: str,
+    route_k1: int | None,
+    route_probe: int,
+) -> DataFrame:
+    """Two-level routed nearest-centroid assignment — the IVF-quantized
+    scale path of :func:`kmeans_lloyd` / :func:`assign_to_stored_centroids`.
+
+    Flat assignment scores every row against all k centroids: O(n·k·d).
+    With the linear-pairing cell rule k = n/cell_target that becomes the
+    new quadratic term, so past small k the row is ROUTED instead: score
+    the k1 ≈ sqrt(k) representative centroids, keep the top ``route_probe``
+    by (score desc, rep id asc), then run the exact scoring rule over only
+    the fine centroids whose rep was probed — O(n·(k1 + probe·k/k1)·d),
+    ~O(n·sqrt(k)) work per corpus pass. This is APPROXIMATE (a near-best
+    cell behind an unprobed rep is missed) but fully deterministic and
+    engine-replayable: probing ``route_probe >= route_k1`` degenerates to
+    the flat assignment bit-for-bit (pinned by test), and the winner under
+    any probe is max-(score, -cid) over the probed candidate set using the
+    identical exact-integer arithmetic of the flat paths.
+
+    Still zero-shuffle: the routing plan (reps + per-rep fine blocks)
+    rides the closure like the flat numpy path's centroid matrix, and each
+    Arrow batch does one small rep matmul plus per-probed-block matmuls.
+    """
+    import numpy as np
+    import pandas as pd
+
+    reps, members = _route_plan(cents, route_k1)
+    probe = max(1, min(route_probe, len(reps)))
+    rmat = np.array([cents[r] for r in reps], dtype=np.int64)  # k1 × d
+    rnorms = np.array(
+        [math.sqrt(float(sum(v * v for v in cents[r]))) for r in reps],
+        dtype=np.float64,
+    )
+    # per-rep fine blocks; member cids ascending, so argmax's first-max
+    # within a block IS the block's min cid — the global tiebreak then
+    # resolves across blocks below
+    blocks = []
+    for ri, r in enumerate(reps):
+        mcids = members[r]
+        cmat = np.array([cents[c] for c in mcids], dtype=np.int64)
+        norms = np.array(
+            [math.sqrt(float(sum(v * v for v in cents[c]))) for c in mcids],
+            dtype=np.float64,
+        )
+        blocks.append((ri, np.array(mcids, dtype=np.int64), cmat, norms))
+
+    def assign_batches(batches):
+        for pdf in batches:
+            mv = np.array(pdf["__mv"].tolist(), dtype=np.int64)  # b × d
+            if len(mv) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "centroid_id": [], "__mv": pdf["__mv"]}
+                )
+                continue
+            # route: top-probe reps by (score desc, rep id asc) — stable
+            # argsort on the negated scores keeps ascending-id order on
+            # ties because rep columns are already id-ascending
+            rs = (mv @ rmat.T).astype(np.float64) / rnorms[None, :]
+            probed = np.argsort(-rs, axis=1, kind="stable")[:, :probe]
+            best_s = np.full(len(mv), -np.inf, dtype=np.float64)
+            best_c = np.full(len(mv), -1, dtype=np.int64)
+            for ri, mcids, cmat, norms in blocks:
+                mask = (probed == ri).any(axis=1)
+                if not mask.any():
+                    continue
+                sub = (mv[mask] @ cmat.T).astype(np.float64) / norms[None, :]
+                bi = sub.argmax(axis=1)
+                bs = sub[np.arange(len(sub)), bi]
+                bc = mcids[bi]
+                cur_s, cur_c = best_s[mask], best_c[mask]
+                upd = (bs > cur_s) | ((bs == cur_s) & (bc < cur_c))
+                rows = np.where(mask)[0][upd]
+                best_s[rows] = bs[upd]
+                best_c[rows] = bc[upd]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": best_c,
+                    "__mv": pdf["__mv"],
+                }
+            )
+
+    return corpus.mapInPandas(
+        assign_batches,
+        schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
+    )
+
+
 def _assign_exact(
     corpus: DataFrame,
     cents: dict[int, list[int]],
     id_col: str,
     id_type: str,
     inline_max_k: int,
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> DataFrame:
     """Zero-shuffle exact-integer nearest-centroid assignment:
     (id, centroid_id, __mv). Inline codegen up to ``inline_max_k``
@@ -785,7 +951,148 @@ def _assign_exact(
             schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
         )
 
+    if route_probe is not None:
+        return _assign_numpy_routed(
+            corpus, cents, id_col, id_type, route_k1, route_probe
+        )
     return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
+
+
+def split_oversized_cells(
+    assigned: DataFrame,
+    max_cell_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bound in-cell pair cost under SKEWED cell sizes: any cell whose
+    member count exceeds ``max_cell_size`` is re-partitioned into up to
+    ceil(size / max_cell_size) SUBCELLS with one deterministic assignment
+    pass over its own members; cells within the cap keep a single
+    subcell. Pair enumeration downstream blocks on (cell, subcell) — the
+    semdedup analog of the minhash path's ``max_bucket_size`` cap, except
+    no candidates are DROPPED, only partitioned (recall trades at the new
+    subcell boundaries exactly as it does at cell boundaries).
+
+    The cap is GEOMETRIC, not absolute: sub-assignment separates members
+    a hot cell lumped together despite spread-out geometry, but identical
+    and near-identical vectors still co-locate BY DESIGN — identical
+    vectors score identically, so splitting can never lose an exact-dup
+    pair, and symmetrically no subcell rule can shrink a true
+    identical-vector flood (for those, collapse by vector identity
+    upstream — the embedding analog of the jaccard path's
+    identical-set collapse).
+
+    Mechanics — scales without ever materializing a cell in one task:
+
+    1. ONE aggregation finds per-cell sizes; cells over the cap get
+       k_sub = ceil(size / max_cell_size).
+    2. Sub-seeds are each oversized cell's k_sub smallest-id member
+       vectors (one rank window over the oversized slice — deterministic,
+       engine-free). The collected sub-seed table is bounded by
+       n / max_cell_size + #oversized_cells rows — the same driver-side
+       footprint class as the main kmeans' centroid dict.
+    3. Assignment is a ZERO-SHUFFLE Arrow-batched map: each row scores
+       ONLY its own cell's sub-seeds (exact integer micro-unit dots,
+       double(dot)/sqrt(double(norm)), min-subcell tiebreak — the
+       identical scoring contract of :func:`kmeans_lloyd`).
+
+    Returns ``assigned`` plus a ``subcell`` long column (0-based rank of
+    the winning sub-seed by ascending seed id; 0 for under-cap cells).
+    Block downstream on ``F.struct(cell_col, "subcell")``.
+    """
+    if max_cell_size < 2:
+        raise ValueError("max_cell_size must be >= 2")
+    sizes = assigned.groupBy(cell_col).agg(F.count("*").alias("__n"))
+    over = sizes.filter(F.col("__n") > max_cell_size).select(
+        cell_col,
+        F.ceil(F.col("__n") / F.lit(max_cell_size)).cast("int").alias("__ks"),
+    )
+    # rank window only over the oversized slice; the under-cap corpus
+    # never shuffles
+    member = assigned.join(F.broadcast(over), cell_col)
+    rank = F.row_number().over(
+        Window.partitionBy(cell_col).orderBy(F.col(id_col).asc())
+    )
+    seed_rows = (
+        member.withColumn("__r", rank)
+        .filter(F.col("__r") <= F.col("__ks"))
+        .select(
+            cell_col,
+            (F.col("__r") - 1).alias("__sub"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("__sv"),
+        )
+        .collect()
+    )
+    if not seed_rows:
+        return assigned.withColumn("subcell", F.lit(0).cast("long"))
+    plan: dict = {}
+    for r in seed_rows:
+        plan.setdefault(r[cell_col], []).append(
+            (int(r["__sub"]), [int(x) for x in r["__sv"]])
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    mats = {}
+    for cell, seeds in plan.items():
+        seeds.sort()  # ascending subcell rank
+        mat = np.array([sv for _, sv in seeds], dtype=np.int64)
+        norms = np.array(
+            [math.sqrt(float(sum(v * v for v in sv))) for _, sv in seeds],
+            dtype=np.float64,
+        )
+        mats[cell] = (mat, norms)
+
+    out_fields = assigned.schema.fields
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", subcell long"
+    )
+    # micro-units JVM-side: F.round is half-AWAY-from-zero; np.round is
+    # banker's and would diverge from the seed vectors on exact .5
+    # products (same contract as _micro_units / the kmeans numpy path)
+    with_mv = assigned.withColumn(
+        "__mv",
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ),
+    )
+
+    def split_batches(batches):
+        for pdf in batches:
+            sub = np.zeros(len(pdf), dtype=np.int64)
+            cells = pdf[cell_col].to_numpy()
+            for cell in pd.unique(cells):
+                entry = mats.get(cell)
+                if entry is None:
+                    continue  # under-cap cell: subcell 0
+                mat, norms = entry
+                dims = mat.shape[1]
+                mask = cells == cell
+                rows = pdf.loc[mask, "__mv"]
+                # NULL / ragged vectors can't score — they stay subcell 0
+                # (the same exclusion rule as _micro_units, without
+                # dropping the row from the split output)
+                ok = rows.map(
+                    lambda v: v is not None and len(v) == dims
+                ).to_numpy(dtype=bool)
+                if not ok.any():
+                    continue
+                mv = np.array(rows[ok].tolist(), dtype=np.int64)
+                scores = (mv @ mat.T).astype(np.float64) / norms[None, :]
+                idx = np.where(mask)[0][ok]
+                sub[idx] = scores.argmax(axis=1)  # first max = min rank
+            out = pdf.drop(columns=["__mv"])
+            out["subcell"] = sub
+            yield out
+
+    return with_mv.mapInPandas(split_batches, schema=out_schema)
 
 
 def centroid_assignment_drift(

@@ -3451,18 +3451,28 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     The cell step is what makes semantic dedup scale — pairs enumerate
     WITHIN a learned cell only (one shuffle on cell id into the blocked
     Arrow scorer), never a cross product; the kmeans pass itself is
-    zero-shuffle assignment + one bounded aggregation per iteration. The cell count scales with the corpus
-    (k = round(sqrt(N)), floor 8): fixed-k cells grow linearly with N and
-    make the in-cell pairing quadratic — sf1 benching caught exactly
-    that. Past 32 cells the assignment rides kmeans_lloyd's Arrow-batched
-    numpy path automatically.
+    zero-shuffle assignment + one bounded aggregation per iteration.
+
+    Cell rule: k = ceil(N / 128) (floor 8) — a FIXED target cell size, so
+    total in-cell pair work is LINEAR in the corpus (~64 pair scores per
+    doc). The earlier k = sqrt(N) rule balanced assignment against
+    pairing at ~N^1.5 each — the flat-kmeans optimum, and exactly the
+    9.4x sf1->sf10 ratio the scaling sweep caught. With k now linear in
+    N, assignment rides the two-level ROUTED scorer (route_probe=2,
+    k1 = ceil(sqrt(k)) representative centroids; see
+    similarity._assign_numpy_routed): O(N·sqrt(k)) per pass instead of
+    O(N·k), deterministic and replayed level-by-level by the oracle.
+    Routing is approximate ONLY across cell boundaries — a near-dup PAIR
+    routes on nearly identical scores and lands in one cell together
+    (pinned by the planted-pair recall test), which is the recall that
+    matters for dedup.
     """
     emb = _t(spark, sf, "embeddings")
-    k = max(8, int(math.floor(math.sqrt(emb.count()) + 0.5)))
+    k = max(8, math.ceil(emb.count() / 128))
     seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    assign = kmeans_lloyd(emb, seeds, n_iter=1)
+    assign = kmeans_lloyd(emb, seeds, n_iter=1, route_probe=2)
     # the blocked pair scorer consumes the assigned corpus exactly once
     # (the old equi self-join read it twice and needed a persist here).
     cells = emb.join(assign, "vec_id")
@@ -3476,55 +3486,88 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _assign_score_sql(mv: str, cv: str) -> str:
+    """Exact-integer assignment score — double(dot)/sqrt(double(norm)) —
+    the DuckDB replay of similarity._assign_exact's scoring rule (HUGEINT
+    products so centroid-sum x centroid-sum dots can't overflow)."""
+    return (
+        f"CAST(list_aggregate(list_transform(list_zip({mv}, {cv}),"
+        f" p -> CAST(p[1] AS HUGEINT) * p[2]), 'sum') AS DOUBLE)"
+        f" / sqrt(CAST(list_aggregate(list_transform({cv},"
+        f" x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE))"
+    )
+
+
+def _routed_assign_sql(tag: str, cents: str, probe: int = 2) -> str:
+    """CTE block replaying one two-level ROUTED assignment pass
+    (similarity._assign_numpy_routed) over centroid table ``cents``
+    (cid, cv): reps = the k1 smallest cids, fine->rep map with
+    self-override, per-point top-``probe`` reps, argmax over the probed
+    cells' centroids. Emits CTEs r{tag}, rm{tag}, pr{tag}, a{tag};
+    a{tag} is (vec_id, cid). Ties everywhere (score DESC, cid ASC) —
+    the numpy path's stable-argsort / min-cid rule."""
+    return f"""r{tag} AS MATERIALIZED (
+          SELECT cid, cv FROM {cents}
+          QUALIFY ROW_NUMBER() OVER (ORDER BY cid) <= (SELECT k1 FROM kk)
+        ), rm{tag} AS MATERIALIZED (
+          SELECT fcid, CASE WHEN fcid IN (SELECT cid FROM r{tag})
+                            THEN fcid ELSE brcid END AS rcid
+          FROM (
+            SELECT f.cid AS fcid, r.cid AS brcid,
+                   ROW_NUMBER() OVER (PARTITION BY f.cid ORDER BY
+                     {_assign_score_sql("f.cv", "r.cv")} DESC, r.cid ASC) AS rn
+            FROM {cents} f CROSS JOIN r{tag} r)
+          WHERE rn = 1
+        ), pr{tag} AS MATERIALIZED (
+          SELECT vec_id, rcid FROM (
+            SELECT m.vec_id, r.cid AS rcid,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     {_assign_score_sql("m.mv", "r.cv")} DESC, r.cid ASC) AS rn
+            FROM m CROSS JOIN r{tag} r)
+          WHERE rn <= {probe}
+        ), a{tag} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT m.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                     {_assign_score_sql("m.mv", "c.cv")} DESC, c.cid ASC) AS rn
+            FROM m JOIN pr{tag} USING (vec_id)
+                   JOIN rm{tag} ON rm{tag}.rcid = pr{tag}.rcid
+                   JOIN {cents} c ON c.cid = rm{tag}.fcid)
+          WHERE rn = 1
+        )"""
+
+
 _register(QuerySpec(
     name="x_dedup_semdedup",
     survey="north-star: SemDeDup semantic dedup (kmeans cells -> in-cell near-dup -> drop)",
     bench=True,
     build=q_x_dedup_semdedup,
     oracle=f"""
-        WITH RECURSIVE m AS (
+        WITH RECURSIVE m AS MATERIALIZED (
           SELECT vec_id,
                  list_transform(embedding,
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
           FROM embeddings
-        ), c0 AS (
+        ), kk AS MATERIALIZED (
+          SELECT greatest(8, CAST(ceil(COUNT(*) / 128.0) AS BIGINT)) AS k,
+                 CAST(ceil(sqrt(greatest(8,
+                     ceil(COUNT(*) / 128.0)))) AS BIGINT) AS k1
+          FROM embeddings
+        ), c0 AS MATERIALIZED (
           SELECT vec_id AS cid, mv AS cv FROM m
-          WHERE vec_id < (SELECT greatest(8,
-                    CAST(floor(sqrt(COUNT(*)) + 0.5) AS BIGINT))
-                          FROM embeddings)
-        ), s0 AS (
-          SELECT m.vec_id, c0.cid,
-                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
-                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
-                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
-                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
-          FROM m CROSS JOIN c0
-        ), a0 AS (
-          SELECT vec_id, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
-          WHERE rn = 1
-        ), sums AS (
+          WHERE vec_id < (SELECT k FROM kk)
+        ), {_routed_assign_sql("0", "c0")}, sums AS (
           SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
           FROM a0 JOIN m USING (vec_id),
                UNNEST(generate_series(1, len(m.mv))) AS p(pos)
           GROUP BY a0.cid, p.pos
-        ), c1 AS (
+        ), newc AS (
           SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
           FROM sums GROUP BY cid
-        ), s1 AS (
-          SELECT m.vec_id, c1.cid,
-                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
-                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
-                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
-                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
-          FROM m CROSS JOIN c1
-        ), a1 AS (
-          SELECT vec_id, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                        ORDER BY score DESC, cid ASC) AS rn FROM s1)
-          WHERE rn = 1
-        ), pairs AS (
+        ), c1 AS MATERIALIZED (
+          SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+          FROM c0 LEFT JOIN newc n USING (cid)
+        ), {_routed_assign_sql("1", "c1")}, pairs AS MATERIALIZED (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM (
             SELECT ea.vec_id, ea.embedding, aa.cid
             FROM embeddings ea JOIN a1 aa USING (vec_id)) a

@@ -433,6 +433,8 @@ def streaming_semdedup_ingest(
     threshold: float = 0.30,
     checkpoint: str | None = None,
     query_name: str = "streaming_semdedup_ingest",
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ):
     """Streaming twin of the stored-centroid incremental SemDeDup entry
     (``x_dedup_semdedup_inc``) — the third stored-index ingest posture
@@ -513,8 +515,12 @@ def streaming_semdedup_ingest(
         if not batch_df.take(1):
             return
         cents = spark.read.parquet(centroids_path)
+        # route_probe: per-batch assignment cost drops from O(batch·k) to
+        # O(batch·√k) once the stored index carries the fixed-cell rule's
+        # corpus-proportional k (see refresh_centroids)
         assigned = assign_to_stored_centroids(
-            batch_df, cents, id_col=id_col, vec_col=vec_col
+            batch_df, cents, id_col=id_col, vec_col=vec_col,
+            route_probe=route_probe, route_k1=route_k1,
         ).join(batch_df.select(id_col, vec_col), id_col)
         if os.path.exists(corpus_path):
             pool = (
@@ -576,6 +582,8 @@ def refresh_centroids(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    route_probe: int | None = None,
+    route_k1: int | None = None,
 ) -> dict:
     """Retrain the frozen centroid index on the ACCUMULATED corpus and
     re-assign the stored rows — the maintenance half of the
@@ -616,9 +624,17 @@ def refresh_centroids(
     while the stream is STOPPED with all epochs committed (the
     maintenance-window contract of ``compact_line_df_index``).
 
-    ``k`` defaults to ``max(8, round(sqrt(n)))`` — the same rule the
-    full-run entries use; seeds are the ``k`` smallest-id corpus vectors
-    (deterministic, so a refresh is reproducible across engines).
+    ``k`` defaults to ``max(8, ceil(n / 128))`` — the fixed-target-cell
+    rule the full-run entry (``x_dedup_semdedup``) moved to in r10 so
+    in-cell pair work stays LINEAR in the corpus; seeds are the ``k``
+    smallest-id corpus vectors (deterministic, so a refresh is
+    reproducible across engines). At that rule k grows with the corpus,
+    so pass ``route_probe`` (usually 2; optional ``route_k1``, default
+    ceil(sqrt(k))) to run both the retraining passes and the
+    re-assignment through the two-level routed scorer — O(n·√k) per pass
+    instead of O(n·k), the same knob the full-run entry uses. Routed
+    refresh keeps every guarantee here (kept-stays-kept is an exact
+    row-count guard, not an assignment property).
 
     Returns ``{"n_vectors", "k", "cells_before", "cells_after",
     "moved"}`` where ``moved`` counts rows whose cell changed.
@@ -640,7 +656,7 @@ def refresh_centroids(
     if n == 0:
         raise ValueError("refresh_centroids: empty corpus")
     if k is None:
-        k = max(8, int(math.floor(math.sqrt(n) + 0.5)))
+        k = max(8, math.ceil(n / 128))
     cells_before = corpus.select("centroid_id").distinct().count()
     # seeds: k smallest ids — driver-bounded (k rows), deterministic
     seeds = (
@@ -653,7 +669,8 @@ def refresh_centroids(
         )
     )
     new_cents = kmeans_centroids(corpus, seeds, n_iter=n_iter,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col,
+                                 route_probe=route_probe, route_k1=route_k1)
     # Materialize each artifact into its staging directory and read the
     # guards back FROM the staged files — the staged parquet is the pin.
     # (r9 localCheckpoint(eager=True)'d the reassigned corpus instead,
@@ -666,7 +683,8 @@ def refresh_centroids(
     cells_after = new_cents.count()
     reassigned = (
         assign_to_stored_centroids(
-            corpus, new_cents, id_col=id_col, vec_col=vec_col
+            corpus, new_cents, id_col=id_col, vec_col=vec_col,
+            route_probe=route_probe, route_k1=route_k1,
         )
         .withColumnRenamed("centroid_id", "__new_cid")
         .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)

@@ -261,6 +261,167 @@ def test_kmeans_numpy_path_matches_inline(spark, embeddings):
     assert len(inline) == 200
 
 
+def test_kmeans_routed_full_probe_matches_flat(spark, embeddings, tmp_path):
+    """The two-level routed assignment degenerates to the flat assignment
+    BIT-FOR-BIT when every representative is probed (route_probe >= k1):
+    the probed candidate set is then all k cells, scored by the identical
+    exact-integer rule with the identical min-cid tiebreak. Pinned on
+    kmeans_lloyd (both training and final passes routed) and on the
+    stored-centroid path."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+        kmeans_lloyd,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 200)
+    seeds = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(emb, seeds, n_iter=1, inline_max_k=0).collect()
+    }
+    routed_full = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(
+            emb, seeds, n_iter=1, route_probe=12, route_k1=12
+        ).collect()
+    }
+    assert routed_full == flat
+    assert len(flat) == 200
+
+    path = str(tmp_path / "cents")
+    kmeans_centroids(emb, seeds, n_iter=1).write.parquet(path)
+    stored = spark.read.parquet(path)
+    stored_flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_stored_centroids(emb, stored, inline_max_k=0).collect()
+    }
+    stored_full = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_stored_centroids(
+            emb, stored, route_probe=12, route_k1=12
+        ).collect()
+    }
+    assert stored_full == stored_flat == flat
+
+
+def test_split_oversized_cells(spark, embeddings):
+    """The skew cap for in-cell pairing: an oversized cell re-partitions
+    into <= ceil(size/cap) subcells (under-cap cells untouched at
+    subcell 0), exact clones always co-locate, the split is
+    deterministic, and blocking near-dup pairs on (cell, subcell) loses
+    NO planted-duplicate pair while strictly shrinking the pair space."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+        split_oversized_cells,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    # clones of the first 20 vectors — planted exact-dup pairs
+    clones = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    # one pathological hot cell (0) holding everything, plus a small cell
+    assigned = (
+        emb.unionByName(clones)
+        .withColumn(
+            "centroid_id",
+            F.when(F.col("vec_id") % 50 == 49, F.lit(1)).otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    split = split_oversized_cells(assigned, max_cell_size=64)
+    rows = split.collect()
+    assert len(rows) == 220  # no rows dropped or duplicated
+    by_id = {r["vec_id"]: (r["centroid_id"], r["subcell"]) for r in rows}
+    # under-cap cell 1 (4 members) untouched
+    assert {by_id[v] for v in by_id if by_id[v][0] == 1} == {(1, 0)}
+    # hot cell split into <= ceil(216/64)=4 subcells, more than one used
+    hot_subs = {s for c, s in by_id.values() if c == 0}
+    assert hot_subs <= {0, 1, 2, 3} and len(hot_subs) > 1
+    # exact clones co-locate with their source
+    assert all(by_id[v] == by_id[v + 10_000] for v in range(20))
+    # deterministic
+    again = {r["vec_id"]: (r["centroid_id"], r["subcell"])
+             for r in split_oversized_cells(assigned, max_cell_size=64).collect()}
+    assert again == by_id
+
+    # blocking on (cell, subcell): planted pairs all survive, pair space shrinks
+    blocked = split.withColumn(
+        "blk", F.struct(F.col("centroid_id"), F.col("subcell"))
+    )
+    pairs_split = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(
+            blocked, threshold=0.999, block_col="blk"
+        ).collect()
+    }
+    assert {(v, v + 10_000) for v in range(20)} <= pairs_split
+    pairs_cell = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(
+            assigned, threshold=0.999, block_col="centroid_id"
+        ).collect()
+    }
+    assert pairs_split <= pairs_cell
+
+
+def test_split_oversized_cells_null_and_ragged_rows_stay(spark):
+    """Degenerate vectors (NULL / off-dimension) can't be scored but must
+    not be dropped by the split — they keep subcell 0 (the _micro_units
+    exclusion rule, minus the row loss)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        split_oversized_cells,
+    )
+
+    rows = [(i, [1.0 * i, 1.0], 0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows + [(96, None, 0), (97, [1.0], 0)],
+        "vec_id long, embedding array<double>, centroid_id long",
+    )
+    out = split_oversized_cells(df, max_cell_size=4)
+    got = {r["vec_id"]: r["subcell"] for r in out.collect()}
+    assert len(got) == 8
+    assert got[96] == 0 and got[97] == 0
+
+
+def test_kmeans_routed_near_dup_pairs_colocate(spark, embeddings):
+    """What routing must NOT lose is PAIR recall: a near-duplicate pair
+    rides nearly identical routing scores, probes the same reps, and
+    lands in one cell together — even where its absolute cell choice
+    differs from the flat scan's. Plant exact clones of 40 corpus
+    vectors (new ids), run the routed assignment at SemDeDup-entry
+    settings (probe=2, k1=ceil(sqrt(k))), and require every clone in the
+    SAME cell as its source; the in-cell pair scorer then sees every
+    planted pair. Exact clones tie on every score, so any co-location
+    miss would be a determinism bug, not a recall bug — which is the
+    point: routed dedup recall degrades only at genuine cell-boundary
+    margins, never between near-identical rows."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    seeds = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(
+            corpus, seeds, n_iter=1, route_probe=2
+        ).collect()
+    }
+    assert len(assign) == 340
+    misses = [v for v in range(40) if assign[v] != assign[v + 10_000]]
+    assert misses == []
+
+
 def test_stored_centroid_assign_matches_full_run(spark, embeddings, tmp_path):
     """The stored-centroid posture reproduces the full run exactly:
     kmeans_centroids -> parquet round-trip -> assign_to_stored_centroids

@@ -1395,6 +1395,54 @@ def test_refresh_centroids_keep_stability(spark, tmp_path):
     assert final == {0, 1, 2, 3, 10, 11, 12, 13, 101}
 
 
+def test_refresh_centroids_routed(spark, tmp_path, sf_dir):
+    """Routed maintenance: refresh_centroids(route_probe=...) keeps the
+    byte-identical (id, vector) corpus (kept-stays-kept holds under any
+    assignment), and a FULL-PROBE routed refresh lands every row in the
+    identical cell the flat refresh picks — the bit-exact degeneracy pin
+    driven end to end through both staged artifact swaps."""
+    import shutil
+
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        refresh_centroids,
+    )
+
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 120).collect()
+    ]
+    corpus_path, cents_path = _seed_semdedup_store(spark, tmp_path, rows,
+                                                   sub="routed")
+    flat_dir = tmp_path / "flatcopy"
+    shutil.copytree(tmp_path / "routed", flat_dir)
+    before = {(r["vec_id"], tuple(r["embedding"]))
+              for r in spark.read.parquet(corpus_path).collect()}
+
+    routed = refresh_centroids(
+        spark, corpus_path, cents_path, k=12, route_probe=12, route_k1=12
+    )
+    flat = refresh_centroids(
+        spark, str(flat_dir / "corpus"), str(flat_dir / "cents"), k=12
+    )
+    assert routed["n_vectors"] == flat["n_vectors"] == 120
+    after = {(r["vec_id"], tuple(r["embedding"]))
+             for r in spark.read.parquet(corpus_path).collect()}
+    assert after == before  # kept stays kept under a routed refresh
+    routed_cells = {r["vec_id"]: r["centroid_id"]
+                    for r in spark.read.parquet(corpus_path).collect()}
+    flat_cells = {r["vec_id"]: r["centroid_id"]
+                  for r in spark.read.parquet(str(flat_dir / "corpus")).collect()}
+    assert routed_cells == flat_cells  # full probe ≡ flat, end to end
+    # a genuinely pruned probe still satisfies the refresh contracts
+    pruned = refresh_centroids(
+        spark, corpus_path, cents_path, k=12, route_probe=2
+    )
+    assert pruned["n_vectors"] == 120
+    assert {(r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(corpus_path).collect()} == before
+
+
 def test_refresh_centroids_refuses_unassignable_rows(spark, tmp_path):
     """A corpus row the assignment would exclude (ragged vector) must
     abort the refresh BEFORE any swap — kept-stays-kept is a hard

@@ -38,12 +38,14 @@ PLAN scales with corpus size.
 ## Reading the ratio
 
 10x rows => a linearly-scaling entry lands at ~10x (<= ~12x with
-scheduler/exchange overhead growth). Known super-linear-by-design:
-``x_dedup_semdedup`` enumerates in-cell pairs with k = sqrt(n) cells,
-so pair count grows ~n^1.5 (~31x for a 10x step) — the production
-lever is growing k with n (fixed cell size => linear), which
-``kmeans_centroids`` supports; the entry keeps the sqrt rule for
-oracle parity.
+scheduler/exchange overhead growth). The r9 probe caught
+``x_dedup_semdedup`` at 9.4x under its then k = sqrt(n) rule (pair
+space ~n^1.5 BY RULE — the flat-kmeans optimum, since flat assignment
+is O(n*k) and pairing O(n*(n/k))); r10 moved the entry to a fixed
+128-target cell size (k = n/128, linear pair space) with the
+two-level ROUTED assignment (O(n*sqrt(k)) per pass,
+similarity._assign_numpy_routed) so neither half is the quadratic
+term.
 
 Usage (QUIET box — same contention caveats as bench.py):
 
@@ -88,8 +90,8 @@ LINEAR_BAR = 12.0
 
 NOTES = {
     "x_dedup_pipeline": "banded LSH + components; pair space bounded per band",
-    "x_dedup_semdedup": "in-cell pairs, k=sqrt(n) => ~n^1.5 pair space BY RULE; "
-                        "grow k with n for linear (see module docstring)",
+    "x_dedup_semdedup": "fixed 128-target cells (k=n/128) => linear pair space; "
+                        "assignment two-level ROUTED (O(n*sqrt(k)))",
     "x_dedup_semdedup_inc": "batch-vs-cell pairs only; old x old never enumerated",
     "x_dedup_simhash_dedup": "distinct-fingerprint banding, star edges linear in docs",
     "x_text_line_dedup": "line-digest df + scrub; zero token-grain shuffles",
