@@ -265,6 +265,84 @@ def ivf_topk(
     )
 
 
+def ivf_topk_stored(
+    corpus_cells: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_vec",
+) -> DataFrame:
+    """ANN search against a STORED cell-assigned corpus — the search half
+    of the stored-centroid index posture. ``corpus_cells`` is the
+    ``(id, vector, centroid_id)`` artifact the ingest/refresh machinery
+    already maintains (``streaming_semdedup_ingest`` / ``refresh_centroids``
+    corpus store, or any ``assign_to_stored_centroids`` output): the
+    corpus is NEVER re-assigned at query time — only the (small) query
+    side scores the centroid table, via :func:`ivf_assign`.
+
+    The probed cell ids are collected (bounded by |queries| x nprobe —
+    queries are few; the corpus is the 100 TB side) and pushed as a
+    STATIC ``IN`` filter before the join, so a corpus store written
+    ``partitionBy(centroid_id)`` prunes unread cells at the SCAN —
+    queries read ~nprobe/n_cells of the corpus from disk, not all of it
+    (pinned by a PartitionFilters plan test). The probe side then
+    broadcasts into the surviving cells.
+
+    Query-side probing scores float cosine against ``centroid_vec_col``
+    (pass ``c_sum`` for ``kmeans_centroids`` artifacts — cosine is
+    scale-invariant, so unnormalized integer sums work as-is); the rule
+    differs from the corpus's exact-integer assignment only in float
+    rounding at cell BOUNDARIES, which is probe-recall slack, not a
+    correctness surface — scores returned to the caller are computed
+    exactly like :func:`ivf_topk`'s (round 4 dp, vec-id tiebreak).
+
+    Output matches :func:`brute_force_topk` / :func:`ivf_topk`:
+    (query_id, vec_id, score).
+    """
+    probes = ivf_assign(
+        queries,
+        centroids,
+        nprobe=nprobe,
+        id_col=query_id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    probed = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    pruned = corpus_cells.filter(F.col(centroid_id_col).isin(probed)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(centroid_id_col).alias("centroid_id"),
+    )
+    scored = pruned.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity_col(F.col("c_vec"), F.col("q_vec")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

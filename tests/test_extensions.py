@@ -307,6 +307,55 @@ def test_kmeans_routed_full_probe_matches_flat(spark, embeddings, tmp_path):
     assert stored_full == stored_flat == flat
 
 
+def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
+    """The search half of the stored-centroid posture: ivf_topk_stored
+    searches the (id, vector, centroid_id) store the ingest/refresh
+    machinery maintains WITHOUT re-assigning the corpus, a query finds
+    its identical stored vector at score 1.0, results are identical
+    whether the store is read partitioned or unpartitioned, and on a
+    centroid_id-partitioned store the probe pushes a PartitionFilter into
+    the scan — unprobed cells are never read from disk."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        ivf_topk_stored,
+        kmeans_centroids,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = kmeans_centroids(emb, seeds, n_iter=1)
+    store = assign_to_stored_centroids(emb, cents).join(emb, "vec_id")
+    part_path = str(tmp_path / "ivf_store")
+    store.write.partitionBy("centroid_id").parquet(part_path)
+
+    queries = emb.filter(F.col("vec_id").isin(5, 77, 240)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kwargs = dict(k=5, nprobe=2, centroid_vec_col="c_sum")
+    stored_part = ivf_topk_stored(
+        spark.read.parquet(part_path), queries, cents, **kwargs
+    )
+    got = [(r["query_id"], r["vec_id"], r["score"]) for r in stored_part.collect()]
+    # identical vector in the store -> self-match at 1.0, ranked first
+    top1 = {q: v for q, v, s in got
+            if s == max(s2 for q2, _, s2 in got if q2 == q)}
+    assert top1 == {5: 5, 77: 77, 240: 240}
+    assert {s for q, v, s in got if q == v} == {1.0}
+    # partitioned and unpartitioned stores agree exactly
+    unpart = ivf_topk_stored(store, queries, cents, **kwargs)
+    assert sorted(got) == sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in unpart.collect()
+    )
+    # the probe lands in the scan as a partition filter: unprobed cells
+    # are pruned at the source, not post-read
+    plan = stored_part._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "centroid_id" in scan[0]
+    assert "PartitionFilters: []" not in scan[0]
+
+
 def test_split_oversized_cells(spark, embeddings):
     """The skew cap for in-cell pairing: an oversized cell re-partitions
     into <= ceil(size/cap) subcells (under-cap cells untouched at
