@@ -83,6 +83,8 @@ PROBE = [
     "x_dedup_simhash_dedup",
     "x_text_line_dedup",
     "x_curation_e2e_capped",
+    "x_sim_ivf",
+    "x_sim_lsh",
 ]
 
 # ratio <= this reads as linear-with-overhead for a 10x data step
@@ -96,6 +98,8 @@ NOTES = {
     "x_dedup_simhash_dedup": "distinct-fingerprint banding, star edges linear in docs",
     "x_text_line_dedup": "line-digest df + scrub; zero token-grain shuffles",
     "x_curation_e2e_capped": "10-stage DAG, capped bands/doc-freq (100 TB path)",
+    "x_sim_ivf": "query side probes nprobe cells; corpus touched once for assignment",
+    "x_sim_lsh": "sign-LSH bucket join; pair space bounded per bucket",
 }
 
 
