@@ -24,6 +24,7 @@ from automotive_data_pipeline_demo_spark.plans.catalog_sources import (  # noqa:
 )
 from automotive_data_pipeline_demo_spark.plans.catalog_scale_extensions import (  # noqa: F401
     _Q4_SQL,
+    _routed_assign_sql,
 )
 from automotive_data_pipeline_demo_spark.functions.caching import (  # noqa: F401
     register_caches,
@@ -1869,21 +1870,25 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
     n = emb.count()
     cutoff = n * 8 // 10
     corpus = emb.filter(F.col("vec_id") < cutoff)
-    # cell count scales with the STORED corpus (k ~ sqrt(N), floor 8) —
-    # same rule as x_dedup_semdedup: fixed-k cells grow linearly with N
-    # and make the batch-vs-cell pairing quadratic (sf1: 6.0 -> ~1 s)
-    k = max(8, int(math.floor(math.sqrt(cutoff) + 0.5)))
+    # cell count scales with the STORED corpus under the fixed-cell rule
+    # (k = corpus/128, floor 8) — the ONE rule the posture carries end to
+    # end since r10 (x_dedup_semdedup, refresh_centroids default, here):
+    # fixed-k cells grow linearly with N and make the batch-vs-cell
+    # pairing quadratic (sf1 benching caught it); linear k makes flat
+    # assignment the quadratic term instead, so both the training passes
+    # and the batch assignment ride the two-level ROUTED scorer (probe 2)
+    k = max(8, math.ceil(cutoff / 128))
     seeds = corpus.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     # the stored artifact: trained on the CORPUS ONLY, persisted, read back
     # (exact integer sums round-trip bit-identically through parquet)
     cent_path = _scratch(sf, "semdedup_centroids")
-    kmeans_centroids(corpus, seeds, n_iter=1).write.mode("overwrite").parquet(
-        cent_path
-    )
+    kmeans_centroids(
+        corpus, seeds, n_iter=1, route_probe=2
+    ).write.mode("overwrite").parquet(cent_path)
     cents = spark.read.parquet(cent_path)
-    assign_all = assign_to_stored_centroids(emb, cents)
+    assign_all = assign_to_stored_centroids(emb, cents, route_probe=2)
     assigned = emb.join(assign_all, "vec_id").withColumn(
         "is_new", F.col("vec_id") >= cutoff
     )
@@ -1915,52 +1920,34 @@ _register(QuerySpec(
           FROM embeddings
         ), cut AS (
           SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
-        ), c0 AS (
-          -- k ~ sqrt(stored corpus), floor 8 (mirrors the builder); the
-          -- stored-corpus bound matters when the corpus has < 8 rows —
-          -- the builder seeds from corpus.filter(vec_id < k) so batch
-          -- vectors must never become seeds here either
-          SELECT vec_id AS cid, mv AS cv FROM m
-          WHERE vec_id < (SELECT greatest(8,
-                    CAST(floor(sqrt(c) + 0.5) AS BIGINT)) FROM cut)
-            AND vec_id < (SELECT c FROM cut)
-        ), s0 AS (
-          SELECT m.vec_id, c0.cid,
-                 CAST(list_aggregate(list_transform(list_zip(m.mv, c0.cv),
-                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
-                   / sqrt(CAST(list_aggregate(list_transform(c0.cv,
-                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
-          FROM m CROSS JOIN c0
-          WHERE m.vec_id < (SELECT c FROM cut)
-        ), a0 AS (
-          SELECT vec_id, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                        ORDER BY score DESC, cid ASC) AS rn FROM s0)
-          WHERE rn = 1
-        ), sums AS (
-          SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
-          FROM a0 JOIN m USING (vec_id),
-               UNNEST(generate_series(1, len(m.mv))) AS p(pos)
+        ), kk AS MATERIALIZED (
+          -- fixed-cell rule over the STORED corpus (k = corpus/128,
+          -- floor 8) + the routing width k1 = ceil(sqrt(k)) — mirrors
+          -- the builder and x_dedup_semdedup
+          SELECT greatest(8, CAST(ceil(c / 128.0) AS BIGINT)) AS k,
+                 CAST(ceil(sqrt(greatest(8, ceil(c / 128.0)))) AS BIGINT) AS k1
+          FROM cut
+        ), mc AS MATERIALIZED (
+          -- the stored-corpus slice: training points AND the only
+          -- legal seed range (batch vectors must never become seeds)
+          SELECT vec_id, mv FROM m WHERE vec_id < (SELECT c FROM cut)
+        ), c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, mv AS cv FROM mc
+          WHERE vec_id < (SELECT k FROM kk)
+        ), {_routed_assign_sql("0", "c0", m="mc")}, sums AS (
+          SELECT a0.cid, p.pos, SUM(mc.mv[p.pos]) AS s
+          FROM a0 JOIN mc USING (vec_id),
+               UNNEST(generate_series(1, len(mc.mv))) AS p(pos)
           GROUP BY a0.cid, p.pos
-        ), c1 AS MATERIALIZED (
+        ), newc AS (
           SELECT cid, list(CAST(s AS BIGINT) ORDER BY pos) AS cv
           FROM sums GROUP BY cid
-        ), s1 AS (
-          -- assignment of ALL vectors (stored + batch) to the FROZEN
-          -- post-training centroids: stored rows reproduce their
-          -- persisted assignment, batch rows get the incremental one
-          SELECT m.vec_id, c1.cid,
-                 CAST(list_aggregate(list_transform(list_zip(m.mv, c1.cv),
-                       p -> p[1] * p[2]), 'sum') AS DOUBLE)
-                   / sqrt(CAST(list_aggregate(list_transform(c1.cv,
-                       x -> CAST(x AS HUGEINT) * x), 'sum') AS DOUBLE)) AS score
-          FROM m CROSS JOIN c1
-        ), a1 AS MATERIALIZED (
-          SELECT vec_id, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                        ORDER BY score DESC, cid ASC) AS rn FROM s1)
-          WHERE rn = 1
-        ), losers AS (
+        ), c1 AS MATERIALIZED (
+          -- kmeans_centroids keeps EMPTY cells (seed carryover), so the
+          -- stored artifact the assignment scores against must too
+          SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+          FROM c0 LEFT JOIN newc n USING (cid)
+        ), {_routed_assign_sql("1", "c1")}, losers AS (
           -- in-cell pairs touching >= 1 batch row: b (the greater id) is
           -- always the batch side because batch ids are the top range
           SELECT DISTINCT b.vec_id AS b_id FROM

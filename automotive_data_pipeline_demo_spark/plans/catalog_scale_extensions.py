@@ -3498,14 +3498,17 @@ def _assign_score_sql(mv: str, cv: str) -> str:
     )
 
 
-def _routed_assign_sql(tag: str, cents: str, probe: int = 2) -> str:
+def _routed_assign_sql(tag: str, cents: str, probe: int = 2, m: str = "m") -> str:
     """CTE block replaying one two-level ROUTED assignment pass
     (similarity._assign_numpy_routed) over centroid table ``cents``
-    (cid, cv): reps = the k1 smallest cids, fine->rep map with
-    self-override, per-point top-``probe`` reps, argmax over the probed
-    cells' centroids. Emits CTEs r{tag}, rm{tag}, pr{tag}, a{tag};
-    a{tag} is (vec_id, cid). Ties everywhere (score DESC, cid ASC) —
-    the numpy path's stable-argsort / min-cid rule."""
+    (cid, cv) for the point set ``m`` (a CTE with vec_id, mv — defaults
+    to the full micro-unit corpus; pass a restricted CTE to assign only
+    a slice, e.g. the stored corpus of the incremental entry): reps =
+    the k1 smallest cids, fine->rep map with self-override, per-point
+    top-``probe`` reps, argmax over the probed cells' centroids. Emits
+    CTEs r{tag}, rm{tag}, pr{tag}, a{tag}; a{tag} is (vec_id, cid).
+    Ties everywhere (score DESC, cid ASC) — the numpy path's
+    stable-argsort / min-cid rule."""
     return f"""r{tag} AS MATERIALIZED (
           SELECT cid, cv FROM {cents}
           QUALIFY ROW_NUMBER() OVER (ORDER BY cid) <= (SELECT k1 FROM kk)
@@ -3523,14 +3526,14 @@ def _routed_assign_sql(tag: str, cents: str, probe: int = 2) -> str:
             SELECT m.vec_id, r.cid AS rcid,
                    ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
                      {_assign_score_sql("m.mv", "r.cv")} DESC, r.cid ASC) AS rn
-            FROM m CROSS JOIN r{tag} r)
+            FROM {m} AS m CROSS JOIN r{tag} r)
           WHERE rn <= {probe}
         ), a{tag} AS MATERIALIZED (
           SELECT vec_id, cid FROM (
             SELECT m.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
                      {_assign_score_sql("m.mv", "c.cv")} DESC, c.cid ASC) AS rn
-            FROM m JOIN pr{tag} USING (vec_id)
+            FROM {m} AS m JOIN pr{tag} USING (vec_id)
                    JOIN rm{tag} ON rm{tag}.rcid = pr{tag}.rcid
                    JOIN {cents} c ON c.cid = rm{tag}.fcid)
           WHERE rn = 1
