@@ -356,6 +356,62 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
     assert "PartitionFilters: []" not in scan[0]
 
 
+def test_routed_pair_recall_tracks_flat(spark, embeddings):
+    """Routing's pair-recall contract, measured (see the
+    _assign_numpy_routed docstring for the sf0.1-scale numbers): plant
+    near-dup pairs at fixed cosine levels (deterministic orthogonal
+    noise), assign routed (probe=2) and flat, and pin that (a) routed
+    co-location at cos 0.99 stays high — near-identical pairs route on
+    near-identical scores, so routing never splits what flat keeps —
+    and (b) at every level routed gives up at most a bounded slice of
+    flat's co-location (the mid-band cost of probing 2 of k1 reps)."""
+    import math
+
+    import numpy as np
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    rng = np.random.RandomState(7)
+    levels = [0.99, 0.9]
+    planted, recs, nid = [], [], 100_000
+    for li, lvl in enumerate(levels):
+        for src in range(li * 80, li * 80 + 80):
+            v = base[src]
+            noise = rng.randn(len(v))
+            noise -= noise.dot(v) / v.dot(v) * v  # orthogonalize
+            noise *= np.linalg.norm(v) / np.linalg.norm(noise)
+            w = lvl * v + math.sqrt(1 - lvl * lvl) * noise  # cos == lvl
+            recs.append((nid, [float(x) for x in w]))
+            planted.append((nid, src, lvl))
+            nid += 1
+    corpus = emb.unionByName(
+        spark.createDataFrame(recs, "vec_id long, embedding array<double>")
+    )
+    k = max(8, math.ceil(corpus.count() / 64))
+    seeds = corpus.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    flat = {r["vec_id"]: r["centroid_id"]
+            for r in kmeans_lloyd(corpus, seeds, n_iter=1,
+                                  inline_max_k=0).collect()}
+    routed = {r["vec_id"]: r["centroid_id"]
+              for r in kmeans_lloyd(corpus, seeds, n_iter=1,
+                                    route_probe=2).collect()}
+
+    def colocation(assign, lvl):
+        pairs = [(p, s) for p, s, l in planted if l == lvl]
+        return sum(1 for p, s in pairs if assign[p] == assign[s]) / len(pairs)
+
+    assert colocation(routed, 0.99) >= 0.85
+    for lvl in levels:
+        assert colocation(routed, lvl) >= colocation(flat, lvl) - 0.15
+
+
 def test_split_oversized_cells(spark, embeddings):
     """The skew cap for in-cell pairing: an oversized cell re-partitions
     into <= ceil(size/cap) subcells (under-cap cells untouched at
