@@ -1072,8 +1072,8 @@ def split_oversized_cells(
     vectors score identically, so splitting can never lose an exact-dup
     pair, and symmetrically no subcell rule can shrink a true
     identical-vector flood (for those, collapse by vector identity
-    upstream — the embedding analog of the jaccard path's
-    identical-set collapse).
+    upstream with :func:`collapse_identical_vectors` — the embedding
+    analog of the jaccard path's identical-set collapse).
 
     Mechanics — scales without ever materializing a cell in one task:
 
@@ -1184,6 +1184,54 @@ def split_oversized_cells(
             yield out
 
     return with_mv.mapInPandas(split_batches, schema=out_schema)
+
+
+def collapse_identical_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Collapse exact-duplicate vectors to one representative — the
+    embedding analog of the jaccard path's identical-set collapse, and
+    the correct tool for the identical-vector FLOOD that no cell/subcell
+    rule can shrink (see :func:`split_oversized_cells`): a flood of f
+    copies costs f²/2 pair scores enumerated directly, but only f star
+    edges after collapsing.
+
+    Grouping key is md5 over the integer micro-unit projection (the same
+    ``round(x*scale)`` quantization every scorer here compares under, so
+    "identical" means identical TO THE SCORING ARITHMETIC); rep = the
+    group's min id. NULL / ragged vectors never collapse (each stays its
+    own group — they can't score, so they carry no pair semantics).
+
+    Returns ``(id_col, rep_id, is_rep)`` — one row per input row, one
+    exchange (a min window over the hash key). Exactness contract for
+    pair enumeration: any pair score is a function of the two vectors
+    only, so score(a, b) == score(rep(a), rep(b)); the original pair
+    graph's connected components equal those of rep-grain pairs UNION
+    the star edges (rep_id, id) of multi-member groups — each group is a
+    complete subgraph at cosine 1, and a star spans it. Enumerate
+    expensive pairs on ``is_rep`` rows only, then union the star edges
+    back (pinned by test_collapse_identical_vectors_exact_components).
+    """
+    mv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    key = F.when(
+        F.col(vec_col).isNotNull(),
+        F.md5(F.concat_ws(",", F.transform(mv, lambda x: x.cast("string")))),
+    ).otherwise(F.concat(F.lit("__row__"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("__vkey")
+    return (
+        df.select(F.col(id_col), key.alias("__vkey"))
+        .withColumn("rep_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+        )
+    )
 
 
 def centroid_assignment_drift(

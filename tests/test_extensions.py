@@ -356,6 +356,60 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
     assert "PartitionFilters: []" not in scan[0]
 
 
+def test_collapse_identical_vectors_exact_components(spark, embeddings):
+    """The flood collapse is EXACT for dedup: on a corpus with a planted
+    50-copy identical flood, enumerating near-dup pairs on
+    representatives only and unioning the star edges back yields the
+    same kept set as direct pair enumeration over all rows — while the
+    rep-side pair space shrinks from flood² to nothing. NULL vectors
+    never collapse; quantization equality (micro-unit grain) defines
+    'identical', matching the scorers' arithmetic."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        dedup_corpus,
+    )
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        collapse_identical_vectors,
+        embedding_near_dup_pairs,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    flood = emb.filter(F.col("vec_id") == 7).select(
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("i"), "embedding"
+    ).select((F.col("i") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(flood)
+
+    cm = collapse_identical_vectors(corpus)
+    got = {(r["vec_id"], r["rep_id"], r["is_rep"]) for r in cm.collect()}
+    assert len(got) == 200
+    # the flood (and its source vec 7) all map to rep 7
+    assert {(v, 7, v == 7) for v in [7, *range(1000, 1050)]} <= got
+    reps = corpus.join(
+        cm.filter("is_rep").select("vec_id"), "vec_id"
+    )
+    assert reps.count() == 150  # 50 flood copies collapsed into vec 7
+
+    # exactness: rep-grain pairs + star edges ≡ direct pairs, for dedup
+    direct = embedding_near_dup_pairs(corpus, threshold=0.98)
+    kept_direct = {r["vec_id"]
+                   for r in dedup_corpus(corpus, direct, "vec_id").collect()}
+    rep_pairs = embedding_near_dup_pairs(reps, threshold=0.98)
+    stars = cm.filter(~F.col("is_rep")).select(
+        F.col("rep_id").alias("a_id"), F.col("vec_id").alias("b_id")
+    )
+    expanded = rep_pairs.select("a_id", "b_id").unionByName(stars)
+    kept_collapsed = {r["vec_id"]
+                      for r in dedup_corpus(corpus, expanded, "vec_id").collect()}
+    assert kept_collapsed == kept_direct
+
+    # NULL vectors are their own groups
+    withnull = corpus.unionByName(spark.createDataFrame(
+        [(5000, None), (5001, None)], "vec_id long, embedding array<double>"
+    ))
+    nm = {r["vec_id"]: r["rep_id"]
+          for r in collapse_identical_vectors(withnull).collect()}
+    assert nm[5000] == 5000 and nm[5001] == 5001
+
+
 def test_routed_pair_recall_tracks_flat(spark, embeddings):
     """Routing's pair-recall contract, measured (see the
     _assign_numpy_routed docstring for the sf0.1-scale numbers): plant
