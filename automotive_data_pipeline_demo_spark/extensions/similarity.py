@@ -352,6 +352,9 @@ def embedding_near_dup_pairs(
     strategy: str = "auto",
     chunk_pairs: int = 1_000_000,
     new_col: str | None = None,
+    collapse: str = "auto",
+    collapse_min: int = 64,
+    max_cell_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, score >= threshold).
 
@@ -400,11 +403,79 @@ def embedding_near_dup_pairs(
     O(|batch| · |cell|), never O(|cell|²) over the accumulated corpus.
     Output contract is unchanged (a_id < b_id, same scores on the pairs
     both modes emit; both strategies honor it identically).
+
+    ``collapse`` / ``max_cell_size`` — the FLOOD and SKEW guards, wired in
+    by default so the 100 TB cost bound holds for callers who don't know
+    the library helpers exist (SURVEY §7.4: a boilerplate flood of f
+    identical vectors otherwise pays f²/2 in-cell pair scores that no
+    cell rule can shrink). Both apply only when ``block_col`` is given:
+
+    - ``collapse="auto"`` (default) — ONE measured stats pass at
+      (block, vector-identity) grain decides, the way line-dedup's
+      ``broadcast_hot="auto"`` measures before choosing: if the largest
+      identity group has >= ``collapse_min`` members, pairs are scored at
+      REP grain (one representative per identical-vector group, raw
+      double-sequence identity — see :func:`_vector_identity_key`) and
+      then expanded EXACTLY back to the full pair set, so the output is
+      pair-for-pair identical to the direct plan while the flood's
+      scoring cost drops from f²/2 cosines to f²/2 cheap join rows. If
+      additionally any block exceeds ``max_cell_size`` (at rep grain when
+      collapsing, raw grain otherwise), the frame is subcell-split
+      (:func:`split_oversized_cells`) and pairs block on
+      (block, subcell) — that path trades recall at subcell boundaries
+      exactly like the cell boundary itself and is the one mode whose
+      output is NOT a superset-free match of the direct plan. With
+      neither trigger the ORIGINAL single-pass plan runs untouched.
+      Callers passing an expensive derived frame (a join over a fresh
+      assignment) should persist it or pick an unconditional mode — the
+      stats pass is a second evaluation of the input.
+    - ``collapse="star"`` — unconditional collapse for DEDUP consumers:
+      emits rep-grain pairs plus one (rep, member) star edge per
+      non-rep member (score 1.0, or NaN for zero/inf-norm groups — the
+      exact value the direct plan's cosine rounds to on an identical
+      pair). The pair SET differs from the direct plan, but its
+      connected components are identical (a group is a clique at
+      cosine 1; a star spans it), and under the greedy smaller-id /
+      accepted-corpus kill rules of the incremental entries every
+      batch vector receives a killing edge iff it does in the direct
+      plan (reps prefer the smallest-id STORED member when ``new_col``
+      is given, and rep-grain pairs enumerate with the group-all-new
+      flag, which is what makes the kill-parity argument go through).
+      Used by the SemDeDup family and ``streaming_semdedup_ingest``.
+    - ``collapse="exact"`` — unconditional collapse + exact expansion
+      (the flood branch of "auto" without the measured gate).
+    - ``collapse="off"`` — the pre-r11 behavior: no stats pass, no
+      collapse, no split.
     """
     if strategy not in ("auto", "join", "blocked"):
         raise ValueError(f"unknown strategy: {strategy!r}")
+    if collapse not in ("off", "auto", "exact", "star"):
+        raise ValueError(f"unknown collapse: {collapse!r}")
     if strategy == "auto":
         strategy = "blocked" if block_col else "join"
+    if block_col is None or collapse == "off":
+        return _enumerate_pairs(
+            df, threshold, block_col, id_col, vec_col, strategy, chunk_pairs,
+            new_col,
+        )
+    return _near_dup_pairs_collapsed(
+        df, threshold, block_col, id_col, vec_col, strategy, chunk_pairs,
+        new_col, collapse, collapse_min, max_cell_size,
+    )
+
+
+def _enumerate_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None,
+    id_col: str,
+    vec_col: str,
+    strategy: str,
+    chunk_pairs: int,
+    new_col: str | None,
+) -> DataFrame:
+    """Strategy dispatch for the raw pair enumeration (no flood/skew
+    machinery) — the collapsed path re-enters here at rep grain."""
     if strategy == "blocked":
         if not block_col:
             raise ValueError("strategy='blocked' requires block_col")
@@ -461,6 +532,223 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= F.lit(threshold))
     )
+
+
+def _identical_pair_score(vec_col: str) -> Column:
+    """The exact value the BLOCKED scorer's ``round(score, 4)`` produces
+    on a pair of IDENTICAL double vectors: the raw ratio is
+    s/(sqrt(s)·sqrt(s)) with s the shared norm fold, within 1 ulp-squared
+    of 1.0, so the 4-dp round is exactly 1.0 whenever the norm is
+    finite-positive. A zero norm scores 0/0 = NaN and an overflowed (inf)
+    norm inf/inf = NaN — and a worker-side NaN crosses the Arrow boundary
+    as NULL (pandas' missing sentinel), so the blocked plan DROPS those
+    pairs at the threshold filter; NULL here reproduces that. (The join
+    strategy's degenerate shapes differ — it keeps inf-norm NaN — the
+    same documented degenerate-divergence class as element-NULL vectors;
+    NaN-ELEMENT vectors never reach here at all, the identity key routes
+    them to per-row groups.)"""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(
+        (norm > F.lit(0.0)) & (norm < F.lit(float("inf"))), F.lit(1.0)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def _near_dup_pairs_collapsed(
+    df: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    strategy: str,
+    chunk_pairs: int,
+    new_col: str | None,
+    collapse: str,
+    collapse_min: int,
+    max_cell_size: int | None,
+) -> DataFrame:
+    """Flood/skew-guarded pair enumeration (see
+    :func:`embedding_near_dup_pairs` for the mode contract and the
+    exactness arguments). Plan shape: the (block, __vkey) window exchange
+    is shared by the rep-enumeration and star/member branches via
+    ReuseExchange — the input is computed once per job however many
+    branches read it."""
+    base = df.filter(F.col(id_col).isNotNull() & F.col(block_col).isNotNull())
+    # Minimal IDENTICAL projection for every consumer branch: the window's
+    # exchange subtree must canonicalize equal across the rep-enumeration
+    # and star/member branches for ReuseExchange to fire — one stray
+    # payload column that only the scorer branch carries (and the others
+    # prune) forks the scan and the input computes once per branch
+    # (observed: 'label' riding into FlatMapGroupsInPandas).
+    cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(block_col),
+        _vector_identity_key(id_col, vec_col, quantize=False).alias("__vkey"),
+    ]
+    if new_col is not None:
+        cols.append(
+            F.coalesce(F.col(new_col).cast("boolean"), F.lit(False))
+            .alias("__nb")
+        )
+    keyed = base.select(*cols)
+    if collapse == "auto":
+        # ONE measured stats pass: flood signal (largest identity group)
+        # and skew signal (largest block, at both raw and rep grain) from
+        # a single map-combinable aggregation chain.
+        gstats = keyed.groupBy(block_col, "__vkey").agg(
+            F.count(F.lit(1)).alias("__gn")
+        )
+        row = (
+            gstats.groupBy(block_col)
+            .agg(
+                F.sum("__gn").alias("__bn"),
+                F.count(F.lit(1)).alias("__rn"),
+                F.max("__gn").alias("__gm"),
+            )
+            .agg(
+                F.max("__gm").alias("gm"),
+                F.max("__bn").alias("bn"),
+                F.max("__rn").alias("rn"),
+            )
+            .first()
+        )
+        gm, bn, rn = row["gm"] or 0, row["bn"] or 0, row["rn"] or 0
+        do_collapse = gm >= collapse_min
+        mode = "exact"
+        split_n = rn if do_collapse else bn
+        do_split = max_cell_size is not None and split_n > max_cell_size
+        if not do_collapse and not do_split:
+            # the untouched single-pass plan
+            return _enumerate_pairs(
+                df, threshold, block_col, id_col, vec_col, strategy,
+                chunk_pairs, new_col,
+            )
+        if not do_collapse:
+            # skew without flood: subcell-split the raw frame
+            split = split_oversized_cells(
+                base, max_cell_size=max_cell_size, id_col=id_col,
+                vec_col=vec_col, cell_col=block_col,
+            ).withColumn(
+                "__blk", F.struct(F.col(block_col), F.col("subcell"))
+            )
+            return _enumerate_pairs(
+                split, threshold, "__blk", id_col, vec_col, strategy,
+                chunk_pairs, new_col,
+            )
+    else:
+        mode = collapse
+        do_split = max_cell_size is not None
+
+    w = Window.partitionBy(block_col, "__vkey")
+    if new_col is not None:
+        has_new = F.max(F.when(F.col("__nb"), 1).otherwise(0)).over(w) == 1
+        has_old = F.max(F.when(~F.col("__nb"), 1).otherwise(0)).over(w) == 1
+        if mode == "star":
+            # rep prefers the smallest-id STORED member: a mixed group's
+            # rep must carry new=False so its star edges kill the group's
+            # batch members against the accepted corpus, and rep-grain
+            # pairs must enumerate all-new groups as new
+            rep_id = F.coalesce(
+                F.min(F.when(~F.col("__nb"), F.col(id_col))).over(w),
+                F.min(id_col).over(w),
+            )
+            rep_new = ~has_old
+        else:
+            rep_id = F.min(id_col).over(w)
+            rep_new = has_new
+        marked = (
+            keyed.withColumn("__rep", rep_id)
+            .withColumn("__repnew", rep_new)
+            .withColumn("__gnew", has_new)
+        )
+    else:
+        marked = keyed.withColumn("__rep", F.min(id_col).over(w))
+
+    reps = marked.filter(F.col(id_col) == F.col("__rep"))
+    eblk = block_col
+    if do_split:
+        # subcells at REP grain — identity floods are already collapsed,
+        # so this triggers only for genuinely spread hot blocks; the
+        # split op's own measurement makes the unconditional modes
+        # self-deciding without a pre-pass here
+        reps = split_oversized_cells(
+            reps, max_cell_size=max_cell_size, id_col=id_col,
+            vec_col=vec_col, cell_col=block_col,
+        ).withColumn("__blk", F.struct(F.col(block_col), F.col("subcell")))
+        eblk = "__blk"
+    rep_pairs = _enumerate_pairs(
+        reps, threshold, eblk, id_col, vec_col, strategy, chunk_pairs,
+        "__repnew" if new_col is not None else None,
+    )
+    eq_score = _identical_pair_score(vec_col)
+
+    if mode == "star":
+        src = marked.filter(F.col("__gnew")) if new_col is not None else marked
+        edges = (
+            src.filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.least(F.col(id_col), F.col("__rep")).alias("a_id"),
+                F.greatest(F.col(id_col), F.col("__rep")).alias("b_id"),
+                eq_score.alias("score"),
+            )
+            .filter(F.col("score") >= F.lit(threshold))
+        )
+        return rep_pairs.unionByName(edges)
+
+    # exact expansion: rep pairs fan back out to member pairs (scores are
+    # bit-identical — members ARE the rep vector), plus the in-group
+    # cliques the direct plan would have scored at cosine 1
+    mem = marked.select(
+        F.col("__rep").alias("__r"),
+        F.col(id_col).alias("__m"),
+        *([F.col("__nb").alias("__mn")] if new_col is not None else []),
+    )
+    crossx = rep_pairs.join(
+        mem.select(
+            F.col("__r").alias("__ra"), F.col("__m").alias("__ma"),
+            *([F.col("__mn").alias("__na")] if new_col is not None else []),
+        ),
+        F.col("a_id") == F.col("__ra"),
+    ).join(
+        mem.select(
+            F.col("__r").alias("__rb"), F.col("__m").alias("__mb"),
+            *([F.col("__mn").alias("__nb2")] if new_col is not None else []),
+        ),
+        F.col("b_id") == F.col("__rb"),
+    )
+    if new_col is not None:
+        crossx = crossx.filter(F.col("__na") | F.col("__nb2"))
+    crossx = crossx.select(
+        F.least(F.col("__ma"), F.col("__mb")).alias("a_id"),
+        F.greatest(F.col("__ma"), F.col("__mb")).alias("b_id"),
+        F.col("score"),
+    )
+    ga = marked.select(
+        F.col(block_col).alias("__ba"), F.col("__vkey").alias("__ka"),
+        F.col(id_col).alias("__ia"),
+        *([F.col("__nb").alias("__nka")] if new_col is not None else []),
+        eq_score.alias("__sa"),
+    )
+    gb = marked.select(
+        F.col(block_col).alias("__bb"), F.col("__vkey").alias("__kb"),
+        F.col(id_col).alias("__ib"),
+        *([F.col("__nb").alias("__nkb")] if new_col is not None else []),
+    )
+    cliq = ga.join(
+        gb,
+        (F.col("__ba") == F.col("__bb"))
+        & (F.col("__ka") == F.col("__kb"))
+        & (F.col("__ia") < F.col("__ib")),
+    )
+    if new_col is not None:
+        cliq = cliq.filter(F.col("__nka") | F.col("__nkb"))
+    cliq = cliq.select(
+        F.col("__ia").alias("a_id"),
+        F.col("__ib").alias("b_id"),
+        F.col("__sa").alias("score"),
+    ).filter(F.col("score") >= F.lit(threshold))
+    return crossx.unionByName(cliq)
 
 
 def _near_dup_pairs_blocked(
@@ -1079,9 +1367,11 @@ def split_oversized_cells(
 
     1. ONE aggregation finds per-cell sizes; cells over the cap get
        k_sub = ceil(size / max_cell_size).
-    2. Sub-seeds are each oversized cell's k_sub smallest-id member
-       vectors (one rank window over the oversized slice — deterministic,
-       engine-free). The collected sub-seed table is bounded by
+    2. Sub-seeds are each oversized cell's k_sub smallest-id SCORABLE
+       member vectors — NULL / NULL-or-NaN-element / off-dimension rows
+       are never seed candidates (one rank window over the oversized
+       slice — deterministic, engine-free). The collected sub-seed table
+       is bounded by
        n / max_cell_size + #oversized_cells rows — the same driver-side
        footprint class as the main kmeans' centroid dict.
     3. Assignment is a ZERO-SHUFFLE Arrow-batched map: each row scores
@@ -1101,13 +1391,38 @@ def split_oversized_cells(
         F.ceil(F.col("__n") / F.lit(max_cell_size)).cast("int").alias("__ks"),
     )
     # rank window only over the oversized slice; the under-cap corpus
-    # never shuffles
+    # never shuffles. Seed candidacy is SCORABLE rows only: NULL vectors,
+    # vectors with NULL/NaN elements, and off-dimension (ragged) vectors
+    # are excluded BEFORE the rank window — a NULL seed would break the
+    # driver's int() projection and a ragged seed the matmul. The cell's
+    # seed dimension is its MODAL scorable dimension (ties -> smaller),
+    # so a small-id ragged straggler can never hijack the seed set; the
+    # per-cell dimension table is bounded by the oversized-cell count and
+    # broadcasts.
     member = assigned.join(F.broadcast(over), cell_col)
-    rank = F.row_number().over(
-        Window.partitionBy(cell_col).orderBy(F.col(id_col).asc())
+    wcell = Window.partitionBy(cell_col).orderBy(F.col(id_col).asc())
+    rank = F.row_number().over(wcell)
+    unscorable = F.col(vec_col).isNull() | F.exists(
+        F.col(vec_col), lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
+    scorable = member.filter(~unscorable).withColumn(
+        "__dim", F.size(F.col(vec_col))
+    )
+    wpick = Window.partitionBy(cell_col).orderBy(
+        F.col("__dn").desc(), F.col("__dim").asc()
+    )
+    celldim = (
+        scorable.groupBy(cell_col, "__dim")
+        .agg(F.count(F.lit(1)).alias("__dn"))
+        .withColumn("__dr", F.row_number().over(wpick))
+        .filter(F.col("__dr") == 1)
+        .select(cell_col, F.col("__dim").alias("__cdim"))
+    )
+    cand = scorable.join(F.broadcast(celldim), cell_col).filter(
+        F.col("__dim") == F.col("__cdim")
     )
     seed_rows = (
-        member.withColumn("__r", rank)
+        cand.withColumn("__r", rank)
         .filter(F.col("__r") <= F.col("__ks"))
         .select(
             cell_col,
@@ -1147,11 +1462,19 @@ def split_oversized_cells(
     )
     # micro-units JVM-side: F.round is half-AWAY-from-zero; np.round is
     # banker's and would diverge from the seed vectors on exact .5
-    # products (same contract as _micro_units / the kmeans numpy path)
+    # products (same contract as _micro_units / the kmeans numpy path).
+    # Unscorable vectors (NULL / NULL- or NaN-element) project to a whole
+    # NULL __mv so the worker's `v is not None` guard keeps them at
+    # subcell 0 — an element NULL would otherwise surface as a NaN'd
+    # float array and crash the int64 conversion on the worker.
     with_mv = assigned.withColumn(
         "__mv",
-        F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        F.when(
+            ~unscorable,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ),
         ),
     )
 
@@ -1186,6 +1509,43 @@ def split_oversized_cells(
     return with_mv.mapInPandas(split_batches, schema=out_schema)
 
 
+def _vector_identity_key(
+    id_col: str, vec_col: str, quantize: bool, scale: int = 1_000_000
+) -> Column:
+    """Grouping key under which two vectors are interchangeable.
+
+    ``quantize=True`` keys on the integer micro-unit projection — identity
+    under the exact-integer ASSIGNMENT arithmetic (:func:`kmeans_lloyd` /
+    :func:`assign_to_stored_centroids`). ``quantize=False`` keys on the raw
+    double sequence (Spark's shortest-round-trip string repr is injective
+    on doubles), the identity the raw-cosine PAIR scorers compare under —
+    micro-unit identity is too coarse there (two vectors one micro-unit
+    apart can score below a threshold the collapsed rep would clear).
+
+    Any vector that cannot score — whole-column NULL, or containing a NULL
+    or NaN ELEMENT — gets a per-row key so it never collapses. The element
+    check matters: ``concat_ws`` silently skips NULL elements, so without
+    it ``[1.0, NULL, 2.0]`` and ``[1.0, 2.0]`` would share a key, and a
+    NaN element would alias whatever the cast maps it to.
+    """
+    v = F.col(vec_col)
+    bad = v.isNull() | F.exists(
+        v, lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
+    if quantize:
+        proj = F.transform(
+            v,
+            lambda x: F.round(x.cast("double") * scale)
+            .cast("long")
+            .cast("string"),
+        )
+    else:
+        proj = F.transform(v, lambda x: x.cast("double").cast("string"))
+    return F.when(~bad, F.md5(F.concat_ws(",", proj))).otherwise(
+        F.concat(F.lit("__row__"), F.col(id_col).cast("string"))
+    )
+
+
 def collapse_identical_vectors(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1200,10 +1560,13 @@ def collapse_identical_vectors(
     edges after collapsing.
 
     Grouping key is md5 over the integer micro-unit projection (the same
-    ``round(x*scale)`` quantization every scorer here compares under, so
-    "identical" means identical TO THE SCORING ARITHMETIC); rep = the
-    group's min id. NULL / ragged vectors never collapse (each stays its
-    own group — they can't score, so they carry no pair semantics).
+    ``round(x*scale)`` quantization the ASSIGNMENT scorers compare under,
+    so "identical" means identical TO THE ASSIGNMENT ARITHMETIC); rep =
+    the group's min id. NULL / ragged vectors never collapse, and neither
+    does any vector containing a NULL or NaN ELEMENT (each stays its own
+    per-row group — they can't score, so they carry no pair semantics;
+    the element-level routing closes the ``concat_ws``-skips-NULLs hole
+    where ``[1.0, NULL, 2.0]`` would alias ``[1.0, 2.0]``).
 
     Returns ``(id_col, rep_id, is_rep)`` — one row per input row, one
     exchange (a min window over the hash key). Exactness contract for
@@ -1215,13 +1578,7 @@ def collapse_identical_vectors(
     expensive pairs on ``is_rep`` rows only, then union the star edges
     back (pinned by test_collapse_identical_vectors_exact_components).
     """
-    mv = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
-    )
-    key = F.when(
-        F.col(vec_col).isNotNull(),
-        F.md5(F.concat_ws(",", F.transform(mv, lambda x: x.cast("string")))),
-    ).otherwise(F.concat(F.lit("__row__"), F.col(id_col).cast("string")))
+    key = _vector_identity_key(id_col, vec_col, quantize=True, scale=scale)
     w = Window.partitionBy("__vkey")
     return (
         df.select(F.col(id_col), key.alias("__vkey"))

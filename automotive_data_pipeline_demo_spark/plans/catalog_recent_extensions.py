@@ -1892,8 +1892,13 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
     assigned = emb.join(assign_all, "vec_id").withColumn(
         "is_new", F.col("vec_id") >= cutoff
     )
+    # collapse="star": flood guard at the pair stage (see
+    # x_dedup_semdedup) — with new_col the reps prefer the smallest-id
+    # STORED member, which keeps the greedy smaller-id kill rule exact
+    # (batch ids are the top range here, so rep = global min either way)
     pairs = embedding_near_dup_pairs(
-        assigned, threshold=0.30, block_col="centroid_id", new_col="is_new"
+        assigned, threshold=0.30, block_col="centroid_id", new_col="is_new",
+        collapse="star",
     )
     # pairs are (a_id < b_id) touching >= 1 new row; new ids are the top
     # range, so b is ALWAYS the batch side — losers = batch vectors that
@@ -1922,10 +1927,8 @@ _register(QuerySpec(
           SELECT COUNT(*) * 8 // 10 AS c FROM embeddings
         ), kk AS MATERIALIZED (
           -- fixed-cell rule over the STORED corpus (k = corpus/128,
-          -- floor 8) + the routing width k1 = ceil(sqrt(k)) — mirrors
-          -- the builder and x_dedup_semdedup
-          SELECT greatest(8, CAST(ceil(c / 128.0) AS BIGINT)) AS k,
-                 CAST(ceil(sqrt(greatest(8, ceil(c / 128.0)))) AS BIGINT) AS k1
+          -- floor 8) — mirrors the builder and x_dedup_semdedup
+          SELECT greatest(8, CAST(ceil(c / 128.0) AS BIGINT)) AS k
           FROM cut
         ), mc AS MATERIALIZED (
           -- the stored-corpus slice: training points AND the only
@@ -1934,6 +1937,12 @@ _register(QuerySpec(
         ), c0 AS MATERIALIZED (
           SELECT vec_id AS cid, mv AS cv FROM mc
           WHERE vec_id < (SELECT k FROM kk)
+        ), kk1 AS MATERIALIZED (
+          -- routing width from the ACTUAL seed-table cardinality
+          -- (min(k, corpus) on dense ids) — matches _route_plan's
+          -- len(cents)-based default when the stored corpus is
+          -- smaller than the k floor
+          SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k1 FROM c0
         ), {_routed_assign_sql("0", "c0", m="mc")}, sums AS (
           SELECT a0.cid, p.pos, SUM(mc.mv[p.pos]) AS s
           FROM a0 JOIN mc USING (vec_id),

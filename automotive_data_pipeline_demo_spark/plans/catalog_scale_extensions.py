@@ -3318,11 +3318,25 @@ _register(QuerySpec(
 
 
 def q_x_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN: fixed coarse centroids, corpus bucketed by nearest
-    cell, queries probe their 2 nearest cells. Deterministic (centroids are
-    the first 8 vectors, no trained state) and therefore oracle-checkable,
-    unlike the sign-LSH path whose recall is asserted in tests instead.
+    """IVF ANN against a STORED cell-assigned corpus — the production
+    search posture (r11 promotion of ``ivf_topk_stored`` into the
+    oracle'd catalog): the corpus is assigned ONCE to fixed coarse
+    centroids, written ``partitionBy(centroid_id)`` (the artifact the
+    ingest/refresh machinery maintains at 100 TB), and queries then
+    probe their 2 nearest cells WITHOUT ever re-assigning the corpus —
+    the probed cell set lands as a PartitionFilter on the store's scan,
+    so a query batch reads ~nprobe/n_cells of the corpus from disk
+    (plan-pinned in tests). Deterministic (centroids are the first 8
+    vectors, no trained state), and output-identical to the
+    re-assign-per-query ``ivf_topk`` formulation the oracle replays —
+    the stored round-trip changes WHERE the assignment lives, not what
+    it is.
     """
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_topk_stored,
+    )
+
     emb = _t(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
@@ -3330,12 +3344,17 @@ def q_x_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries_df, centroids, k=10, nprobe=2)
+    store = _scratch(sf, "ivf_corpus_cells")
+    ivf_assign(emb, centroids, nprobe=1).select(
+        "vec_id", "embedding", "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(store)
+    stored = spark.read.parquet(store)
+    return ivf_topk_stored(stored, queries_df, centroids, k=10, nprobe=2)
 
 
 _register(QuerySpec(
     name="x_sim_ivf",
-    survey="north-star: ANN IVF",
+    survey="north-star: ANN IVF, stored partition-pruned corpus search",
     build=q_x_sim_ivf,
     oracle=f"""
         WITH cent AS (
@@ -3473,11 +3492,16 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     assign = kmeans_lloyd(emb, seeds, n_iter=1, route_probe=2)
-    # the blocked pair scorer consumes the assigned corpus exactly once
-    # (the old equi self-join read it twice and needed a persist here).
     cells = emb.join(assign, "vec_id")
+    # collapse="star": an identical-vector FLOOD (boilerplate corpus)
+    # collapses to one rep before pair scoring — f copies cost f star
+    # edges instead of f²/2 in-cell cosines, and the components the keep
+    # rule consumes are provably unchanged (r11; kill-/component-parity
+    # pinned in tests). The rep/star branches share the (cell, identity)
+    # window exchange via ReuseExchange, so the assigned corpus is still
+    # computed once per job.
     pairs = embedding_near_dup_pairs(
-        cells, threshold=0.30, block_col="centroid_id"
+        cells, threshold=0.30, block_col="centroid_id", collapse="star"
     )
     kept = dedup_corpus(emb, pairs, "vec_id")
     return kept.select(
@@ -3508,10 +3532,14 @@ def _routed_assign_sql(tag: str, cents: str, probe: int = 2, m: str = "m") -> st
     top-``probe`` reps, argmax over the probed cells' centroids. Emits
     CTEs r{tag}, rm{tag}, pr{tag}, a{tag}; a{tag} is (vec_id, cid).
     Ties everywhere (score DESC, cid ASC) — the numpy path's
-    stable-argsort / min-cid rule."""
+    stable-argsort / min-cid rule. Requires a ``kk1`` CTE with the
+    routing width: the builder's default is ceil(sqrt(#ACTUAL
+    centroids)) (``_route_plan`` over the collected dict), so kk1 must
+    count the centroid table itself — a formula over the nominal k
+    diverges when the corpus is smaller than the k floor (n < 8)."""
     return f"""r{tag} AS MATERIALIZED (
           SELECT cid, cv FROM {cents}
-          QUALIFY ROW_NUMBER() OVER (ORDER BY cid) <= (SELECT k1 FROM kk)
+          QUALIFY ROW_NUMBER() OVER (ORDER BY cid) <= (SELECT k1 FROM kk1)
         ), rm{tag} AS MATERIALIZED (
           SELECT fcid, CASE WHEN fcid IN (SELECT cid FROM r{tag})
                             THEN fcid ELSE brcid END AS rcid
@@ -3552,13 +3580,16 @@ _register(QuerySpec(
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
           FROM embeddings
         ), kk AS MATERIALIZED (
-          SELECT greatest(8, CAST(ceil(COUNT(*) / 128.0) AS BIGINT)) AS k,
-                 CAST(ceil(sqrt(greatest(8,
-                     ceil(COUNT(*) / 128.0)))) AS BIGINT) AS k1
+          SELECT greatest(8, CAST(ceil(COUNT(*) / 128.0) AS BIGINT)) AS k
           FROM embeddings
         ), c0 AS MATERIALIZED (
           SELECT vec_id AS cid, mv AS cv FROM m
           WHERE vec_id < (SELECT k FROM kk)
+        ), kk1 AS MATERIALIZED (
+          -- routing width from the ACTUAL seed-table cardinality
+          -- (min(k, n) on dense ids), matching _route_plan's
+          -- len(cents)-based default at every scale incl. n < 8
+          SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k1 FROM c0
         ), {_routed_assign_sql("0", "c0")}, sums AS (
           SELECT a0.cid, p.pos, SUM(m.mv[p.pos]) AS s
           FROM a0 JOIN m USING (vec_id),

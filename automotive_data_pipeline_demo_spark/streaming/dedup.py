@@ -531,9 +531,15 @@ def streaming_semdedup_ingest(
             )
         else:
             pool = assigned.withColumn("__new", F.lit(True))
+        # collapse="star": a boilerplate flood in the batch (or sitting
+        # in the accepted corpus) collapses to one rep per identical
+        # vector before pair scoring; the accepted-corpus/smaller-id kill
+        # rule below receives an equivalent edge set (reps prefer the
+        # smallest-id ACCEPTED member — kill-parity pinned in tests)
         pairs = embedding_near_dup_pairs(
             pool, threshold=threshold, block_col="centroid_id",
             id_col=id_col, vec_col=vec_col, new_col="__new",
+            collapse="star",
         )
         # pairs are (a_id < b_id) touching >= 1 batch row, but stream ids
         # carry no order vs the stored corpus: a batch vector loses when

@@ -473,21 +473,70 @@ def split_env_flags(regressions: list[dict], old_times: dict,
     return kept, cleared
 
 
+def _entry_code_unchanged(root: str, ref: str, name: str) -> bool:
+    """True when the flagged entry's DEFINING MODULE is byte-identical
+    between ``ref`` and HEAD — the cheap signal that a flag is more
+    likely environment than code. Deliberately loose (a dependency
+    module may still have changed): it only decides whether to SPEND the
+    A/B retime, and the retime itself is sound either way — a genuine
+    dependency regression won't reproduce under the old code, so the
+    flag survives ``split_env_flags``."""
+    import inspect
+    import subprocess
+
+    try:
+        from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+        spec = next((s for s in CATALOG if s.name == name), None)
+        if spec is None:
+            return False
+        path = inspect.getsourcefile(spec.build)
+        if not path:
+            return False
+        rel = os.path.relpath(os.path.abspath(path), root)
+        res = subprocess.run(
+            ["git", "diff", "--quiet", ref, "HEAD", "--", rel],
+            cwd=root, capture_output=True, timeout=30,
+        )
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
 def ab_control(root: str, prev: dict | None, regressions: list[dict],
                dir_of_scope: dict,
-               retime=_ab_retime_old_code) -> tuple[list[dict], list[dict]]:
-    """Wide-flag escape hatch: when >= WIDE_FLAG_N entries flag at once,
-    run the previous round's code on this box (git worktree) over just
-    the flagged entries and drop every flag the old code reproduces —
-    the decisive environment-vs-code control of the r9 verdict, now
-    automatic. Returns (kept_flags, env_cleared_flags)."""
-    if len(regressions) < WIDE_FLAG_N:
+               retime=_ab_retime_old_code,
+               unchanged=_entry_code_unchanged) -> tuple[list[dict], list[dict]]:
+    """Environment-vs-code control, two triggers (both automatic):
+
+    1. Wide-flag storm: >= WIDE_FLAG_N entries flag at once — run the
+       previous round's code on this box (git worktree) over the flagged
+       entries and drop every flag the old code reproduces (the decisive
+       r9 manual control, automated in r10).
+    2. Unchanged-code flag (r11): any flagged entry whose defining module
+       is byte-identical to the previous round's recorded git_sha — the
+       r10 verdict's surviving sub-threshold flags (p2_quality_filter,
+       x_text_vocab) sat exactly here, env-vs-real unresolved because
+       the storm trigger never fired. Retime is restricted to just those
+       entries, so the cost is per-flag, not per-storm.
+
+    Returns (kept_flags, env_cleared_flags); flags without an A/B
+    measurement always pass through kept."""
+    if not regressions:
         return regressions, []
     ref = _prev_code_ref(root, prev)
     if ref is None:
         return regressions, []
+    if len(regressions) >= WIDE_FLAG_N:
+        rows = regressions[:AB_MAX_ENTRIES]
+    else:
+        rows = [
+            r for r in regressions if unchanged(root, ref, r["query"])
+        ][:AB_MAX_ENTRIES]
+        if not rows:
+            return regressions, []
     names_by_dir: dict[str, list[str]] = {}
-    for row in regressions[:AB_MAX_ENTRIES]:
+    for row in rows:
         d = dir_of_scope.get(row["scope"])
         if d:
             names_by_dir.setdefault(d, []).append(row["query"])

@@ -231,3 +231,44 @@ def test_ab_control_keeps_code_regressions_and_small_storms(tmp_path):
         retime=lambda *a: {},
     )
     assert kept == flags and cleared == []
+
+
+def test_ab_control_unchanged_code_flag_triggers_targeted_retime(tmp_path):
+    """The r11 sub-threshold trigger: a storm-free flag whose defining
+    module is byte-identical to the previous round's code gets an A/B
+    retime of JUST that entry — env-reproduced flags clear, genuine ones
+    (and changed-code flags, which the cheap signal skips) pass
+    through."""
+    from bench import WIDE_FLAG_N, ab_control
+
+    flags = [
+        {"query": "q_same", "scope": "sf0.1", "prev_sec": 1.0,
+         "now_sec": 1.4, "delta_pct": 40.0},
+        {"query": "q_changed", "scope": "sf0.1", "prev_sec": 1.0,
+         "now_sec": 1.5, "delta_pct": 50.0},
+    ]
+    assert len(flags) < WIDE_FLAG_N
+    seen = {}
+
+    def fake_retime(root, ref, names_by_dir):
+        seen["names"] = names_by_dir
+        return {"/sf::q_same": 1.39}  # old code reproduces the slowdown
+
+    kept, cleared = ab_control(
+        str(tmp_path), {"git_sha": "abc123"}, flags, {"sf0.1": "/sf"},
+        retime=fake_retime,
+        unchanged=lambda root, ref, name: name == "q_same",
+    )
+    # only the unchanged entry was retimed, and it cleared as env
+    assert seen["names"] == {"/sf": ["q_same"]}
+    assert [k["query"] for k in kept] == ["q_changed"]
+    assert [c["query"] for c in cleared] == ["q_same"]
+    assert cleared[0]["old_code_now_sec"] == 1.39
+
+    # unchanged-signal misses everything -> no retime, flags untouched
+    kept, cleared = ab_control(
+        str(tmp_path), {"git_sha": "abc123"}, flags, {"sf0.1": "/sf"},
+        retime=lambda *a: (_ for _ in ()).throw(AssertionError("no A/B")),
+        unchanged=lambda root, ref, name: False,
+    )
+    assert kept == flags and cleared == []

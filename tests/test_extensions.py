@@ -546,6 +546,225 @@ def test_split_oversized_cells_null_and_ragged_rows_stay(spark):
     assert got[96] == 0 and got[97] == 0
 
 
+def test_split_oversized_cells_degenerate_seed_candidates(spark):
+    """Seed candidacy excludes unscorable rows (r11 hardening): a NULL
+    vector, a NULL-element vector, and a ragged vector occupying the
+    SMALLEST ids of an oversized cell must not become sub-seeds — the
+    min-id rule ranks over scorable same-dimension rows only, so the
+    split neither crashes on the driver's int() projection nor builds an
+    object-dtype seed matrix."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        split_oversized_cells,
+    )
+
+    degenerate = [
+        (0, None, 0),
+        (1, [1.0], 0),                   # ragged (cell dim is 2)
+        (2, [1.0, None], 0),             # NULL element
+        (3, [float("nan"), 1.0], 0),     # NaN element
+    ]
+    rows = [(10 + i, [1.0 * i, 1.0], 0) for i in range(8)]
+    df = spark.createDataFrame(
+        degenerate + rows,
+        "vec_id long, embedding array<double>, centroid_id long",
+    )
+    out = split_oversized_cells(df, max_cell_size=4)
+    got = {r["vec_id"]: r["subcell"] for r in out.collect()}
+    assert len(got) == 12            # nothing dropped
+    assert all(got[v] == 0 for v in (0, 1, 2, 3))  # unscorable: subcell 0
+    assert len({got[v] for v in range(10, 18)}) > 1  # split still happened
+    # deterministic replay
+    again = {r["vec_id"]: r["subcell"]
+             for r in split_oversized_cells(df, max_cell_size=4).collect()}
+    assert again == got
+
+
+def test_collapse_identical_vectors_element_null_nan(spark):
+    """Element-level degeneracy routing (r11 ADVICE fix): concat_ws skips
+    NULL array elements, so [1.0, NULL, 2.0] would alias [1.0, 2.0] and
+    a NaN element would alias its cast image — both must take the
+    per-row fallback key and never collapse."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        collapse_identical_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 2.0]),
+            (2, [1.0, 2.0]),
+            (3, [float("nan"), 0.0]),
+            (4, [0.0, 0.0]),
+            (5, [0.0, 0.0]),          # genuine identical pair with 4
+            (6, [1.0, None, 2.0]),    # same shape as 1 — still per-row
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["rep_id"], r["is_rep"])
+           for r in collapse_identical_vectors(df).collect()}
+    assert got[1] == (1, True) and got[2] == (2, True)
+    assert got[3] == (3, True)
+    assert got[4] == (4, True) and got[5] == (4, False)
+    assert got[6] == (6, True)
+
+
+def _near_dup_all_modes(df, **kw):
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    def canon(p):
+        return sorted(
+            (r["a_id"], r["b_id"],
+             None if r["score"] != r["score"] else r["score"])
+            for r in p.collect()
+        )
+
+    return {
+        mode: canon(embedding_near_dup_pairs(df, collapse=mode, **kw))
+        for mode in ("off", "auto", "exact", "star")
+    }
+
+
+def test_near_dup_pairs_collapse_exact_and_star(spark):
+    """The r11 flood wiring: with a 70-copy identity flood plus
+    degenerate vectors, collapse='exact' (and the measured 'auto', whose
+    flood gate trips here) returns the pair set BYTE-IDENTICAL to the
+    direct plan, while collapse='star' returns a component-equivalent
+    set whose size is linear in the flood. Degenerate shapes pin the
+    blocked scorer's real contract: NULL-element, NaN-element and
+    zero-norm vectors pair with nothing (worker NaN crosses Arrow as
+    NULL and drops at the threshold filter)."""
+    v0 = [1.0, 2.0, 3.0]
+    rows = [(i, 0, v0) for i in range(70)]
+    rows += [
+        (100, 0, [1.0, 2.0, 3.1]),
+        (101, 0, [-1.0, -2.0, -3.0]),
+        (102, 0, [1.0, None, 2.0]),
+        (103, 0, [1.0, 2.0]),
+        (104, 0, [float("nan"), 0.0, 0.0]),
+        (105, 0, [0.0, 0.0, 0.0]),
+        (106, 0, [0.0, 0.0, 0.0]),
+        (200, 1, v0), (201, 1, v0), (202, 1, [3.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = _near_dup_all_modes(df, threshold=0.5, block_col="label")
+    assert got["exact"] == got["off"]
+    assert got["auto"] == got["off"]
+    # no degenerate-vector pairs anywhere
+    flat_ids = {i for t in got["off"] for i in t[:2]}
+    assert flat_ids.isdisjoint({102, 103, 104, 105, 106})
+    # star: linear in the flood (69 star edges + rep-grain pairs),
+    # identical connected components
+    assert len(got["star"]) < len(got["off"]) / 10
+
+    def comps(pairs):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    assert comps(got["star"]) == comps(got["off"])
+
+
+def test_near_dup_pairs_incremental_star_kill_parity(spark):
+    """The star mode's incremental contract (r11): under BOTH downstream
+    kill rules — the batch entry's greedy smaller-id rule (valid in its
+    id-ordered regime, stored ids below batch ids) and the streaming
+    ingest's accepted-corpus rule (arbitrary id interleaving) — the
+    collapsed edge set kills exactly the batch vectors the direct plan
+    kills. Randomized identity-group corpora cover mixed old/new groups,
+    all-new groups, and cross-group near-dups; exact mode stays
+    pair-identical throughout."""
+    import random
+
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    vocab = [
+        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+        [0.9, 0.1, 0.0], [0.05, 0.95, 0.0], [0.7, 0.7, 0.0],
+        [-1.0, 0.0, 0.0],
+    ]
+    for seed, ordered in [(0, True), (0, False), (1, True), (1, False),
+                          (2, True), (2, False)]:
+        rnd = random.Random(seed)
+        n = 40
+        rows = [[i, False, vocab[rnd.randrange(len(vocab))],
+                 rnd.randrange(2)] for i in range(n)]
+        for r in rows:
+            r[1] = (r[0] >= n * 7 // 10) if ordered else (rnd.random() < 0.4)
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "vec_id long, is_new boolean, embedding array<double>, cell int",
+        )
+
+        def pp(collapse):
+            return [(r["a_id"], r["b_id"]) for r in embedding_near_dup_pairs(
+                df, threshold=0.5, block_col="cell", new_col="is_new",
+                collapse=collapse, collapse_min=2).collect()]
+
+        direct, starp, exactp = pp("off"), pp("star"), pp("exact")
+        assert sorted(exactp) == sorted(direct)
+        new_ids = {r[0] for r in rows if r[1]}
+        kill_accepted = lambda ps: {b if b in new_ids else a for a, b in ps}
+        assert (new_ids - kill_accepted(direct)
+                == new_ids - kill_accepted(starp))
+        if ordered:
+            assert (new_ids - {b for _, b in direct}
+                    == new_ids - {b for _, b in starp})
+
+
+def test_near_dup_pairs_auto_split_on_oversized_block(spark, embeddings):
+    """The measured skew gate (r11): a block over max_cell_size with no
+    identity flood routes through split_oversized_cells automatically —
+    output pairs block on (cell, subcell), a subset of the direct
+    in-cell set that keeps every planted exact-dup pair (clones
+    co-locate by construction of the sub-assignment)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    assigned = emb.unionByName(clones).withColumn(
+        "centroid_id",
+        F.when(F.col("vec_id") % 50 == 49, F.lit(1)).otherwise(F.lit(0))
+        .cast("long"),
+    )
+    direct = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(
+            assigned, threshold=0.999, block_col="centroid_id",
+            collapse="off",
+        ).collect()
+    }
+    auto = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(
+            assigned, threshold=0.999, block_col="centroid_id",
+            collapse="auto", max_cell_size=64,
+        ).collect()
+    }
+    assert auto <= direct
+    assert {(v, v + 10_000) for v in range(20)} <= auto
+
+
 def test_kmeans_routed_near_dup_pairs_colocate(spark, embeddings):
     """What routing must NOT lose is PAIR recall: a near-duplicate pair
     rides nearly identical routing scores, probes the same reps, and

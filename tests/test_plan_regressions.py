@@ -58,9 +58,14 @@ def _shuffles(plan: str) -> int:
         # of 1 relied on a toy-scale broadcast that misrepresents 100 TB
         ("j2_w4_primary_priority", 2),
         ("x_sim_ivf", 1),
-        # 3 = assignment join by id + the cell groupBy into the blocked
-        # scorer + the losers distinct; assignment itself is zero-shuffle
-        ("x_dedup_semdedup_inc", 3),
+        # 5 STATIC = assignment join by id + the cell groupBy into the
+        # blocked scorer + the losers distinct + the r11 flood-collapse
+        # identity window's exchange RENDERED TWICE (rep branch + star
+        # branch, distinct plan_ids pre-AQE). Physically the second render
+        # is a ReusedExchange at runtime — the corpus computes once
+        # (pinned by test_star_collapse_reuses_identity_exchange) — so
+        # the executed count is 4.
+        ("x_dedup_semdedup_inc", 5),
         # 7 = ONE corpus-grain exchange (the (origin, cell) occupancy fold
         # off the zero-shuffle assignment) + 6 on post-aggregate frames of
         # <= 2 x k rows (the drift comparison grid); embeddings never
@@ -270,3 +275,31 @@ def test_single_partition_only_on_calendar_grain(spark, sf_dir):
                 f"{spec.name}: SinglePartition not fed by a partial "
                 f"aggregate\n{ln}\n{child}"
             )
+
+
+def test_star_collapse_reuses_identity_exchange(spark, sf_dir):
+    """The r11 flood-collapse plan contract: star mode's rep-enumeration
+    and star-edge branches both read the (block, vector-identity) window
+    output, and Spark must serve the second read from a ReusedExchange of
+    the first — NOT recompute the input corpus. The collapsed path
+    projects both branches to one minimal identical column set exactly so
+    the exchange subtrees canonicalize equal (a single stray payload
+    column forks the scan: observed pre-fix, 'label' riding only into the
+    scorer branch). Executed (AQE-final) plan, not the static render."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.withColumn("cell", (F.col("vec_id") % 5).cast("int"))
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.3, block_col="cell", collapse="star"
+    )
+    pairs.write.format("noop").mode("overwrite").save()
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+    # the reused node is the identity window's (cell, __vkey) exchange
+    reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
+    assert any("__vkey" in ln for ln in reused), plan

@@ -85,6 +85,12 @@ PROBE = [
     "x_curation_e2e_capped",
     "x_sim_ivf",
     "x_sim_lsh",
+    # r11 additions (VERDICT r10 item 6): the next-heaviest corpus-pair /
+    # corpus-stat text entries without a measured ratio
+    "x_text_tfidf",
+    "x_text_bm25",
+    "x_text_contamination",
+    "x_text_line_dedup_inc",
 ]
 
 # ratio <= this reads as linear-with-overhead for a 10x data step
@@ -100,6 +106,10 @@ NOTES = {
     "x_curation_e2e_capped": "10-stage DAG, capped bands/doc-freq (100 TB path)",
     "x_sim_ivf": "query side probes nprobe cells; corpus touched once for assignment",
     "x_sim_lsh": "sign-LSH bucket join; pair space bounded per bucket",
+    "x_text_tfidf": "token-grain agg folds map-side; df table bounded by vocab",
+    "x_text_bm25": "per-doc scoring against bounded query terms; one df pass",
+    "x_text_contamination": "(size, array)-struct bind_once, persist-free since r10",
+    "x_text_line_dedup_inc": "batch lines vs stored line-df index; corpus never rescanned",
 }
 
 
