@@ -535,11 +535,20 @@ def streaming_semdedup_ingest(
         # in the accepted corpus) collapses to one rep per identical
         # vector before pair scoring; the accepted-corpus/smaller-id kill
         # rule below receives an equivalent edge set (reps prefer the
-        # smallest-id ACCEPTED member — kill-parity pinned in tests)
+        # smallest-id ACCEPTED member — kill-parity pinned in tests).
+        # The identity window rides the scorer's job (ReuseExchange), so
+        # the per-batch cost stays one pass over corpus+batch.
+        # max_cell_size=None: the subcell-split guard would re-read the
+        # ACCUMULATED corpus once more per micro-batch for its size
+        # measurement — the wrong trade on a stream; geometric cell skew
+        # is a maintenance-window concern (refresh_centroids retrains
+        # when drift says the cells have outgrown the data), while the
+        # in-batch quadratic risk is the identical-vector flood, which
+        # the collapse kills without an extra pass.
         pairs = embedding_near_dup_pairs(
             pool, threshold=threshold, block_col="centroid_id",
             id_col=id_col, vec_col=vec_col, new_col="__new",
-            collapse="star",
+            collapse="star", max_cell_size=None,
         )
         # pairs are (a_id < b_id) touching >= 1 batch row, but stream ids
         # carry no order vs the stored corpus: a batch vector loses when

@@ -392,3 +392,54 @@ def test_semdedup_inc_tiny_corpus_oracle_parity(spark, tmp_path):
     ocon.close()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ["x_dedup_semdedup", "x_dedup_semdedup_inc"])
+def test_semdedup_flood_corpus_oracle_parity(spark, tmp_path, name):
+    """The boilerplate-flood poster case END TO END (r11): 400 of 500
+    vectors are byte-identical. The entries route through the
+    collapse='star' pair stage — the flood costs 399 star edges instead
+    of ~80k in-cell cosines — and the keep set must still hash-match the
+    DuckDB oracle, which replays the FULL quadratic pair graph. For the
+    incremental entry the cutoff (400) lands inside the flood, so the
+    identity group mixes stored and batch members — exactly the shape
+    where a wrong rep choice would let a batch duplicate survive."""
+    from tests.oracle_harness import compare, duckdb_conn
+
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT CAST(i AS BIGINT) AS vec_id,"
+        " CASE WHEN i < 100 THEN"
+        "   [CAST(1.0 + 0.03*(i % 10) AS FLOAT),"
+        "    CAST(0.05*(i // 10) AS FLOAT),"
+        "    CAST(0.1 + 0.02*(i % 7) AS FLOAT), CAST(0.2 AS FLOAT)]"
+        " ELSE [CAST(0.0 AS FLOAT), CAST(0.9 AS FLOAT),"
+        "       CAST(-0.2 AS FLOAT), CAST(-0.7 AS FLOAT)] END"
+        " AS embedding, CAST(i % 3 AS INT) AS label"
+        " FROM range(500) t(i)"
+    )
+    con.execute(f"COPY emb TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    spec = next(s for s in CATALOG if s.name == name)
+    spark_pdf = spec.build(spark, d).toPandas()
+    ocon = duckdb_conn(d)
+    oracle_pdf = ocon.execute(spec.oracle).fetchdf()
+    ocon.close()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, "; ".join(problems)
+    # the flood vector is built to stay under the 0.30 threshold against
+    # every distinct-family vector (max cos ~0.21), so the flood is its
+    # own component: full run keeps exactly its min id; the incremental
+    # batch (ids 400+, all flood copies with stored twins) all dies
+    kept = set(spark_pdf["vec_id"])
+    if name == "x_dedup_semdedup":
+        assert 100 in kept and not (set(range(101, 500)) & kept)
+    else:
+        assert not (set(range(400, 500)) & kept)
