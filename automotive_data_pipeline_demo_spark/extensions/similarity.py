@@ -640,7 +640,19 @@ def _near_dup_pairs_collapsed(
         mode = collapse
         do_split = max_cell_size is not None
 
-    w = Window.partitionBy(block_col, "__vkey")
+    # Partition the identity window by the BLOCK alone and fold per-group
+    # aggregates over the __vkey PEER frame (RANGE CURRENT ROW..CURRENT
+    # ROW = all rows tied on the order key): the exchange is then
+    # hash(block), which the blocked scorer's groupBy(block) downstream
+    # satisfies WITHOUT a second exchange (and its sort is a prefix of
+    # the window's) — the corpus crosses the wire once, exactly like the
+    # pre-collapse plan, instead of once for a (block, vkey) window and
+    # again for the scorer. Plan-pinned by the single-exchange test.
+    w = (
+        Window.partitionBy(block_col)
+        .orderBy("__vkey")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     if new_col is not None:
         has_new = F.max(F.when(F.col("__nb"), 1).otherwise(0)).over(w) == 1
         has_old = F.max(F.when(~F.col("__nb"), 1).otherwise(0)).over(w) == 1

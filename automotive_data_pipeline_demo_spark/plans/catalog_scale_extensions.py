@@ -3497,11 +3497,18 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # collapses to one rep before pair scoring — f copies cost f star
     # edges instead of f²/2 in-cell cosines, and the components the keep
     # rule consumes are provably unchanged (r11; kill-/component-parity
-    # pinned in tests). The rep/star branches share the (cell, identity)
-    # window exchange via ReuseExchange, so the assigned corpus is still
-    # computed once per job.
+    # pinned in tests, plus the 400-copy flood oracle-parity test). The
+    # rep/star branches share the (cell, identity) window exchange via
+    # ReuseExchange, so the assigned corpus is still computed once per
+    # job. max_cell_size=None: the subcell-split guard's size measurement
+    # would recompute the assignment in an extra job, and the fixed-cell
+    # rule (k = n/128) bounds expected cell size by construction — the
+    # only unbounded-cell mechanism is the identity flood, which the
+    # collapse removes before pairing. The measured split stays on the
+    # generic collapse="auto" path for ad-hoc block keys.
     pairs = embedding_near_dup_pairs(
-        cells, threshold=0.30, block_col="centroid_id", collapse="star"
+        cells, threshold=0.30, block_col="centroid_id", collapse="star",
+        max_cell_size=None,
     )
     kept = dedup_corpus(emb, pairs, "vec_id")
     return kept.select(

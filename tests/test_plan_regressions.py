@@ -58,14 +58,17 @@ def _shuffles(plan: str) -> int:
         # of 1 relied on a toy-scale broadcast that misrepresents 100 TB
         ("j2_w4_primary_priority", 2),
         ("x_sim_ivf", 1),
-        # 5 STATIC = assignment join by id + the cell groupBy into the
-        # blocked scorer + the losers distinct + the r11 flood-collapse
-        # identity window's exchange RENDERED TWICE (rep branch + star
-        # branch, distinct plan_ids pre-AQE). Physically the second render
-        # is a ReusedExchange at runtime — the corpus computes once
-        # (pinned by test_star_collapse_reuses_identity_exchange) — so
-        # the executed count is 4.
-        ("x_dedup_semdedup_inc", 5),
+        # 4 STATIC = assignment join by id + the losers distinct + the
+        # r11 flood-collapse identity window's hash(cell) exchange
+        # RENDERED TWICE (rep branch + star branch, distinct plan_ids
+        # pre-AQE; physically the second render is a ReusedExchange —
+        # pinned by test_star_collapse_reuses_identity_exchange). The
+        # blocked scorer adds NO exchange of its own: the window
+        # partitions by the cell alone (identity groups fold over the
+        # __vkey peer range-frame), so groupBy(cell).applyInPandas
+        # consumes the window's partitioning and sort directly.
+        # Executed count: 3 — same wire crossings as before the guard.
+        ("x_dedup_semdedup_inc", 4),
         # 7 = ONE corpus-grain exchange (the (origin, cell) occupancy fold
         # off the zero-shuffle assignment) + 6 on post-aggregate frames of
         # <= 2 x k rows (the drift comparison grid); embeddings never
