@@ -355,6 +355,20 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
     assert scan and "centroid_id" in scan[0]
     assert "PartitionFilters: []" not in scan[0]
 
+    # prune="dpp" (r11): the large-query-batch mode — no driver collect,
+    # the broadcast probe side becomes a RUNTIME partition filter
+    # (dynamic partition pruning) on the partitioned store's scan, and
+    # the result set is identical to the static mode's
+    dpp = ivf_topk_stored(
+        spark.read.parquet(part_path), queries, cents, prune="dpp", **kwargs
+    )
+    assert sorted(got) == sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in dpp.collect()
+    )
+    dplan = dpp._jdf.queryExecution().executedPlan().toString()
+    dscan = [ln for ln in dplan.splitlines() if "PartitionFilters" in ln]
+    assert dscan and "dynamicpruning" in dscan[0], dplan
+
 
 def test_collapse_identical_vectors_exact_components(spark, embeddings):
     """The flood collapse is EXACT for dedup: on a corpus with a planted
