@@ -1096,6 +1096,83 @@ def test_streaming_semdedup_ingest_accumulates_and_replays(spark, tmp_path):
     assert {r["vec_id"] for r in rows} == got
 
 
+def test_streaming_semdedup_flood_across_batches(spark, tmp_path):
+    """The identical-vector flood through the STREAMING ingest (r11): the
+    star-collapsed pair stage must kill every flood copy against the
+    accepted corpus regardless of id interleaving — the stored flood
+    member carries a LARGER id (500) than every batch copy, so a rep
+    rule keyed on min id alone would crown a batch row; the
+    old-preferred rep keeps the accepted-corpus kill exact. Batch copies
+    above and below the stored id both drop, a novel vector is accepted
+    once and its later near-dup drops (prefix semantics), and a replayed
+    flood batch is a no-op."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        assign_to_stored_centroids,
+        kmeans_centroids,
+    )
+    from automotive_data_pipeline_demo_spark.streaming.dedup import (
+        streaming_semdedup_ingest,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus_rows = [(i, [1.0, 0.001 * i]) for i in range(4)] + [
+        (500, [0.6, 0.8])  # the stored flood representative, top id
+    ]
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    seeds = corpus.filter(F.col("vec_id").isin(0, 500)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    cents_path = str(tmp_path / "cents")
+    corpus_path = str(tmp_path / "corpus")
+    kmeans_centroids(corpus, seeds, n_iter=1).write.parquet(cents_path)
+    stored_cents = spark.read.parquet(cents_path)
+    assign_to_stored_centroids(corpus, stored_cents).join(
+        corpus, "vec_id"
+    ).select("vec_id", "embedding", "centroid_id").write.parquet(corpus_path)
+
+    src = tmp_path / "incoming"
+    b1 = [
+        (100, [0.6, 0.8]),    # flood copy, id < stored 500 -> dropped
+        (101, [0.6, 0.8]),    # flood copy -> dropped
+        (110, [-0.8, 0.6]),   # novel -> kept
+    ]
+    b2 = [
+        (50, [0.6, 0.8]),     # flood copy, below every stored id -> dropped
+        (51, [0.6, 0.8]),     # flood copy -> dropped
+        (111, [-0.8, 0.6001]),  # dups the ACCEPTED 110 -> dropped
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        q = streaming_semdedup_ingest(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            corpus_path, cents_path,
+            threshold=0.99,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    got = {r["vec_id"] for r in spark.read.parquet(corpus_path).collect()}
+    assert got == {0, 1, 2, 3, 500, 110}
+
+    # replay the flood batch -> no change, no duplicate rows
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    rows = spark.read.parquet(corpus_path).collect()
+    assert len(rows) == 6
+    assert {r["vec_id"] for r in rows} == got
+
+
 def test_line_df_index_checkpoint_lifecycle(spark, tmp_path):
     """index_path and checkpoint share a lifecycle (the documented
     contract): epoch ids are unique only per checkpoint lineage, so two
