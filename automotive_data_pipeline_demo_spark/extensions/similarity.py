@@ -590,10 +590,11 @@ def _near_dup_pairs_collapsed(
 ) -> DataFrame:
     """Flood/skew-guarded pair enumeration (see
     :func:`embedding_near_dup_pairs` for the mode contract and the
-    exactness arguments). Plan shape: the (block, __vkey) window exchange
-    is shared by the rep-enumeration and star/member branches via
-    ReuseExchange — the input is computed once per job however many
-    branches read it."""
+    exactness arguments). Plan shape: ONE hash(block) exchange feeds the
+    identity window (groups fold over the __vkey peer range-frame), the
+    blocked scorer consumes that partitioning without re-exchanging, and
+    the star/member branches read the same exchange via ReusedExchange —
+    the input is computed once per job however many branches read it."""
     base = df.filter(F.col(id_col).isNotNull() & F.col(block_col).isNotNull())
     # Minimal IDENTICAL projection for every consumer branch: the window's
     # exchange subtree must canonicalize equal across the rep-enumeration
