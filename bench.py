@@ -6,6 +6,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
    "sf": ..., "sf1": {"queries": {...}, "total_sec": ...}}
 
+The printed line is COMPACT (see :func:`_compact_record`): the driver's
+envelope captures only the last ~2000 bytes of stdout, and r11's record
+was lost (`parsed: null`) when 16 verbose flag rows pushed the line to
+~4 kB. Flag rows on the line carry only the essentials; full regression /
+env_cleared / A/B detail lives in BENCH_AB.json, and the complete result
+in BENCH_LOCAL.json.
+
 Each query executes fully via the noop sink (no driver collect, no sink
 I/O in the measurement). Session build time is excluded; a warmup query
 primes the JVM/codegen so numbers reflect steady-state plan execution.
@@ -171,13 +178,16 @@ def _host_ratio(now_canary, prev_canary) -> float:
     """Canary-based host-speed ratio used to normalize flag decisions.
 
     >1 means this box is slower than when the previous round's numbers
-    were recorded, so every raw comparison is inflated by that factor.
-    Applied only in the slower direction (ratio < 1 keeps 1.0): loosening
-    the gate on a provably-slower host removes false flags, while
-    tightening it on a faster host would let canary microbenchmark noise
-    (single-thread, while the suite is multi-core) flag healthy code.
-    Capped at 3x — past that the envelope is not comparable at all and
-    the wide-flag A/B control is the trustworthy signal.
+    were recorded, so every raw comparison is inflated by that factor;
+    <1 means this box is FASTER and raw comparisons are deflated by it.
+    SYMMETRIC since r12: the old slower-direction-only rule meant a round
+    recorded on a slow box (r10: canary 1.288) granted every entry ~29%
+    of free headroom the next round — a faster-host ratio now tightens
+    the bar the same way a slower one loosens it. Canary microbenchmark
+    noise on the tightened side is absorbed by REGRESSION_PCT and by the
+    min-of-3 retime any fresh flag gets before it is reported. Clamped to
+    [1/3, 3] — past that the envelope is not comparable at all and the
+    wide-flag A/B control is the trustworthy signal.
     """
     if (
         isinstance(now_canary, (int, float))
@@ -185,8 +195,50 @@ def _host_ratio(now_canary, prev_canary) -> float:
         and prev_canary > 0
         and now_canary > 0
     ):
-        return min(max(1.0, now_canary / prev_canary), 3.0)
+        return min(max(now_canary / prev_canary, 1.0 / 3.0), 3.0)
     return 1.0
+
+
+# The driver's envelope captures only the last ~2000 bytes of stdout and
+# parses the bench line out of that window: a line longer than the window
+# loses its FRONT and the round records `parsed: null` (r11, when 16
+# verbose flag rows pushed the line to ~4 kB). Conservative headroom for
+# the trailing newline / any stray final output.
+EMIT_BYTE_BUDGET = 1900
+
+
+def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
+    """The record actually PRINTED for the driver: the full per-query
+    maps (they are the round's record) plus flag rows slimmed to the
+    essentials, sized to stay under ``budget`` bytes when serialized with
+    compact separators. Full detail (verbose rows, env_cleared bodies,
+    A/B measurements, policy string) lives in BENCH_LOCAL.json and
+    BENCH_AB.json; the line carries counts and a pointer instead.
+    Degradation order when over budget: drop regression rows off the
+    tail (``regressions_n`` keeps the true count)."""
+    core_keys = (
+        "metric", "value", "unit", "queries", "sf", "canary_sec",
+        "canary_ratio", "sf1", "vs_round", "vs_source", "git_sha",
+    )
+    out = {k: result[k] for k in core_keys if k in result}
+
+    def slim(row: dict) -> dict:
+        keep = ("query", "scope", "prev_sec", "now_sec", "code_suspect")
+        return {k: row[k] for k in keep if k in row}
+
+    regs = [slim(r) for r in result.get("regressions", [])]
+    out["regressions"] = regs
+    out["regressions_n"] = len(result.get("regressions", []))
+    out["env_cleared_n"] = len(result.get("env_cleared", []))
+    if out["regressions_n"] or out["env_cleared_n"]:
+        out["detail"] = "BENCH_AB.json"
+
+    def size(d: dict) -> int:
+        return len(json.dumps(d, separators=(",", ":")))
+
+    while regs and size(out) > budget:
+        regs.pop()
+    return out
 
 
 def _recover_from_tail(tail: str) -> dict | None:
@@ -207,7 +259,7 @@ def _recover_from_tail(tail: str) -> dict | None:
                 return full
         except ValueError:
             pass
-    m = re.search(r'"sf": ([0-9.]+)', tail)
+    m = re.search(r'"sf":\s?([0-9.]+)', tail)
     if not m:
         return None
     # everything before the first top-level "sf" key is (a suffix of) the
@@ -221,7 +273,8 @@ def _recover_from_tail(tail: str) -> dict | None:
         "queries": {
             k: float(v)
             for k, v in re.findall(
-                r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)\s*[,}]', tail[: m.start()]
+                r'"([A-Za-z0-9_]+)":\s?([0-9][0-9.]*)\s*[,}]',
+                tail[: m.start()],
             )
             if k not in not_queries
         },
@@ -457,48 +510,86 @@ def split_env_flags(regressions: list[dict], old_times: dict,
                     dir_of_scope: dict) -> tuple[list[dict], list[dict]]:
     """Classify surviving flags with the A/B measurements: a flag whose
     entry the OLD code also runs past the threshold (vs its own recorded
-    number, on this box, right now) is ENVIRONMENT, not code. Returns
-    (kept, env_cleared); flags with no A/B measurement are kept."""
+    number, on this box, right now) is ENVIRONMENT, not code — UNLESS the
+    new code is ALSO slower than the old code measured concurrently in
+    the same A/B, which is the whole point of running one (r11's rule
+    cleared x_dedup_semdedup as "environment" while its own control read
+    new 4.27 s vs old-code-now 3.10 s, +38% code-attributable). Such a
+    flag stays kept with ``code_suspect: true`` and the measured
+    ``old_code_now_sec``. Returns (kept, env_cleared); flags with no A/B
+    measurement are kept."""
     kept, cleared = [], []
+    bar = 1 + REGRESSION_PCT / 100
     for row in regressions:
         key = f"{dir_of_scope.get(row['scope'], '')}::{row['query']}"
         old_now = old_times.get(key)
-        if (
-            isinstance(old_now, (int, float))
-            and old_now > row["prev_sec"] * (1 + REGRESSION_PCT / 100)
-        ):
-            cleared.append({**row, "old_code_now_sec": old_now})
+        if not isinstance(old_now, (int, float)):
+            kept.append(row)
+            continue
+        row = {**row, "old_code_now_sec": old_now}
+        if row["now_sec"] > old_now * bar:
+            # concurrent control: new code slower than old code RIGHT NOW
+            row["code_suspect"] = True
+            kept.append(row)
+        elif old_now > row["prev_sec"] * bar:
+            cleared.append(row)
         else:
             kept.append(row)
     return kept, cleared
 
 
 def _entry_code_unchanged(root: str, ref: str, name: str) -> bool:
-    """True when the flagged entry's DEFINING MODULE is byte-identical
-    between ``ref`` and HEAD — the cheap signal that a flag is more
-    likely environment than code. Deliberately loose (a dependency
-    module may still have changed): it only decides whether to SPEND the
-    A/B retime, and the retime itself is sound either way — a genuine
-    dependency regression won't reproduce under the old code, so the
-    flag survives ``split_env_flags``."""
+    """True when the flagged entry's DEFINING MODULE — and every package
+    module it imports from (one level: the objects in its namespace) —
+    is byte-identical between ``ref`` and HEAD: the cheap signal that a
+    flag is more likely environment than code. Each path is verified to
+    EXIST in both trees first (``git cat-file -e``): ``git diff --quiet``
+    exits 0 on a pathspec that matches nothing, which mis-reported
+    untracked/out-of-tree modules as "unchanged" (r11 ADVICE). The
+    one-level closure catches the r11 shape where an entry's own module
+    was untouched but similarity.py on its hot path changed. Still only
+    decides whether to SPEND the A/B retime — the retime itself is sound
+    either way: a genuine dependency regression won't reproduce under the
+    old code, so the flag survives ``split_env_flags``."""
     import inspect
     import subprocess
+    import types
 
     try:
+        import automotive_data_pipeline_demo_spark as _pkg
         from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
 
         spec = next((s for s in CATALOG if s.name == name), None)
         if spec is None:
             return False
-        path = inspect.getsourcefile(spec.build)
-        if not path:
+        mod = inspect.getmodule(spec.build)
+        if mod is None:
             return False
-        rel = os.path.relpath(os.path.abspath(path), root)
-        res = subprocess.run(
-            ["git", "diff", "--quiet", ref, "HEAD", "--", rel],
-            cwd=root, capture_output=True, timeout=30,
-        )
-        return res.returncode == 0
+        prefix = _pkg.__name__ + "."
+        mods = {mod}
+        for v in vars(mod).values():
+            m = v if isinstance(v, types.ModuleType) else inspect.getmodule(v)
+            if m is not None and getattr(m, "__name__", "").startswith(prefix):
+                mods.add(m)
+        for m in mods:
+            path = getattr(m, "__file__", None)
+            if not path:
+                return False
+            rel = os.path.relpath(os.path.abspath(path), root)
+            if rel.startswith(".."):
+                return False
+            for tree in (ref, "HEAD"):
+                if subprocess.run(
+                    ["git", "cat-file", "-e", f"{tree}:{rel}"],
+                    cwd=root, capture_output=True, timeout=30,
+                ).returncode != 0:
+                    return False
+            if subprocess.run(
+                ["git", "diff", "--quiet", ref, "HEAD", "--", rel],
+                cwd=root, capture_output=True, timeout=30,
+            ).returncode != 0:
+                return False
+        return True
     except Exception:
         return False
 
@@ -634,18 +725,26 @@ def main() -> None:
     # durable self-record: the driver's envelope capture can truncate the
     # printed line (r5 did), so the gate's next run prefers this file over
     # an unusable newest envelope
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-            ),
-            "w",
-            encoding="utf-8",
-        ) as fh:
-            json.dump(result, fh)
-    except OSError:
-        pass
-    print(json.dumps(result))
+    def _write_json(name: str, payload: dict) -> None:
+        try:
+            with open(
+                os.path.join(root, name), "w", encoding="utf-8"
+            ) as fh:
+                json.dump(payload, fh)
+        except OSError:
+            pass
+
+    _write_json("BENCH_LOCAL.json", result)
+    # full flag/A-B detail the compact printed line elides (r11 lost its
+    # whole record to verbose flag rows — see _compact_record)
+    _write_json("BENCH_AB.json", {
+        "git_sha": result.get("git_sha"),
+        "sf": sf,
+        "canary_ratio": result.get("canary_ratio"),
+        "regressions": result.get("regressions", []),
+        "env_cleared": result.get("env_cleared", []),
+    })
+    print(json.dumps(_compact_record(result), separators=(",", ":")))
     spark.stop()
 
 
