@@ -15,10 +15,13 @@ without shipping a random state.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -276,7 +279,8 @@ def ivf_topk_stored(
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "c_vec",
-    prune: str = "static",
+    prune: str = "auto",
+    auto_static_max: int = 1024,
 ) -> DataFrame:
     """ANN search against a STORED cell-assigned corpus — the search half
     of the stored-centroid index posture. ``corpus_cells`` is the
@@ -288,7 +292,7 @@ def ivf_topk_stored(
 
     ``prune`` picks how unprobed cells are kept off disk:
 
-    - ``"static"`` (default, interactive search): the probed cell ids
+    - ``"static"`` (interactive search): the probed cell ids
       are collected (bounded by |queries| x nprobe — queries are few;
       the corpus is the 100 TB side) and pushed as a STATIC ``IN``
       filter before the join, so a corpus store written
@@ -304,6 +308,14 @@ def ivf_topk_stored(
       to inline as a literal list (a batch-dedup or recommendation
       sweep probing most cells); identical output by construction —
       the same join, minus the redundant static filter.
+    - ``"auto"`` (default, r12): callers don't need to know the modes
+      exist — the same auto-guard philosophy as the pair stage's flood
+      collapse. Two cheap bounded aggregates (|queries| on the small
+      side, |centroids| on the tiny one) bound the static list at
+      min(|queries| x nprobe, |centroids|); at or under
+      ``auto_static_max`` the plan is ``static``, above it ``dpp``.
+      Both regimes are plan-pinned and output-identical, so the gate
+      only trades driver-collect size against a runtime filter.
 
     Query-side probing scores float cosine against ``centroid_vec_col``
     (pass ``c_sum`` for ``kmeans_centroids`` artifacts — cosine is
@@ -316,8 +328,18 @@ def ivf_topk_stored(
     Output matches :func:`brute_force_topk` / :func:`ivf_topk`:
     (query_id, vec_id, score).
     """
-    if prune not in ("static", "dpp"):
+    if prune not in ("auto", "static", "dpp"):
         raise ValueError(f"unknown prune: {prune!r}")
+    if prune == "auto":
+        # the distinct probed-cell list static would inline is bounded by
+        # min(|queries| * nprobe, |centroids|): two narrow counts on the
+        # small/tiny sides, never the stored corpus
+        upper = min(queries.count() * nprobe, centroids.count())
+        prune = "static" if upper <= auto_static_max else "dpp"
+        _log.info(
+            "ivf_topk_stored prune=auto gate: probe_upper=%d -> %s",
+            upper, prune,
+        )
     probes = ivf_assign(
         queries,
         centroids,
@@ -371,7 +393,7 @@ def embedding_near_dup_pairs(
     new_col: str | None = None,
     collapse: str = "auto",
     collapse_min: int = 64,
-    max_cell_size: int | None = 4096,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, score >= threshold).
 
@@ -425,7 +447,13 @@ def embedding_near_dup_pairs(
     by default so the 100 TB cost bound holds for callers who don't know
     the library helpers exist (SURVEY §7.4: a boilerplate flood of f
     identical vectors otherwise pays f²/2 in-cell pair scores that no
-    cell rule can shrink). Both apply only when ``block_col`` is given:
+    cell rule can shrink). Both apply only when ``block_col`` is given.
+    Rows whose ``block_col`` is NULL are dropped up front in EVERY
+    mode/strategy — a NULL block means "assigned to no block", and before
+    r12 the paths disagreed (the equi-join strategy dropped them, the
+    blocked scorer paired them as one bucket, the collapsed path filtered
+    them), so 'exact' was not pair-for-pair identical to the direct plan
+    on NULL-block rows.
 
     - ``collapse="auto"`` (default) — ONE measured stats pass at
       (block, vector-identity) grain decides, the way line-dedup's
@@ -436,16 +464,21 @@ def embedding_near_dup_pairs(
       then expanded EXACTLY back to the full pair set, so the output is
       pair-for-pair identical to the direct plan while the flood's
       scoring cost drops from f²/2 cosines to f²/2 cheap join rows. If
-      additionally any block exceeds ``max_cell_size`` (at rep grain when
-      collapsing, raw grain otherwise), the frame is subcell-split
-      (:func:`split_oversized_cells`) and pairs block on
+      additionally ``max_cell_size`` is set and any block exceeds it (at
+      rep grain when collapsing, raw grain otherwise), the frame is
+      subcell-split (:func:`split_oversized_cells`) and pairs block on
       (block, subcell) — that path trades recall at subcell boundaries
       exactly like the cell boundary itself and is the one mode whose
-      output is NOT a superset-free match of the direct plan. With
-      neither trigger the ORIGINAL single-pass plan runs untouched.
-      Callers passing an expensive derived frame (a join over a fresh
-      assignment) should persist it or pick an unconditional mode — the
-      stats pass is a second evaluation of the input.
+      output is NOT a superset-free match of the direct plan. The split
+      is therefore OPT-IN (``max_cell_size=None`` by default, r12): the
+      default guard is purely the output-exact flood collapse, and a
+      caller must ask for the lossy skew split explicitly. With neither
+      trigger the ORIGINAL single-pass plan runs untouched. The gate
+      decision (measured stats + chosen path) is logged at INFO on this
+      module's logger. Callers passing an expensive derived frame (a
+      join over a fresh assignment) should persist it or pick an
+      unconditional mode — the stats pass is a second evaluation of the
+      input.
     - ``collapse="star"`` — unconditional collapse for DEDUP consumers:
       emits rep-grain pairs plus one (rep, member) star edge per
       non-rep member (score 1.0, or NaN for zero/inf-norm groups — the
@@ -458,6 +491,13 @@ def embedding_near_dup_pairs(
       plan (reps prefer the smallest-id STORED member when ``new_col``
       is given, and rep-grain pairs enumerate with the group-all-new
       flag, which is what makes the kill-parity argument go through).
+      With ``new_col``, star edges are restricted to members where the
+      member or its rep is new (r12): a mixed identity group — stored
+      rep, stored members, >= 1 new member — previously emitted
+      stored-stored star edges touching zero new rows, so the
+      incremental contract "every pair touches >= 1 new row" held for
+      rep-grain pairs but not star edges; each new member still gets
+      its rep edge, so kill parity is unchanged.
       Used by the SemDeDup family and ``streaming_semdedup_ingest``.
       Measured (r11, sf0.1 corpus + a planted 10,000-copy flood, one
       cell): direct enumeration 77.6 s / 5.0e7 emitted pairs; star
@@ -474,6 +514,10 @@ def embedding_near_dup_pairs(
         raise ValueError(f"unknown collapse: {collapse!r}")
     if strategy == "auto":
         strategy = "blocked" if block_col else "join"
+    if block_col is not None:
+        # NULL block = assigned to no block: pairs with nothing, in every
+        # mode and strategy (see the docstring's NULL-block contract)
+        df = df.filter(F.col(block_col).isNotNull())
     if block_col is None or collapse == "off":
         return _enumerate_pairs(
             df, threshold, block_col, id_col, vec_col, strategy, chunk_pairs,
@@ -640,6 +684,11 @@ def _near_dup_pairs_collapsed(
         mode = "exact"
         split_n = rn if do_collapse else bn
         do_split = max_cell_size is not None and split_n > max_cell_size
+        _log.info(
+            "embedding_near_dup_pairs collapse=auto gate: max_group=%d "
+            "max_block_raw=%d max_block_rep=%d -> collapse=%s split=%s",
+            gm, bn, rn, do_collapse, do_split,
+        )
         if not do_collapse and not do_split:
             # the untouched single-pass plan
             return _enumerate_pairs(
@@ -718,7 +767,16 @@ def _near_dup_pairs_collapsed(
     eq_score = _identical_pair_score(vec_col)
 
     if mode == "star":
-        src = marked.filter(F.col("__gnew")) if new_col is not None else marked
+        if new_col is not None:
+            # only members where the member or its rep is new: a mixed
+            # group (stored rep + stored members + new members) must not
+            # emit stored-stored star edges — the incremental contract is
+            # "every pair touches >= 1 new row", and each new member keeps
+            # its rep edge so kill parity is unchanged (__repnew is the
+            # all-new-group flag, which implies every member is new)
+            src = marked.filter(F.col("__nb") | F.col("__repnew"))
+        else:
+            src = marked
         edges = (
             src.filter(F.col(id_col) != F.col("__rep"))
             .select(

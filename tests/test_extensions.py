@@ -349,11 +349,20 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
         (r["query_id"], r["vec_id"], r["score"]) for r in unpart.collect()
     )
     # the probe lands in the scan as a partition filter: unprobed cells
-    # are pruned at the source, not post-read
+    # are pruned at the source, not post-read. The call above used the
+    # default prune="auto" (r12), whose gate resolves to STATIC here
+    # (probe bound min(3x2, |cents|) <= auto_static_max) — so this also
+    # pins auto's small-batch regime: a LITERAL IN list on the scan
+    # (Spark additionally plants its own dynamicpruning expression on any
+    # broadcast join over the partition column; the literal list is what
+    # distinguishes the static regime).
+    import re as _re
+
     plan = stored_part._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scan and "centroid_id" in scan[0]
     assert "PartitionFilters: []" not in scan[0]
+    assert _re.search(r"centroid_id#\d+ IN \(", scan[0]), scan[0]
 
     # prune="dpp" (r11): the large-query-batch mode — no driver collect,
     # the broadcast probe side becomes a RUNTIME partition filter
@@ -368,6 +377,26 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
     dplan = dpp._jdf.queryExecution().executedPlan().toString()
     dscan = [ln for ln in dplan.splitlines() if "PartitionFilters" in ln]
     assert dscan and "dynamicpruning" in dscan[0], dplan
+    assert not _re.search(r"centroid_id#\d+ IN \(", dscan[0]), dscan[0]
+
+    # auto's large-batch regime: over auto_static_max the gate picks dpp
+    # — same pinned plan shape, identical results, no driver collect
+    auto_dpp = ivf_topk_stored(
+        spark.read.parquet(part_path), queries, cents,
+        auto_static_max=0, **kwargs
+    )
+    assert sorted(got) == sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in auto_dpp.collect()
+    )
+    aplan = auto_dpp._jdf.queryExecution().executedPlan().toString()
+    ascan = [ln for ln in aplan.splitlines() if "PartitionFilters" in ln]
+    assert ascan and "dynamicpruning" in ascan[0], aplan
+    assert not _re.search(r"centroid_id#\d+ IN \(", ascan[0]), ascan[0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown prune"):
+        ivf_topk_stored(store, queries, cents, prune="nope", **kwargs)
 
 
 def test_collapse_identical_vectors_exact_components(spark, embeddings):
@@ -691,7 +720,72 @@ def test_near_dup_pairs_collapse_exact_and_star(spark):
     assert comps(got["star"]) == comps(got["off"])
 
 
-def test_near_dup_pairs_incremental_star_kill_parity(spark):
+def test_near_dup_pairs_null_block_rows_never_pair(spark):
+    """NULL-block rows are dropped up front in EVERY mode and BOTH
+    strategies (r12): before, the equi-join strategy dropped them, the
+    blocked scorer paired them as one bucket, and the collapsed path
+    filtered them — so collapse='exact' was not pair-for-pair identical
+    to the direct plan on a corpus with NULL blocks."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    v0 = [1.0, 2.0, 3.0]
+    rows = [(1, 0, v0), (2, 0, v0), (10, None, v0), (11, None, v0),
+            (12, None, [3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for strategy in ("blocked", "join"):
+        got = _near_dup_all_modes(
+            df, threshold=0.5, block_col="label", strategy=strategy
+        )
+        for mode, pairs in got.items():
+            ids = {i for t in pairs for i in t[:2]}
+            assert ids.isdisjoint({10, 11, 12}), (strategy, mode, pairs)
+            assert (1, 2, 1.0) in pairs, (strategy, mode)
+        # with NULL blocks in play, exact/auto still match the direct plan
+        assert got["exact"] == got["off"]
+        assert got["auto"] == got["off"]
+
+
+def test_near_dup_pairs_star_no_stored_stored_edges(spark):
+    """Mixed identity group (stored rep + stored members + new members,
+    r12): star edges are restricted to members where the member or its
+    rep is new, so every emitted pair touches >= 1 new row — the
+    incremental contract the consumers' loser rules are written against.
+    Each new member still gets its rep edge (kill parity)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    v0 = [1.0, 2.0, 3.0]
+    rows = (
+        # mixed group: stored 1 (rep), stored 2-4, new 100-101
+        [(1, False, v0), (2, False, v0), (3, False, v0), (4, False, v0),
+         (100, True, v0), (101, True, v0)]
+        # all-new group, different vector
+        + [(200, True, [9.0, 1.0, 0.0]), (201, True, [9.0, 1.0, 0.0])]
+        # all-stored group: nothing new touches it -> zero edges
+        + [(50, False, [0.0, 5.0, 5.0]), (51, False, [0.0, 5.0, 5.0])]
+    )
+    df = spark.createDataFrame(
+        [(i, n, v, 0) for i, n, v in rows],
+        "vec_id long, is_new boolean, embedding array<double>, cell int",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.5, block_col="cell", new_col="is_new",
+            collapse="star", collapse_min=2,
+        ).collect()
+    }
+    new_ids = {100, 101, 200, 201}
+    assert pairs, "no pairs at all?"
+    for a, b in pairs:
+        assert a in new_ids or b in new_ids, (a, b)
+    # every new member of the mixed group keeps its rep edge
+    assert (1, 100) in pairs and (1, 101) in pairs
     """The star mode's incremental contract (r11): under BOTH downstream
     kill rules — the batch entry's greedy smaller-id rule (valid in its
     id-ordered regime, stored ids below batch ids) and the streaming
