@@ -310,12 +310,14 @@ def ivf_topk_stored(
       the same join, minus the redundant static filter.
     - ``"auto"`` (default, r12): callers don't need to know the modes
       exist — the same auto-guard philosophy as the pair stage's flood
-      collapse. Two cheap bounded aggregates (|queries| on the small
-      side, |centroids| on the tiny one) bound the static list at
-      min(|queries| x nprobe, |centroids|); at or under
-      ``auto_static_max`` the plan is ``static``, above it ``dpp``.
-      Both regimes are plan-pinned and output-identical, so the gate
-      only trades driver-collect size against a runtime filter.
+      collapse. Cheap bounded aggregates bound the static list at
+      min(|queries| x nprobe, |centroids|): the tiny centroid count is
+      taken first and decides alone when it fits ``auto_static_max``
+      (the common interactive case — no query-side count at all); only
+      past it is the query side counted. At or under the budget the
+      plan is ``static``, above it ``dpp``. Both regimes are
+      plan-pinned and output-identical, so the gate only trades
+      driver-collect size against a runtime filter.
 
     Query-side probing scores float cosine against ``centroid_vec_col``
     (pass ``c_sum`` for ``kmeans_centroids`` artifacts — cosine is
@@ -332,9 +334,14 @@ def ivf_topk_stored(
         raise ValueError(f"unknown prune: {prune!r}")
     if prune == "auto":
         # the distinct probed-cell list static would inline is bounded by
-        # min(|queries| * nprobe, |centroids|): two narrow counts on the
-        # small/tiny sides, never the stored corpus
-        upper = min(queries.count() * nprobe, centroids.count())
+        # min(|queries| * nprobe, |centroids|). Count the TINY side first:
+        # when the whole centroid table fits the static budget, the list
+        # does too regardless of query count, and the query side is never
+        # counted at all — the common interactive case costs one ~k-row
+        # count, never a corpus or query-batch pass.
+        upper = centroids.count()
+        if upper > auto_static_max:
+            upper = min(queries.count() * nprobe, upper)
         prune = "static" if upper <= auto_static_max else "dpp"
         _log.info(
             "ivf_topk_stored prune=auto gate: probe_upper=%d -> %s",
