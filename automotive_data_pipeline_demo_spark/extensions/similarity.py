@@ -732,7 +732,6 @@ def _near_dup_pairs_collapsed(
         .rangeBetween(Window.currentRow, Window.currentRow)
     )
     if new_col is not None:
-        has_new = F.max(F.when(F.col("__nb"), 1).otherwise(0)).over(w) == 1
         has_old = F.max(F.when(~F.col("__nb"), 1).otherwise(0)).over(w) == 1
         if mode == "star":
             # rep prefers the smallest-id STORED member: a mixed group's
@@ -746,11 +745,11 @@ def _near_dup_pairs_collapsed(
             rep_new = ~has_old
         else:
             rep_id = F.min(id_col).over(w)
-            rep_new = has_new
-        marked = (
-            keyed.withColumn("__rep", rep_id)
-            .withColumn("__repnew", rep_new)
-            .withColumn("__gnew", has_new)
+            rep_new = (
+                F.max(F.when(F.col("__nb"), 1).otherwise(0)).over(w) == 1
+            )
+        marked = keyed.withColumn("__rep", rep_id).withColumn(
+            "__repnew", rep_new
         )
     else:
         marked = keyed.withColumn("__rep", F.min(id_col).over(w))

@@ -91,6 +91,11 @@ PROBE = [
     "x_text_bm25",
     "x_text_contamination",
     "x_text_line_dedup_inc",
+    # r12 additions (VERDICT r11 item 7): the last unprobed corpus-pair
+    # entries — substring scrubbing (token coverage at corpus grain) and
+    # the cross-source gram self-join
+    "x_text_scrub_spans",
+    "x_text_overlap_matrix",
 ]
 
 # ratio <= this reads as linear-with-overhead for a 10x data step
@@ -110,6 +115,10 @@ NOTES = {
     "x_text_bm25": "per-doc scoring against bounded query terms; one df pass",
     "x_text_contamination": "(size, array)-struct bind_once, persist-free since r10",
     "x_text_line_dedup_inc": "batch lines vs stored line-df index; corpus never rescanned",
+    "x_text_scrub_spans": "gram-digest window + doc-grain span arrays; "
+                          "Arrow scrubber, no token-grain shuffle",
+    "x_text_overlap_matrix": "df-banded [2,10] gram self-join; fan-out "
+                             "<= band_width^2 per gram, never corpus^2",
 }
 
 
