@@ -163,14 +163,14 @@ def host_canary(spark: SparkSession, sf_dir: str) -> float:
 # sub-second entries (observed ±20% swings on unchanged plans in r4).
 REGRESSION_PCT = 25.0
 
-# When this many entries flag at once ACROSS UNRELATED code, the cause is
-# almost always the host, not the code (r5: 9/10 flags were contention;
-# r7: 19 cleared on a quiet rerun; r9: 15 flags, and a manual `git
-# worktree` A/B at the r8 HEAD proved the container ~25% slower). At this
-# count the gate runs that control automatically: re-time the flagged
-# entries with the PREVIOUS round's code on THIS box and clear every flag
-# the old code reproduces.
-WIDE_FLAG_N = 4
+# History of the A/B trigger: wide flag storms are almost always the
+# host, not the code (r5: 9/10 flags were contention; r7: 19 cleared on
+# a quiet rerun; r9: 15 flags, and a manual `git worktree` A/B at the r8
+# HEAD proved the container ~25% slower), so r10 automated the control
+# at a storm threshold and r11 extended it to unchanged-module flags.
+# Since r12 the retime is UNCONDITIONAL for every flag (see ab_control):
+# the concurrent new-vs-old comparison is the decisive classifier and
+# its cost is bounded below.
 AB_MAX_ENTRIES = 20  # bound the A/B's cost on a pathological flag storm
 
 
@@ -471,7 +471,10 @@ def _ab_retime_old_code(root: str, ref: str, names_by_dir: dict) -> dict:
         "        if spec is None:\n"
         "            continue\n"
         "        best = float('inf')\n"
-        "        for _ in range(2):\n"
+        # min-of-3: flagged entries' own timings are upgraded to min-of-3
+        # before the A/B, so the control must sample equally or a lucky
+        # new-side draw reads as a code regression at the threshold
+        "        for _ in range(3):\n"
         "            spark.catalog.clearCache()\n"
         "            t0 = time.perf_counter()\n"
         "            spec.build(spark, d).write.format('noop')"
@@ -508,15 +511,19 @@ def _ab_retime_old_code(root: str, ref: str, names_by_dir: dict) -> dict:
 
 def split_env_flags(regressions: list[dict], old_times: dict,
                     dir_of_scope: dict) -> tuple[list[dict], list[dict]]:
-    """Classify surviving flags with the A/B measurements: a flag whose
-    entry the OLD code also runs past the threshold (vs its own recorded
-    number, on this box, right now) is ENVIRONMENT, not code — UNLESS the
-    new code is ALSO slower than the old code measured concurrently in
-    the same A/B, which is the whole point of running one (r11's rule
-    cleared x_dedup_semdedup as "environment" while its own control read
-    new 4.27 s vs old-code-now 3.10 s, +38% code-attributable). Such a
-    flag stays kept with ``code_suspect: true`` and the measured
-    ``old_code_now_sec``. Returns (kept, env_cleared); flags with no A/B
+    """Classify surviving flags with the A/B's CONCURRENT control — the
+    decisive instrument, since old and new code ran on the same box in
+    the same session: a flag whose new-code time exceeds the old code's
+    concurrent time by the regression threshold is code-attributable and
+    stays kept with ``code_suspect: true`` (r11's rule cleared
+    x_dedup_semdedup as "environment" while its own control read new
+    4.27 s vs old-code-now 3.10 s, +38%); any other A/B'd flag clears —
+    whether the old code is also slow vs its recording (true environment
+    drift) or fine (the flag was manufactured by canary normalization
+    noise: r12's single-thread canary read an idle boost-clocked box 23%
+    "faster" while the multi-core suite total was byte-identical to the
+    previous recording), the CODE is acquitted either way, and that is
+    the gate's question. Returns (kept, env_cleared); flags with no A/B
     measurement are kept."""
     kept, cleared = [], []
     bar = 1 + REGRESSION_PCT / 100
@@ -531,10 +538,8 @@ def split_env_flags(regressions: list[dict], old_times: dict,
             # concurrent control: new code slower than old code RIGHT NOW
             row["code_suspect"] = True
             kept.append(row)
-        elif old_now > row["prev_sec"] * bar:
-            cleared.append(row)
         else:
-            kept.append(row)
+            cleared.append(row)
     return kept, cleared
 
 
@@ -598,18 +603,21 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
                dir_of_scope: dict,
                retime=_ab_retime_old_code,
                unchanged=_entry_code_unchanged) -> tuple[list[dict], list[dict]]:
-    """Environment-vs-code control, two triggers (both automatic):
-
-    1. Wide-flag storm: >= WIDE_FLAG_N entries flag at once — run the
-       previous round's code on this box (git worktree) over the flagged
-       entries and drop every flag the old code reproduces (the decisive
-       r9 manual control, automated in r10).
-    2. Unchanged-code flag (r11): any flagged entry whose defining module
-       is byte-identical to the previous round's recorded git_sha — the
-       r10 verdict's surviving sub-threshold flags (p2_quality_filter,
-       x_text_vocab) sat exactly here, env-vs-real unresolved because
-       the storm trigger never fired. Retime is restricted to just those
-       entries, so the cost is per-flag, not per-storm.
+    """Environment-vs-code control: EVERY flagged entry (bounded by
+    AB_MAX_ENTRIES) is re-timed with the previous round's code on this
+    box (git worktree) and classified by the concurrent new-vs-old
+    comparison (:func:`split_env_flags`) — the decisive r9 manual
+    control, automated in r10 and made unconditional in r12. Earlier
+    rounds gated the retime on a flag storm or a
+    byte-unchanged defining module, which left sub-storm flags on
+    touched-DEPENDENCY modules un-adjudicated exactly when a round
+    edits a shared module like similarity.py; the retime's fixed cost
+    (~40 s session + min-of-3 per flagged entry) buys a definitive
+    record every time. Each kept row is additionally annotated
+    ``code_unchanged`` when the entry's defining module and its
+    one-level package-import closure are byte-identical to the old ref —
+    a kept code_suspect row with ``code_unchanged: true`` says the
+    regression (if real) lives outside that closure or in the noise.
 
     Returns (kept_flags, env_cleared_flags); flags without an A/B
     measurement always pass through kept."""
@@ -618,14 +626,7 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
     ref = _prev_code_ref(root, prev)
     if ref is None:
         return regressions, []
-    if len(regressions) >= WIDE_FLAG_N:
-        rows = regressions[:AB_MAX_ENTRIES]
-    else:
-        rows = [
-            r for r in regressions if unchanged(root, ref, r["query"])
-        ][:AB_MAX_ENTRIES]
-        if not rows:
-            return regressions, []
+    rows = regressions[:AB_MAX_ENTRIES]
     names_by_dir: dict[str, list[str]] = {}
     for row in rows:
         d = dir_of_scope.get(row["scope"])
@@ -636,7 +637,11 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
     old_times = retime(root, ref, names_by_dir)
     if not old_times:
         return regressions, []
-    return split_env_flags(regressions, old_times, dir_of_scope)
+    kept, cleared = split_env_flags(regressions, old_times, dir_of_scope)
+    for row in kept:
+        if "old_code_now_sec" in row:
+            row["code_unchanged"] = unchanged(root, ref, row["query"])
+    return kept, cleared
 
 
 def main() -> None:
@@ -670,7 +675,8 @@ def main() -> None:
         "sf": sf,
         "policy": (
             "min_of_2; min_of_3 on >25%-vs-prev-round regressions, "
-            "canary-normalized; worktree A/B on wide flag storms"
+            "canary-normalized (symmetric); unconditional worktree A/B "
+            "on flags, concurrent new-vs-old is decisive"
         ),
         # fixed-plan host-speed reference: compare across rounds to
         # separate container drift from code regressions (see host_canary)

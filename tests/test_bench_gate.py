@@ -221,29 +221,35 @@ def test_ab_control_clears_flags_old_code_reproduces(tmp_path):
     assert all(c["old_code_now_sec"] == 1.38 for c in cleared)
 
 
-def test_ab_control_keeps_code_regressions_and_small_storms(tmp_path):
-    from bench import WIDE_FLAG_N, ab_control, split_env_flags
+def test_ab_control_retimes_every_flag_and_splits(tmp_path):
+    from bench import ab_control, split_env_flags
 
-    # below the storm threshold: no A/B, flags pass through
+    # a SINGLE flag is enough to trigger the A/B since r12 (earlier
+    # rounds gated on a storm threshold or an unchanged defining module,
+    # which left sub-storm flags on touched-dependency modules
+    # un-adjudicated): here the old code matches the new time, so the
+    # flag clears as not-code-attributable
     few = [{"query": "q0", "scope": "sf1", "prev_sec": 1.0,
             "now_sec": 1.4, "delta_pct": 40.0}]
-    assert len(few) < WIDE_FLAG_N
     kept, cleared = ab_control(
         str(tmp_path), {"git_sha": "x"}, few, {"sf1": "/sf"},
-        retime=lambda *a: (_ for _ in ()).throw(AssertionError("no A/B")),
+        retime=lambda root, ref, names: {"/sf::q0": 1.38},
+        unchanged=lambda *a: True,
     )
-    assert kept == few and cleared == []
+    assert kept == [] and [c["query"] for c in cleared] == ["q0"]
 
-    # mixed storm: old code reproduces 4 of 5 -> 1 genuine flag survives
+    # mixed storm: the concurrent control matches the new time on 4 of 5
+    # -> only the entry whose new code outruns its own old code survives
     flags = [
         {"query": f"q{i}", "scope": "sf1", "prev_sec": 1.0,
          "now_sec": 1.4, "delta_pct": 40.0}
         for i in range(5)
     ]
     old = {f"/sf::q{i}": 1.35 for i in range(4)}
-    old["/sf::q4"] = 1.02  # old code is FINE here: q4 is a code regression
+    old["/sf::q4"] = 1.02  # old code is FAST here: q4 is a code regression
     kept, cleared = split_env_flags(flags, old, {"sf1": "/sf"})
     assert [k["query"] for k in kept] == ["q4"]
+    assert kept[0]["code_suspect"] is True
     assert len(cleared) == 4
 
     # no usable measurements (worktree failed): keep everything
@@ -253,14 +259,20 @@ def test_ab_control_keeps_code_regressions_and_small_storms(tmp_path):
     )
     assert kept == flags and cleared == []
 
+    # no prev ref: keep everything, retime never invoked
+    kept, cleared = ab_control(
+        str(tmp_path), None, flags, {"sf1": "/sf"},
+        retime=lambda *a: (_ for _ in ()).throw(AssertionError("no A/B")),
+    )
+    assert kept == flags and cleared == []
 
-def test_ab_control_unchanged_code_flag_triggers_targeted_retime(tmp_path):
-    """The r11 sub-threshold trigger: a storm-free flag whose defining
-    module is byte-identical to the previous round's code gets an A/B
-    retime of JUST that entry — env-reproduced flags clear, genuine ones
-    (and changed-code flags, which the cheap signal skips) pass
-    through."""
-    from bench import WIDE_FLAG_N, ab_control
+
+def test_ab_control_annotates_kept_flags_with_code_unchanged(tmp_path):
+    """Kept (code_suspect) rows carry the unchanged-closure signal: a
+    suspect whose defining module + one-level import closure are
+    byte-identical to the old ref is marked code_unchanged=True — the
+    regression, if real, lives outside that closure or in the noise."""
+    from bench import ab_control
 
     flags = [
         {"query": "q_same", "scope": "sf0.1", "prev_sec": 1.0,
@@ -268,41 +280,34 @@ def test_ab_control_unchanged_code_flag_triggers_targeted_retime(tmp_path):
         {"query": "q_changed", "scope": "sf0.1", "prev_sec": 1.0,
          "now_sec": 1.5, "delta_pct": 50.0},
     ]
-    assert len(flags) < WIDE_FLAG_N
-    seen = {}
 
     def fake_retime(root, ref, names_by_dir):
-        seen["names"] = names_by_dir
-        return {"/sf::q_same": 1.39}  # old code reproduces the slowdown
+        assert names_by_dir == {"/sf": ["q_same", "q_changed"]}
+        # both convict on the concurrent control
+        return {"/sf::q_same": 1.0, "/sf::q_changed": 1.0}
 
     kept, cleared = ab_control(
         str(tmp_path), {"git_sha": "abc123"}, flags, {"sf0.1": "/sf"},
         retime=fake_retime,
         unchanged=lambda root, ref, name: name == "q_same",
     )
-    # only the unchanged entry was retimed, and it cleared as env
-    assert seen["names"] == {"/sf": ["q_same"]}
-    assert [k["query"] for k in kept] == ["q_changed"]
-    assert [c["query"] for c in cleared] == ["q_same"]
-    assert cleared[0]["old_code_now_sec"] == 1.39
-
-    # unchanged-signal misses everything -> no retime, flags untouched
-    kept, cleared = ab_control(
-        str(tmp_path), {"git_sha": "abc123"}, flags, {"sf0.1": "/sf"},
-        retime=lambda *a: (_ for _ in ()).throw(AssertionError("no A/B")),
-        unchanged=lambda root, ref, name: False,
-    )
-    assert kept == flags and cleared == []
+    assert cleared == []
+    by = {k["query"]: k for k in kept}
+    assert by["q_same"]["code_suspect"] and by["q_same"]["code_unchanged"]
+    assert by["q_changed"]["code_suspect"]
+    assert by["q_changed"]["code_unchanged"] is False
 
 
-def test_split_env_flags_keeps_concurrent_code_regression():
+def test_split_env_flags_concurrent_control_is_decisive():
     """The r11 hole, with r11's own numbers as the fixture: the old code
-    ALSO exceeded the prev-round threshold on this box (3.10 > 3.01 ×
-    1.25 is false... use the real shape: prev 2.36, old-now 3.10, new-now
-    4.27) — but the new code is +38% over the old code measured in the
-    SAME session, which is code-attributable by the A/B's own concurrent
-    control. The flag must stay kept, marked code_suspect, not clear as
-    environment."""
+    ALSO exceeded the prev-round threshold on this box — but the new
+    code is +38% over the old code measured in the SAME session, which
+    is code-attributable by the A/B's own concurrent control. The flag
+    must stay kept, marked code_suspect, not clear as environment. And
+    the inverse (r12's canary-noise storm): a flag whose new time
+    matches its concurrent old-code time clears even when the old code
+    looks FINE vs its recording — the flag was manufactured by the
+    normalized bar, not by the code."""
     from bench import split_env_flags
 
     flags = [
@@ -310,30 +315,33 @@ def test_split_env_flags_keeps_concurrent_code_regression():
         # old code over threshold (env component) AND new > old x 1.25
         {"query": "x_dedup_semdedup", "scope": "sf1", "prev_sec": 2.36,
          "now_sec": 4.27, "delta_pct": 80.9},
-        # pure environment: old code reproduces the elevation and the new
-        # code matches the old code
+        # true environment: old code reproduces the elevation and the
+        # new code matches the old code
         {"query": "q_env", "scope": "sf1", "prev_sec": 1.0,
          "now_sec": 1.4, "delta_pct": 40.0},
-        # old code fine AND new code slower than it concurrently: the
-        # clearest code regression — kept, also code_suspect
+        # old code fast AND new code slower than it concurrently: the
+        # clearest code regression — kept, code_suspect
         {"query": "q_code", "scope": "sf1", "prev_sec": 1.0,
          "now_sec": 1.4, "delta_pct": 40.0},
-        # old code fine, new code WITHIN 25% of it concurrently: didn't
-        # reproduce as env, kept, but the concurrent control doesn't
-        # convict it either
-        {"query": "q_gray", "scope": "sf1", "prev_sec": 1.0,
-         "now_sec": 1.3, "delta_pct": 30.0},
+        # the r12 canary-noise shape: raw delta tiny (flag existed only
+        # under a tightened normalized bar), new within 25% of the
+        # concurrent old-code time -> the code is acquitted, clears
+        {"query": "q_canary", "scope": "sf1", "prev_sec": 1.0,
+         "now_sec": 1.05, "delta_pct": 5.0},
+        # no A/B measurement -> passes through kept untouched
+        {"query": "q_nomeas", "scope": "sf1", "prev_sec": 1.0,
+         "now_sec": 1.4, "delta_pct": 40.0},
     ]
     old = {"/sf::x_dedup_semdedup": 3.10, "/sf::q_env": 1.38,
-           "/sf::q_code": 1.02, "/sf::q_gray": 1.1}
+           "/sf::q_code": 1.02, "/sf::q_canary": 1.03}
     kept, cleared = split_env_flags(flags, old, {"sf1": "/sf"})
     assert [k["query"] for k in kept] == ["x_dedup_semdedup", "q_code",
-                                          "q_gray"]
+                                          "q_nomeas"]
     assert kept[0].get("code_suspect") is True
     assert kept[0]["old_code_now_sec"] == 3.10
     assert kept[1].get("code_suspect") is True
-    assert "code_suspect" not in kept[2]
-    assert [c["query"] for c in cleared] == ["q_env"]
+    assert "old_code_now_sec" not in kept[2]
+    assert [c["query"] for c in cleared] == ["q_env", "q_canary"]
 
 
 # --------------------------------------------------- compact printed line
