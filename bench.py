@@ -155,6 +155,55 @@ def host_canary(spark: SparkSession, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def host_canary_mc(spark: SparkSession, sf_dir: str) -> float:
+    """MULTI-CORE host-speed calibration, emitted as ``canary_mc_sec``
+    and PREFERRED over the single-thread canary when the previous round
+    recorded one (r12). The single-thread canary measures a regime the
+    suite never runs in: on an idle box it rides boost clocks ~20%
+    faster than the 32-thread suite (r12 measured canary 0.13 vs prev
+    0.17 while the suite total was byte-identical), and under multi-core
+    contention it under-reads the slowdown (the r7/r9 signature). This
+    plan is frozen like the single-thread one but fans the same Q1-shape
+    aggregate out across 64 tasks via an 8x row multiplication and a
+    fixed repartition, so its ratio tracks the regime the suite's
+    numbers actually move in. min-of-3 after a warm pass."""
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    q = (
+        li.withColumn("__k", F.explode(F.sequence(F.lit(1), F.lit(8))))
+        .repartition(64, "l_orderkey", "__k")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus", "__k")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    best = float("inf")
+    for i in range(4):  # run 0 is the warm pass and never counts
+        t0 = time.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        if i > 0:
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _pick_host_ratio(now_sc, prev_sc, now_mc, prev_mc) -> float:
+    """Host ratio for flag normalization: multi-core canary when BOTH
+    rounds recorded one (the better instrument — see
+    :func:`host_canary_mc`), else the single-thread ratio (including the
+    one transition round after canary_mc_sec first ships)."""
+    if (
+        isinstance(now_mc, (int, float))
+        and isinstance(prev_mc, (int, float))
+        and prev_mc > 0
+        and now_mc > 0
+    ):
+        return _host_ratio(now_mc, prev_mc)
+    return _host_ratio(now_sc, prev_sc)
+
+
 # Round-over-round regression gate: a query slower than the previous
 # round's BENCH_r{N}.json by more than this fraction gets ONE extra timed
 # trial (min-of-3); whatever still exceeds the threshold is reported in
@@ -218,7 +267,8 @@ def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
     tail (``regressions_n`` keeps the true count)."""
     core_keys = (
         "metric", "value", "unit", "queries", "sf", "canary_sec",
-        "canary_ratio", "sf1", "vs_round", "vs_source", "git_sha",
+        "canary_mc_sec", "canary_ratio", "sf1", "vs_round", "vs_source",
+        "git_sha",
     )
     out = {k: result[k] for k in core_keys if k in result}
 
@@ -656,10 +706,14 @@ def main() -> None:
     prev_comparable = prev if prev and prev.get("sf") == sf else None
 
     timings = run_suite(spark, sf_dir, bench_specs)
-    # canary BEFORE gating: the flag decisions below normalize by it
+    # canaries BEFORE gating: the flag decisions below normalize by them
     canary = host_canary(spark, sf_dir)
-    host_ratio = _host_ratio(
-        canary, prev_comparable.get("canary_sec") if prev_comparable else None
+    canary_mc = host_canary_mc(spark, sf_dir)
+    host_ratio = _pick_host_ratio(
+        canary,
+        prev_comparable.get("canary_sec") if prev_comparable else None,
+        canary_mc,
+        prev_comparable.get("canary_mc_sec") if prev_comparable else None,
     )
     regressions: list[dict] = []
     if prev_comparable:
@@ -678,9 +732,12 @@ def main() -> None:
             "canary-normalized (symmetric); unconditional worktree A/B "
             "on flags, concurrent new-vs-old is decisive"
         ),
-        # fixed-plan host-speed reference: compare across rounds to
-        # separate container drift from code regressions (see host_canary)
+        # fixed-plan host-speed references: compare across rounds to
+        # separate container drift from code regressions (see host_canary
+        # / host_canary_mc; the mc ratio is preferred once both rounds
+        # record one)
         "canary_sec": canary,
+        "canary_mc_sec": canary_mc,
         "canary_ratio": round(host_ratio, 3),
     }
 

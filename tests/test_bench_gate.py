@@ -141,6 +141,21 @@ def test_host_ratio_symmetric():
     assert _host_ratio(0.1, 0.0) == 1.0
 
 
+def test_pick_host_ratio_prefers_multicore_canary():
+    """r12: the single-thread canary rides boost clocks ~20% off the
+    32-thread suite's regime; when BOTH rounds recorded the multi-core
+    canary, its ratio wins. Transition round (prev has none) and partial
+    measurements fall back to the single-thread ratio."""
+    import pytest
+
+    from bench import _pick_host_ratio
+
+    assert _pick_host_ratio(0.13, 0.10, 2.2, 2.0) == pytest.approx(1.1)
+    assert _pick_host_ratio(0.13, 0.10, 2.2, None) == pytest.approx(1.3)
+    assert _pick_host_ratio(0.13, 0.10, None, 2.0) == pytest.approx(1.3)
+    assert _pick_host_ratio(None, None, None, None) == 1.0
+
+
 def test_gate_tightens_on_faster_host():
     """An entry that merely holds its slow-box number on a 25%-faster box
     is a real slowdown in normalized terms and must flag (and carry the
@@ -366,6 +381,7 @@ def test_compact_record_stays_under_driver_tail_budget():
         "policy": "min_of_2; min_of_3 on >25%-vs-prev-round regressions, "
                   "canary-normalized; worktree A/B on wide flag storms",
         "canary_sec": 0.123,
+        "canary_mc_sec": 2.345,
         "canary_ratio": 1.056,
         "sf1": {
             "queries": {n: 123.456 for n in names},
