@@ -236,7 +236,7 @@ def _host_ratio(now_canary, prev_canary) -> float:
     noise on the tightened side is absorbed by REGRESSION_PCT and by the
     min-of-3 retime any fresh flag gets before it is reported. Clamped to
     [1/3, 3] — past that the envelope is not comparable at all and the
-    wide-flag A/B control is the trustworthy signal.
+    unconditional A/B control is the trustworthy signal.
     """
     if (
         isinstance(now_canary, (int, float))
