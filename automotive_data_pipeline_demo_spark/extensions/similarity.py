@@ -21,6 +21,10 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automotive_data_pipeline_demo_spark.functions.caching import (
+    register_caches,
+)
+
 _log = logging.getLogger(__name__)
 
 
@@ -482,10 +486,14 @@ def embedding_near_dup_pairs(
       caller must ask for the lossy skew split explicitly. With neither
       trigger the ORIGINAL single-pass plan runs untouched. The gate
       decision (measured stats + chosen path) is logged at INFO on this
-      module's logger. Callers passing an expensive derived frame (a
-      join over a fresh assignment) should persist it or pick an
-      unconditional mode — the stats pass is a second evaluation of the
-      input.
+      module's logger. The auto path is SINGLE-EVALUATION (r13): the
+      keyed input projection is persisted, the gate job fills the cache,
+      and whichever branch wins reads the cache — an expensive upstream
+      frame (a join over a fresh assignment) is never computed twice.
+      The persist is tagged on the returned frame (``register_caches``);
+      long-lived sessions should ``release_caches(result)`` after the
+      terminal action, while bench/tests already clearCache between
+      queries.
     - ``collapse="star"`` — unconditional collapse for DEDUP consumers:
       emits rep-grain pairs plus one (rep, member) star edge per
       non-rep member (score 1.0, or NaN for zero/inf-norm groups — the
@@ -668,7 +676,17 @@ def _near_dup_pairs_collapsed(
     if collapse == "auto":
         # ONE measured stats pass: flood signal (largest identity group)
         # and skew signal (largest block, at both raw and rep grain) from
-        # a single map-combinable aggregation chain.
+        # a single map-combinable aggregation chain. The keyed frame is
+        # PERSISTED for the gate's duration and every downstream branch
+        # reads the cache, so the input (often an expensive upstream
+        # join/assignment) is evaluated exactly once per call — the gate
+        # job fills the cache, the caller's action reads it (r13; before
+        # this the stats pass was an acknowledged second full evaluation).
+        # The persist is tagged onto the returned frame via
+        # register_caches: bench/tests clearCache between queries, and a
+        # long-lived session calls release_caches(result) after its
+        # terminal action.
+        keyed = keyed.persist()
         gstats = keyed.groupBy(block_col, "__vkey").agg(
             F.count(F.lit(1)).alias("__gn")
         )
@@ -696,23 +714,35 @@ def _near_dup_pairs_collapsed(
             "max_block_raw=%d max_block_rep=%d -> collapse=%s split=%s",
             gm, bn, rn, do_collapse, do_split,
         )
+        # the fall-through branches re-root on the cached keyed frame:
+        # __vkey dropped (the enumerators don't read it and the blocked
+        # scorer would ship it through Arrow), the new flag renamed —
+        # _enumerate_pairs' join strategy aliases its b-side norm "__nb"
+        flat = keyed.drop("__vkey").withColumnRenamed("__nb", "__isnew")
+        flag = "__isnew" if new_col is not None else None
         if not do_collapse and not do_split:
             # the untouched single-pass plan
-            return _enumerate_pairs(
-                df, threshold, block_col, id_col, vec_col, strategy,
-                chunk_pairs, new_col,
+            return register_caches(
+                _enumerate_pairs(
+                    flat, threshold, block_col, id_col, vec_col, strategy,
+                    chunk_pairs, flag,
+                ),
+                keyed,
             )
         if not do_collapse:
-            # skew without flood: subcell-split the raw frame
+            # skew without flood: subcell-split the cached keyed frame
             split = split_oversized_cells(
-                base, max_cell_size=max_cell_size, id_col=id_col,
+                flat, max_cell_size=max_cell_size, id_col=id_col,
                 vec_col=vec_col, cell_col=block_col,
             ).withColumn(
                 "__blk", F.struct(F.col(block_col), F.col("subcell"))
             )
-            return _enumerate_pairs(
-                split, threshold, "__blk", id_col, vec_col, strategy,
-                chunk_pairs, new_col,
+            return register_caches(
+                _enumerate_pairs(
+                    split, threshold, "__blk", id_col, vec_col, strategy,
+                    chunk_pairs, flag,
+                ),
+                keyed,
             )
     else:
         mode = collapse
@@ -774,13 +804,14 @@ def _near_dup_pairs_collapsed(
 
     if mode == "star":
         if new_col is not None:
-            # only members where the member or its rep is new: a mixed
-            # group (stored rep + stored members + new members) must not
-            # emit stored-stored star edges — the incremental contract is
-            # "every pair touches >= 1 new row", and each new member keeps
-            # its rep edge so kill parity is unchanged (__repnew is the
-            # all-new-group flag, which implies every member is new)
-            src = marked.filter(F.col("__nb") | F.col("__repnew"))
+            # only NEW members: a mixed group (stored rep + stored
+            # members + new members) must not emit stored-stored star
+            # edges — the incremental contract is "every pair touches
+            # >= 1 new row", and each new member keeps its rep edge so
+            # kill parity is unchanged. (__repnew — the all-new-group
+            # flag — implies every member is new, so filtering on __nb
+            # alone already keeps every all-new group's members.)
+            src = marked.filter(F.col("__nb"))
         else:
             src = marked
         edges = (
@@ -792,7 +823,9 @@ def _near_dup_pairs_collapsed(
             )
             .filter(F.col("score") >= F.lit(threshold))
         )
-        return rep_pairs.unionByName(edges)
+        # no-op for the unconditional modes (keyed unpersisted); holds the
+        # auto gate's cache for the caller's action otherwise
+        return register_caches(rep_pairs.unionByName(edges), keyed)
 
     # exact expansion: rep pairs fan back out to member pairs (scores are
     # bit-identical — members ARE the rep vector), plus the in-group
@@ -846,7 +879,7 @@ def _near_dup_pairs_collapsed(
         F.col("__ib").alias("b_id"),
         F.col("__sa").alias("score"),
     ).filter(F.col("score") >= F.lit(threshold))
-    return crossx.unionByName(cliq)
+    return register_caches(crossx.unionByName(cliq), keyed)
 
 
 def _near_dup_pairs_blocked(

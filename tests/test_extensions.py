@@ -720,6 +720,57 @@ def test_near_dup_pairs_collapse_exact_and_star(spark):
     assert comps(got["star"]) == comps(got["off"])
 
 
+def test_collapse_auto_gate_single_evaluation(spark):
+    """The r13 single-evaluation contract: collapse='auto' (the default)
+    persists the keyed projection, so the measured stats gate and the
+    winning branch together evaluate the INPUT frame exactly once — the
+    gate's stats job fills the cache, the caller's action reads it. An
+    accumulator inside a mapInPandas stage under the gate counts input
+    rows evaluated; both gate outcomes (flood-collapse taken, untouched
+    fall-through) must read n, not 2n. The persist is tagged on the
+    result (register_caches) and release_caches unpins it — the same
+    lifetime contract as line_dedup's auto probe."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    flood = [(i, 0, [1.0, 2.0, 3.0]) for i in range(40)]
+    spread = [(100 + i, i % 2, [1.0, float(i), 3.0]) for i in range(20)]
+
+    for rows, label in ((flood + spread, "collapse"), (spread, "untouched")):
+        base = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        acc = spark.sparkContext.accumulator(0)
+
+        def mark(batches, acc=acc):
+            for b in batches:
+                acc.add(len(b))
+                yield b
+
+        out = embedding_near_dup_pairs(
+            base.mapInPandas(mark, base.schema),
+            threshold=0.3, block_col="label", collapse_min=32,
+        )
+        out.collect()
+        assert acc.value == len(rows), (label, acc.value)
+        held = getattr(out, "_graft_persisted", [])
+        assert held and all(f.is_cached for f in held), label
+        release_caches(out)
+        assert not any(f.is_cached for f in held), label
+    # unconditional modes persist nothing — the gate never runs
+    plain = embedding_near_dup_pairs(
+        spark.createDataFrame(
+            spread, "vec_id long, label int, embedding array<double>"
+        ),
+        threshold=0.3, block_col="label", collapse="star",
+    )
+    assert not getattr(plain, "_graft_persisted", [])
+
+
 def test_near_dup_pairs_null_block_rows_never_pair(spark):
     """NULL-block rows are dropped up front in EVERY mode and BOTH
     strategies (r12): before, the equi-join strategy dropped them, the
