@@ -285,6 +285,7 @@ def ivf_topk_stored(
     centroid_vec_col: str = "c_vec",
     prune: str = "auto",
     auto_static_max: int = 1024,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """ANN search against a STORED cell-assigned corpus — the search half
     of the stored-centroid index posture. ``corpus_cells`` is the
@@ -323,6 +324,17 @@ def ivf_topk_stored(
       plan-pinned and output-identical, so the gate only trades
       driver-collect size against a runtime filter.
 
+      The gate (and the static mode's probe collect) runs EAGERLY at
+      plan-construction time — the same caller advice as the pair
+      stage's stats pass: a caller handing in an expensive derived
+      ``queries`` frame should persist it first or pass an explicit
+      ``prune`` mode, or the gate's query-side count re-evaluates it.
+      Repeated interactive searches against the same store pay no
+      per-call count job: the measured centroid count is memoized on
+      the ``centroids`` frame object, and a caller who already knows it
+      (the index manifest records it) can pass ``n_centroids`` to skip
+      the count entirely.
+
     Query-side probing scores float cosine against ``centroid_vec_col``
     (pass ``c_sum`` for ``kmeans_centroids`` artifacts — cosine is
     scale-invariant, so unnormalized integer sums work as-is); the rule
@@ -342,8 +354,17 @@ def ivf_topk_stored(
         # when the whole centroid table fits the static budget, the list
         # does too regardless of query count, and the query side is never
         # counted at all — the common interactive case costs one ~k-row
-        # count, never a corpus or query-batch pass.
-        upper = centroids.count()
+        # count, never a corpus or query-batch pass. The count is skipped
+        # outright when the caller supplies n_centroids, and memoized on
+        # the frame object otherwise so repeated searches against the
+        # same store object pay it once (r13).
+        if n_centroids is not None:
+            upper = n_centroids
+        else:
+            upper = getattr(centroids, "_graft_n_centroids", None)
+            if upper is None:
+                upper = centroids.count()
+                centroids._graft_n_centroids = upper
         if upper > auto_static_max:
             upper = min(queries.count() * nprobe, upper)
         prune = "static" if upper <= auto_static_max else "dpp"

@@ -399,6 +399,66 @@ def test_ivf_topk_stored_prunes_partitions(spark, embeddings, tmp_path):
         ivf_topk_stored(store, queries, cents, prune="nope", **kwargs)
 
 
+def test_ivf_prune_auto_gate_count_supplied_or_memoized(spark):
+    """The prune='auto' gate adds ZERO jobs when the caller supplies
+    n_centroids (the index manifest records it), and one count EVER per
+    centroids frame object otherwise — repeated interactive searches
+    against the same store memoize the measured count (r13). Verified
+    with an accumulator under the centroids frame: every call pays
+    exactly one centroids evaluation regardless (ivf_assign inlines the
+    centroid table as literals via a driver collect), so the gate's
+    count job is the delta above that floor."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        ivf_topk_stored,
+    )
+
+    store = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 4) for i in range(12)],
+        "vec_id long, embedding array<double>, centroid_id int",
+    )
+    queries = spark.createDataFrame(
+        [(900, [1.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    cent_rows = [(c, [float(c), 1.0]) for c in range(4)]
+    cent_schema = "centroid_id int, c_vec array<double>"
+
+    def marked_cents():
+        base = spark.createDataFrame(cent_rows, cent_schema)
+        acc = spark.sparkContext.accumulator(0)
+
+        def mark(batches, acc=acc):
+            for b in batches:
+                acc.add(len(b))
+                yield b
+
+        return base.mapInPandas(mark, base.schema), acc
+
+    n = len(cent_rows)
+    # caller-supplied count: the gate runs no count job — the one
+    # centroids evaluation is ivf_assign's inline collect (auto_static_max
+    # 0 forces the dpp regime, so nothing else in the call is eager)
+    cents, acc = marked_cents()
+    out = ivf_topk_stored(
+        store, queries, cents, k=2, auto_static_max=0, n_centroids=n
+    )
+    assert acc.value == n
+    expect = sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in out.collect()
+    )
+
+    # no supplied count: the first call pays exactly one extra count job
+    # (gate + inline collect = 2n); a second call against the SAME frame
+    # object reads the memo (inline collect only, 3n total)
+    cents2, acc2 = marked_cents()
+    out1 = ivf_topk_stored(store, queries, cents2, k=2, auto_static_max=0)
+    assert acc2.value == 2 * n
+    ivf_topk_stored(store, queries, cents2, k=2, auto_static_max=0)
+    assert acc2.value == 3 * n
+    assert expect == sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in out1.collect()
+    )
+
+
 def test_collapse_identical_vectors_exact_components(spark, embeddings):
     """The flood collapse is EXACT for dedup: on a corpus with a planted
     50-copy identical flood, enumerating near-dup pairs on
