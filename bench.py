@@ -25,6 +25,12 @@ joins staying consistent because every foreign key shifts by the same
 per-copy offset — and re-runs the suite there, where per-query time is real
 work. Generation happens once and is reused via a marker file. Disable with
 SPARK_GRAFT_SF1=0.
+
+sf10 smoke (r13): in the same round-close mode, two daily-ingest-posture
+entries additionally run ONCE each against the decorrelated sf10p probe
+corpus (see SF10_SMOKE) so a super-linear scaling regression flags in the
+per-round record instead of waiting for an ad-hoc SWEEP_SF10 session.
+Disable with SPARK_GRAFT_SF10=0.
 """
 
 from __future__ import annotations
@@ -189,17 +195,23 @@ def host_canary_mc(spark: SparkSession, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def _pick_host_ratio(now_sc, prev_sc, now_mc, prev_mc) -> float:
-    """Host ratio for flag normalization: multi-core canary when BOTH
-    rounds recorded one (the better instrument — see
-    :func:`host_canary_mc`), else the single-thread ratio (including the
-    one transition round after canary_mc_sec first ships)."""
-    if (
+def _mc_usable(now_mc, prev_mc) -> bool:
+    """True when BOTH rounds recorded a usable multi-core canary."""
+    return (
         isinstance(now_mc, (int, float))
         and isinstance(prev_mc, (int, float))
         and prev_mc > 0
         and now_mc > 0
-    ):
+    )
+
+
+def _pick_host_ratio(now_sc, prev_sc, now_mc, prev_mc) -> float:
+    """Host ratio for flag normalization: multi-core canary when BOTH
+    rounds recorded one (the better instrument — see
+    :func:`host_canary_mc`), else the single-thread ratio (including the
+    one transition round after canary_mc_sec first ships). The record's
+    ``canary_src`` field says which one a round actually used."""
+    if _mc_usable(now_mc, prev_mc):
         return _host_ratio(now_mc, prev_mc)
     return _host_ratio(now_sc, prev_sc)
 
@@ -211,6 +223,17 @@ def _pick_host_ratio(now_sc, prev_sc, now_mc, prev_mc) -> float:
 # into the total. 25% sits above local[32] GC/page-cache noise for the
 # sub-second entries (observed ±20% swings on unchanged plans in r4).
 REGRESSION_PCT = 25.0
+
+# sf10 scaling smoke (r13, VERDICT r12 item 5): scaling regressions used
+# to surface only in ad-hoc SWEEP_SF10 sessions — the gate saw sf0.1/sf1
+# and a super-linear plan change could land unflagged. The round-close
+# bench now times two daily-ingest-posture entries once each against the
+# decorrelated sf10p probe corpus (tools/sweep_sf10.py builds and caches
+# it under /tmp) and diffs them round-over-round like any other section.
+# Single-run numbers are noisier than the suite's min-of-2, so the bar is
+# wider; the unconditional worktree A/B still adjudicates any flag.
+SF10_SMOKE = ["x_dedup_semdedup_inc", "x_text_line_dedup_inc"]
+SF10_REGRESSION_PCT = 60.0
 
 # History of the A/B trigger: wide flag storms are almost always the
 # host, not the code (r5: 9/10 flags were contention; r7: 19 cleared on
@@ -263,12 +286,18 @@ def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
     compact separators. Full detail (verbose rows, env_cleared bodies,
     A/B measurements, policy string) lives in BENCH_LOCAL.json and
     BENCH_AB.json; the line carries counts and a pointer instead.
-    Degradation order when over budget: drop regression rows off the
-    tail (``regressions_n`` keeps the true count)."""
+    Degradation order when over budget: (1) drop regression rows off the
+    tail (``regressions_n`` keeps the true count); (2) replace the sf10
+    then sf1 per-query maps with their counts plus a detail pointer —
+    BENCH_LOCAL.json keeps the full maps; (3) last resort, trim the
+    primary queries map off its tail (``queries_dropped_n`` records how
+    many). The line therefore ALWAYS fits: a growing bench catalog can
+    no longer silently push it past the envelope (the r11 parsed:null
+    failure mode, re-flagged as a runtime hole by r12 ADVICE)."""
     core_keys = (
         "metric", "value", "unit", "queries", "sf", "canary_sec",
-        "canary_mc_sec", "canary_ratio", "sf1", "vs_round", "vs_source",
-        "git_sha",
+        "canary_mc_sec", "canary_ratio", "canary_src", "sf1", "sf10",
+        "vs_round", "vs_source", "git_sha",
     )
     out = {k: result[k] for k in core_keys if k in result}
 
@@ -288,6 +317,23 @@ def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
 
     while regs and size(out) > budget:
         regs.pop()
+    for section in ("sf10", "sf1"):
+        sub = out.get(section)
+        if size(out) <= budget or not isinstance(sub, dict):
+            continue
+        sub = dict(sub)
+        dropped = sub.pop("queries", None)
+        if isinstance(dropped, dict):
+            sub["queries_n"] = len(dropped)
+            sub["detail"] = "BENCH_LOCAL.json"
+        out[section] = sub
+    q = out.get("queries")
+    if isinstance(q, dict) and size(out) > budget:
+        names = list(q)
+        out["queries_dropped_n"] = 0
+        while names and size(out) > budget:
+            q.pop(names.pop())
+            out["queries_dropped_n"] += 1
     return out
 
 
@@ -423,16 +469,19 @@ def gate_regressions(
     prev_queries: dict,
     scope: str,
     host_ratio: float = 1.0,
+    pct: float = REGRESSION_PCT,
 ) -> list[dict]:
-    """Re-time queries that regressed >REGRESSION_PCT vs last round
+    """Re-time queries that regressed >``pct`` percent vs last round
     (upgrading them to min-of-3, in place), then report survivors.
 
     ``host_ratio`` (see :func:`_host_ratio`) normalizes the comparison:
     a flag fires only when ``now`` exceeds ``prev * host_ratio`` by the
-    threshold, so a slower container doesn't flag unchanged code."""
+    threshold, so a slower container doesn't flag unchanged code. ``pct``
+    defaults to REGRESSION_PCT; the single-run sf10 smoke passes its own
+    wider bar."""
     if not isinstance(prev_queries, dict):
         return []
-    bar = host_ratio * (1 + REGRESSION_PCT / 100)
+    bar = host_ratio * (1 + pct / 100)
     by_name = {s.name: s for s in bench_specs}
     flagged = [
         n
@@ -739,6 +788,11 @@ def main() -> None:
         "canary_sec": canary,
         "canary_mc_sec": canary_mc,
         "canary_ratio": round(host_ratio, 3),
+        # normalization provenance: which canary produced canary_ratio
+        "canary_src": "mc" if _mc_usable(
+            canary_mc,
+            prev_comparable.get("canary_mc_sec") if prev_comparable else None,
+        ) else "sc",
     }
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -765,6 +819,42 @@ def main() -> None:
             }
         except Exception as exc:  # the primary line must survive an sf1 fault
             result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    want_sf10 = os.environ.get("SPARK_GRAFT_SF10")
+    run_sf10 = want_sf10 == "1" or (want_sf10 != "0" and sf == 0.1)
+    if run_sf10:
+        try:
+            sys.path.insert(0, os.path.join(root, "tools"))
+            from sweep_sf10 import DIRS as _SF10_DIRS
+            from sweep_sf10 import ensure_probe_dirs
+
+            t_gen = time.perf_counter()
+            ensure_probe_dirs(spark)
+            gen_sec = round(time.perf_counter() - t_gen, 3)
+            sf10_dir = _SF10_DIRS["sf10p"][0]
+            by_name = {s.name: s for s in CATALOG}
+            t10: dict[str, float] = {}
+            for name in SF10_SMOKE:  # single run each — see SF10_SMOKE
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                by_name[name].build(spark, sf10_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                t10[name] = round(time.perf_counter() - t0, 3)
+            dir_of_scope["sf10"] = sf10_dir
+            if prev_comparable:
+                regressions += gate_regressions(
+                    spark, sf10_dir, [by_name[n] for n in SF10_SMOKE], t10,
+                    prev_comparable.get("sf10", {}).get("queries", {}),
+                    "sf10", host_ratio, pct=SF10_REGRESSION_PCT,
+                )
+            result["sf10"] = {
+                "queries": t10,
+                "total_sec": round(sum(t10.values()), 3),
+                "gen_sec": gen_sec,
+            }
+        except Exception as exc:  # the primary line must survive sf10 faults
+            result["sf10"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     regressions, env_cleared = ab_control(
         root, prev_comparable, regressions, dir_of_scope

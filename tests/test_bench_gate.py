@@ -383,10 +383,17 @@ def test_compact_record_stays_under_driver_tail_budget():
         "canary_sec": 0.123,
         "canary_mc_sec": 2.345,
         "canary_ratio": 1.056,
+        "canary_src": "mc",
         "sf1": {
             "queries": {n: 123.456 for n in names},
             "total_sec": 1234.567,
             "gen_sec": 12.345,
+        },
+        "sf10": {
+            "queries": {"x_dedup_semdedup_inc": 12.345,
+                        "x_text_line_dedup_inc": 12.345},
+            "total_sec": 24.69,
+            "gen_sec": 123.456,
         },
         "regressions": [
             {"query": n, "scope": "sf1", "prev_sec": 123.456,
@@ -408,6 +415,8 @@ def test_compact_record_stays_under_driver_tail_budget():
     # the round record survives whole
     assert out["queries"] == result["queries"]
     assert out["sf1"]["queries"] == result["sf1"]["queries"]
+    assert out["sf10"]["queries"] == result["sf10"]["queries"]
+    assert out["canary_src"] == "mc"
     assert out["git_sha"] == result["git_sha"]
     # flags: true counts + pointer survive even when rows are dropped
     assert out["regressions_n"] == len(result["regressions"])
@@ -418,6 +427,52 @@ def test_compact_record_stays_under_driver_tail_budget():
                             "code_suspect"}
     # and the line parses back (what the driver does with the tail)
     assert json.loads(line)["queries"] == result["queries"]
+
+
+def test_compact_record_never_exceeds_budget_on_grown_catalog():
+    """The r12 ADVICE hole: popping regression rows was the ONLY
+    degradation path, so a bench catalog whose query maps alone exceed
+    the budget silently emitted an over-budget line (the r11 parsed:null
+    failure mode). The runtime fallback now drops the sf10 then sf1
+    per-query maps (counts + a BENCH_LOCAL.json pointer stay) and, as a
+    last resort, trims the primary queries map with a recorded count —
+    the line always fits and always parses."""
+    from bench import EMIT_BYTE_BUDGET, _compact_record
+
+    many = {f"entry_with_a_long_name_{i:04d}": 123.456 for i in range(200)}
+    result = {
+        "metric": "catalog_headline_total_sec", "value": 1.0, "unit": "sec",
+        "queries": dict(many), "sf": 0.1,
+        "sf1": {"queries": dict(many), "total_sec": 1.0, "gen_sec": 1.0},
+        "sf10": {"queries": dict(many), "total_sec": 1.0, "gen_sec": 1.0},
+        "regressions": [],
+    }
+    out = _compact_record(result)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= EMIT_BYTE_BUDGET, len(line)
+    assert json.loads(line)["sf"] == 0.1
+    # sub-sections degrade to counts + pointer before the primary map
+    for section in ("sf1", "sf10"):
+        assert "queries" not in out[section]
+        assert out[section]["queries_n"] == len(many)
+        assert out[section]["detail"] == "BENCH_LOCAL.json"
+        assert out[section]["total_sec"] == 1.0
+    # the primary map trims off the tail, with the drop count recorded
+    assert 0 < len(out["queries"]) < len(many)
+    assert out["queries_dropped_n"] == len(many) - len(out["queries"])
+
+
+def test_mc_usable_decides_canary_src():
+    """canary_src provenance (r13): 'mc' exactly when both rounds carry a
+    usable multi-core canary — the same condition _pick_host_ratio uses,
+    shared via _mc_usable so the record can't drift from the math."""
+    from bench import _mc_usable
+
+    assert _mc_usable(2.2, 2.0)
+    assert not _mc_usable(None, 2.0)
+    assert not _mc_usable(2.2, None)
+    assert not _mc_usable(2.2, 0)
+    assert not _mc_usable("2.2", 2.0)
 
 
 def test_compact_record_keeps_flag_rows_when_they_fit():
