@@ -283,6 +283,13 @@ def q_x_text_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     minhash_candidate_pairs — the join fan-out is bounded by band_width^2
     per gram, never corpus^2. Output is one row per source pair (<=
     sources^2 / 2 rows, calendar-grain tiny).
+
+    Measured growth (r13 band-occupancy probe, SWEEP_SF10.md footnote):
+    banded grams and sum(df^2) both scale at exactly 10.0x for a 10x
+    corpus step with max df 4 << the band ceiling — df is additionally
+    bounded by the SOURCE dimension (constant as the corpus grows), so
+    the 9.5x wall-clock ratio is the raw linear data step with no fixed
+    overhead to amortize, not a super-linear trend.
     """
     docs = _t(spark, sf, "documents")
     g = docs.select(

@@ -218,6 +218,25 @@ INTRO = (
     f"Linear-with-overhead bar for the 10x step: {LINEAR_BAR}x."
 )
 
+# Measured mechanism notes appended below the table. A ratio near 10x is
+# NOT by itself a super-linearity signal: an entry with little fixed
+# overhead relative to its data-proportional work sits near the data
+# step, while overhead-dominated entries read lower.
+FOOTNOTES = (
+    "x_text_overlap_matrix at 9.5x is LINEAR by measurement, not "
+    "trending super-linear (r13 band-occupancy probe, sf1p -> sf10p): "
+    "banded grams 103,130 -> 1,031,300 (exactly 10.0x), self-join "
+    "fan-out sum(df^2) 437,360 -> 4,373,600 (exactly 10.0x), max df 4 at "
+    "BOTH scales. The df band's per-gram fan-out is bounded by "
+    "min(n_sources, 10)^2 and n_sources is a DIMENSION (20 here, "
+    "constant as the corpus grows), so fan-out cannot grow super-linearly "
+    "in corpus df mass; band occupancy (gram count) grows linearly with "
+    "the corpus and the dominant cost is the linear gram "
+    "materialization + distinct, which has almost no fixed overhead to "
+    "amortize -- hence a ratio near the raw 10x data step. sf10 -> sf30 "
+    "extrapolates to ~3x by the same mechanism."
+)
+
 
 def main() -> None:
     regen = "--regen" in sys.argv
@@ -237,7 +256,8 @@ def main() -> None:
         )
         print(f"{name:28s} sf1p={a:8.2f}s sf10p={b:8.2f}s ratio={ratio}x {verdict}")
     md = HEADER.format(intro=INTRO) + "\n".join(lines) + (
-        f"\n\n(data generation: {gen_sec}s, cached under /tmp; "
+        f"\n\n{FOOTNOTES}\n"
+        f"\n(data generation: {gen_sec}s, cached under /tmp; "
         "`--regen` to rebuild)\n"
     )
     with open(os.path.join(_ROOT, "SWEEP_SF10.md"), "w", encoding="utf-8") as fh:
