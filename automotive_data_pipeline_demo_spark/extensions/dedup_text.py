@@ -12,8 +12,15 @@ Design for 100 TB:
   plus an optional bucket-size cap handle it;
 - n-gram Jaccard is the exact verifier, run only on LSH candidates (or, at
   small scale, on a bounded candidate space such as same-source buckets);
-- all hashing uses md5 (deterministic across engines/runs — no seed drift
-  between Spark's xxhash and anything else).
+- hashing convention: md5 wherever the digest is REPLAYED by the DuckDB
+  oracle (minhash signatures, simhash token hashes, content_hash outputs —
+  the two engines must compute bit-identical values) or where a collision
+  would hand one document another's output (the identical-text collapse
+  keys); :func:`hash128` (two xxhash64 lanes, a 16-byte struct) for purely
+  INTERNAL equality keys that never leave the plan — gram hot-count and
+  overlap keys — where a collision only perturbs one span/count and the
+  narrower fixed-width key halves the shuffled bytes and replaces 32-char
+  string sort comparisons with two-long comparisons.
 """
 
 from __future__ import annotations
@@ -33,6 +40,25 @@ from automotive_data_pipeline_demo_spark.functions.caching import register_cache
 # cap is the 100 TB-safe default and ``max_doc_freq=None`` is the explicit
 # exact-mode opt-out (used by the oracle-pinned catalog entries).
 DEFAULT_MAX_DOC_FREQ = 1000
+
+
+def hash128(col: Column | str) -> Column:
+    """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(c, 1))``.
+
+    For keys that exist only to group/join on equality inside one plan and
+    are never output or replayed by an oracle (see the module docstring's
+    hashing convention). Two independent-stream 64-bit lanes put random
+    collisions at ~2^-128 per pair — the md5 ballpark — at half the wire
+    width of a 32-char hex string, with cheap two-long sort comparisons
+    instead of string compares in exchanges and windows. NOT cryptographic
+    (xxhash64 is not preimage-resistant), so never use it where a crafted
+    collision could reassign one document's OUTPUT to another; those keys
+    keep md5 (+ length riders).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.xxhash64(c).alias("h1"), F.xxhash64(c, F.lit(1)).alias("h2")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1245,7 +1271,8 @@ def duplicated_ngram_fraction(
 
     Scale shape: n-grams are deduped per-doc inside the scan stage
     (``array_distinct``), so the exploded stream is bounded by token count;
-    every shuffle carries a 32-char md5 of the gram, never gram text. Doc
+    every shuffle carries a 16-byte :func:`hash128` of the gram (an
+    internal-only key — the oracle groups by gram text), never gram text. Doc
     frequency is a COUNT window over the digest partition — one shuffle of
     the gram stream, evaluated once (the aggregate-then-join formulation
     scans the gram expression twice and pays a second exchange; measured
@@ -1258,7 +1285,7 @@ def duplicated_ngram_fraction(
     grams = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    ).select("id", F.md5("g").alias("gh"))
+    ).select("id", hash128("g").alias("gh"))
     return (
         grams.withColumn(
             # grams are distinct per doc, so the partition count IS doc freq
@@ -1338,16 +1365,28 @@ def scrub_shared_spans(
     """
 
     def grams_and_toks(toks: Column) -> Column:
-        idx = F.when(
-            F.size(toks) >= n,
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
+        # Positional gram extraction via ONE codegen'd overlapping-lookahead
+        # regex over the space-joined token stream (word_shingles' measured
+        # 3x trick, minus its array_distinct/short-doc branches): match i
+        # (0-based) IS the gram at token start i+1, and a doc with fewer
+        # than n tokens yields no matches — exactly the old
+        # sequence+slice+concat semantics, without the interpreted
+        # per-gram slice+concat lambda work. The digest is hash128 (two
+        # xxhash64 lanes, 16 bytes) instead of md5 hex (32-char string):
+        # gh is an INTERNAL equality key — never output, never replayed by
+        # the oracle (which groups by gram text) — so the only cost of the
+        # narrower key is collision probability (~2^-128 random; a
+        # collision over-scrubs one span, it cannot misassign a document's
+        # cleaned text — that is __th's job, which stays md5+length).
+        joined = F.array_join(toks, " ")
+        pat = r"(?=\b((?:%s ){%d}%s\b))" % (TOKEN_RUN, n - 1, TOKEN_RUN)
+        gstr = F.regexp_extract_all(joined, F.lit(pat), F.lit(1))
         return F.struct(
             F.transform(
-                idx,
-                lambda j: F.struct(
-                    j.alias("start"),
-                    F.md5(F.concat_ws(" ", F.slice(toks, j, n))).alias("gh"),
+                gstr,
+                lambda g, i: F.struct(
+                    (i + F.lit(1)).alias("start"),
+                    hash128(g).alias("gh"),
                 ),
             ).alias("grams"),
             toks.alias("toks"),

@@ -68,6 +68,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     duplicated_ngram_fraction,
     exact_dedup,
     fuzzy_ngram_contamination,
+    hash128,
     minhash_candidate_pairs,
     minhash_jaccard_estimate,
     near_dup_against_index,

@@ -292,9 +292,14 @@ def q_x_text_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     overhead to amortize, not a super-linear trend.
     """
     docs = _t(spark, sf, "documents")
+    # grams travel as 16-byte hash128 keys from the scan stage on: the key
+    # is internal-only (output is per-source-pair COUNTS; the oracle groups
+    # by gram text), and every downstream exchange — the (source, gram)
+    # distinct, the df groupBy, and the banded self-join — carries two
+    # longs instead of a ~60-char 8-gram string.
     g = docs.select(
         "source", F.explode(word_shingles(F.col("text"), 8)).alias("g")
-    ).distinct()
+    ).select("source", hash128("g").alias("g")).distinct()
     kept = (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
