@@ -61,6 +61,24 @@ def hash128(col: Column | str) -> Column:
     )
 
 
+def line_digest(line: Column | str) -> Column:
+    """THE line-grain digest of the line-dedup family — the contract key
+    between :func:`line_dedup` and every hot-set producer (the
+    ``hot_digests`` parameter, the incremental catalog entry, and
+    ``streaming/dedup.py::streaming_line_dedup_ingest``'s persisted df
+    index): any externally-built digest frame must be produced with THIS
+    function or the anti-join silently matches nothing. :func:`hash128`
+    under the hood — a line-digest collision drops one extra line
+    corpus-wide (the gram-key blast-radius class, not the
+    output-misassignment class), and the 16-byte key halves both the
+    df-aggregate exchange and the broadcast hot set vs the former 32-char
+    md5. Format note: the streaming index persisted BEFORE this digest
+    (md5 strings) cannot be read by code after it — rebuild the index
+    (the compaction helper cannot convert; original lines are gone).
+    """
+    return hash128(line)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content digest.
 
@@ -203,7 +221,12 @@ def ngram_contamination(
     sets are thousands of docs), so it broadcasts; the corpus n-gram stream
     is generated inside the scan stage and hash-joined against it — the
     corpus text is touched once and never shuffled; only the sparse
-    (doc, benchmark) hits pay the one pair-aggregation exchange.
+    (doc, benchmark) hits pay the one pair-aggregation exchange. Both
+    sides join on the 16-byte :func:`hash128` of the gram, not the
+    ~n-token gram string — internal-only key (the output is ids + a
+    count), so the broadcast table shrinks ~3x and the probe compares
+    two longs; a collision's blast radius is one spurious contamination
+    hit (a doc flagged conservatively, never one missed).
 
     Returns (id, benchmark_id, n_shared) where n_shared counts distinct
     shared n-grams. Drop or audit every returned id before training.
@@ -211,11 +234,11 @@ def ngram_contamination(
     c = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    )
+    ).select("id", hash128("g").alias("g"))
     b = benchmark.select(
         F.col(id_col).cast("long").alias("benchmark_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    )
+    ).select("benchmark_id", hash128("g").alias("g"))
     return (
         c.join(F.broadcast(b), "g")
         .groupBy("id", "benchmark_id")
@@ -1673,8 +1696,8 @@ def line_dedup(
     and never enter the document-frequency aggregate.
 
     Scale shape: lines posexplode inside the scan stage; the
-    document-frequency aggregate runs at md5(line) grain (the shuffle
-    carries a 32-char digest + doc id, never line text) with map-side
+    document-frequency aggregate runs at :func:`line_digest` grain (the
+    shuffle carries a 16-byte digest + doc id, never line text) with map-side
     partial combine; the over-threshold digest set — the boilerplate
     fraction, a shrinking share of any real corpus — comes back as a
     BROADCAST anti-join against the exploded stream, so the corpus is
@@ -1689,7 +1712,8 @@ def line_dedup(
     a pathological corpus whose hot set outgrows executor memory.
     ``broadcast_hot="auto"`` measures instead of asking the caller to
     know executor memory: the hot set is persisted and counted (digests
-    are fixed-width md5, so bytes ~ count x 48), the broadcast hint is
+    are fixed-width :func:`line_digest` structs, so bytes ~ count x 32),
+    the broadcast hint is
     kept only under ``broadcast_hot_max_bytes``, and the decision is
     logged. The count is one extra digest-grain aggregate — worth it for
     long-lived streaming ingest, where the accumulated cross-batch hot
@@ -1702,7 +1726,8 @@ def line_dedup(
     frame joins back to, never through the exploded line stream, so
     carrying them is free of per-line shuffle width.
 
-    ``hot_digests`` (single-column frame of md5 line digests) replaces
+    ``hot_digests`` (single-column frame of :func:`line_digest` keys)
+    replaces
     the self-computed document-frequency hot set — the streaming twin
     passes the ACCUMULATED cross-batch index here
     (streaming/dedup.py::streaming_line_dedup_ingest), so a micro-batch
@@ -1726,7 +1751,7 @@ def line_dedup(
             # empty lines are excluded BEFORE the frequency aggregate (see
             # docstring): blank paragraph separators must never go hot
             lines.filter(F.col("line") != "")
-            .select("id", F.md5("line").alias("__h"))
+            .select("id", line_digest("line").alias("__h"))
             .groupBy("__h")
             .agg(F.count_distinct("id").alias("__df"))
             .filter(F.col("__df") >= min_doc_freq)
@@ -1738,7 +1763,7 @@ def line_dedup(
 
         hot = hot.persist()
         held.append(hot)
-        est_bytes = hot.count() * 48  # 32-char md5 + row overhead
+        est_bytes = hot.count() * 32  # 16-byte line_digest + row overhead
         use_broadcast = est_bytes <= broadcast_hot_max_bytes
         logging.getLogger(__name__).info(
             "line_dedup hot-set ~%d bytes -> %s join",
@@ -1747,7 +1772,7 @@ def line_dedup(
         )
     else:
         use_broadcast = bool(broadcast_hot)
-    kept = lines.withColumn("__h", F.md5("line")).join(
+    kept = lines.withColumn("__h", line_digest("line")).join(
         F.broadcast(hot) if use_broadcast else hot, "__h", "left_anti"
     )
     rebuilt = kept.groupBy("id").agg(

@@ -69,6 +69,7 @@ from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     exact_dedup,
     fuzzy_ngram_contamination,
     hash128,
+    line_digest,
     minhash_candidate_pairs,
     minhash_jaccard_estimate,
     near_dup_against_index,

@@ -1489,8 +1489,9 @@ def q_x_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cohorts make this bite: shared 8-word segments across copies are
     exactly the repeated-boilerplate shape the published pipelines strip.
 
-    Scale shape (see ``line_dedup``): document frequency at md5(line)
-    grain with map-side combine, broadcast anti-join back (the corpus is
+    Scale shape (see ``line_dedup``): document frequency at
+    ``line_digest`` (16-byte hash128) grain with map-side combine,
+    broadcast anti-join back (the corpus is
     never re-shuffled to be filtered), one position-sorted groupBy(id)
     reassembly.
     """
@@ -1788,7 +1789,7 @@ def q_x_text_line_dedup_inc(spark: SparkSession, sf: str) -> DataFrame:
                 F.explode(F.split(F.col("ftext"), "\n")).alias("line"),
             )
             .filter(F.col("line") != "")
-            .select("doc_id", F.md5("line").alias("line_h"))
+            .select("doc_id", line_digest("line").alias("line_h"))
             .distinct()
             .groupBy("line_h")
             .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
     build_band_index,
     line_dedup,
+    line_digest,
     near_dup_against_index,
 )
 from automotive_data_pipeline_demo_spark.functions.caching import release_caches
@@ -180,7 +181,9 @@ def streaming_line_dedup_ingest(
     micro-batch (exactly the stored-band-index pattern of
     :func:`streaming_dedup_ingest`): each batch appends its per-digest
     DISTINCT-doc counts (one row per (digest, epoch) — the shuffle
-    carries a 32-char md5 + a count, never line text), then the batch's
+    carries a 16-byte ``line_digest`` struct + a count, never line text;
+    an index persisted by pre-``line_digest`` code — md5 strings — must
+    be rebuilt, not read through), then the batch's
     docs are cleaned via ``line_dedup(..., hot_digests=...)`` against the
     document frequency of the WHOLE corpus so far — a line that went
     boilerplate in batch 1 is stripped from every later batch's docs.
@@ -252,7 +255,7 @@ def streaming_line_dedup_ingest(
                 ).alias("line"),
             )
             .filter(F.col("line") != "")
-            .select("id", F.md5("line").alias("line_h"))
+            .select("id", line_digest("line").alias("line_h"))
             .distinct()
             .groupBy("line_h")
             .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1519,7 +1519,13 @@ def test_line_dedup_shuffle_fallback_matches_broadcast(spark):
     )
 
     # the knob rides through the stored-hot-set (streaming twin) path too
-    hot = spark.createDataFrame([("x",)], "h string").selectExpr("md5('boiler') AS h")
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_digest,
+    )
+
+    hot = spark.createDataFrame([("boiler",)], "line string").select(
+        line_digest("line").alias("h")
+    )
     via_hot = line_dedup(
         docs, "doc_id", "text", hot_digests=hot, broadcast_hot=False
     )

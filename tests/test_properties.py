@@ -491,17 +491,21 @@ def test_line_dedup_matches_python_reference(spark, doc_lines, k):
     assert got == want
 
     # hot_digests path (the streaming twin's entry point): feeding the
-    # reference hot set as external md5 digests must reproduce the
-    # self-computed result exactly; carry_cols ride through unchanged
-    import hashlib
-
+    # reference hot set as EXTERNALLY built digests must reproduce the
+    # self-computed result exactly; carry_cols ride through unchanged.
+    # External producers build keys with the shared line_digest() helper
+    # (the documented hot_digests contract) — here from the reference
+    # hot LINES, not from line_dedup's own internals.
     from pyspark.sql import functions as SF
 
-    hot_df = spark.createDataFrame(
-        [(hashlib.md5(line.encode()).hexdigest(),) for line in hot]
-        or [("00000000000000000000000000000000",)],
-        "line_h string",
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_digest,
     )
+
+    hot_df = spark.createDataFrame(
+        [(line,) for line in hot] or [("\x00never-a-line",)],
+        "line string",
+    ).select(line_digest("line").alias("line_h"))
     with_attr = spark.createDataFrame(
         [(i, t, f"src{i % 2}") for i, t in docs],
         "doc_id long, text string, source string",

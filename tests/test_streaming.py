@@ -926,8 +926,13 @@ def test_streaming_line_dedup_accumulates_df_across_batches(spark, tmp_path):
     assert rows[4]["cleaned_text"] == "gamma\n\ndelta"
 
     # the stored index's accumulated df equals the batch operator's
-    # document-frequency aggregate over the UNIONED corpus
+    # document-frequency aggregate over the UNIONED corpus (reference
+    # digests built with the shared line_digest contract helper)
     from pyspark.sql import functions as SF
+
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_digest,
+    )
 
     union = spark.createDataFrame(b1 + b2[:1] + b2[2:], schema)
     want = {
@@ -936,7 +941,7 @@ def test_streaming_line_dedup_accumulates_df_across_batches(spark, tmp_path):
             "doc_id", SF.explode(SF.split("text", "\n")).alias("line")
         )
         .filter(SF.col("line") != "")
-        .select("doc_id", SF.md5("line").alias("h"))
+        .select("doc_id", line_digest("line").alias("h"))
         .distinct()
         .groupBy("h")
         .agg(SF.count(SF.lit(1)).alias("df"))
@@ -1017,9 +1022,17 @@ def test_line_df_index_compaction_preserves_accumulation(spark, tmp_path):
     assert rows[4] == "delta four"
     got = acc_df()
     assert got[[h for h, d in want.items() if d == 1][0]] >= 1
-    # boiler digest: folded base 1 + batch-3 contribution 1
-    import hashlib
-    bh = hashlib.md5(b"boiler").hexdigest()
+    # boiler digest: folded base 1 + batch-3 contribution 1 (key built
+    # with the shared line_digest helper — the index's contract digest)
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        line_digest,
+    )
+
+    bh = (
+        spark.createDataFrame([("boiler",)], "line string")
+        .select(line_digest("line").alias("h"))
+        .collect()[0]["h"]
+    )
     assert got[bh] == 2
 
 
