@@ -43,21 +43,32 @@ DEFAULT_MAX_DOC_FREQ = 1000
 
 
 def hash128(col: Column | str) -> Column:
-    """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(c, 1))``.
+    """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(1, c))``.
 
     For keys that exist only to group/join on equality inside one plan and
     are never output or replayed by an oracle (see the module docstring's
-    hashing convention). Two independent-stream 64-bit lanes put random
-    collisions at ~2^-128 per pair — the md5 ballpark — at half the wire
-    width of a 32-char hex string, with cheap two-long sort comparisons
-    instead of string compares in exchanges and windows. NOT cryptographic
-    (xxhash64 is not preimage-resistant), so never use it where a crafted
-    collision could reassign one document's OUTPUT to another; those keys
-    keep md5 (+ length riders).
+    hashing convention). Two independent 64-bit lanes put random collisions
+    at ~2^-128 per pair — the md5 ballpark — at half the wire width of a
+    32-char hex string, with cheap two-long sort comparisons instead of
+    string compares in exchanges and windows.
+
+    Lane independence matters and the ARGUMENT ORDER is load-bearing: Spark
+    folds multi-arg ``xxhash64`` left-to-right with the running hash as the
+    next seed, so ``xxhash64(c, lit(1))`` would be ``XXH64(1, seed=h1)`` — a
+    deterministic function of lane 1, collapsing the struct to 64-bit
+    effective resistance (an h1 collision would be a full-struct collision;
+    at ~10^9-10^10 distinct keys, i.e. the 100 TB gram grain, 64-bit
+    birthday collisions become expected). ``xxhash64(F.lit(1), c)`` instead
+    derives a DIFFERENT seed (``XXH64(1, seed=42)``) before hashing the
+    payload, giving two independent hash functions of ``c``.
+
+    NOT cryptographic (xxhash64 is not preimage-resistant), so never use it
+    where a crafted collision could reassign one document's OUTPUT to
+    another; those keys keep md5 (+ length riders).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.struct(
-        F.xxhash64(c).alias("h1"), F.xxhash64(c, F.lit(1)).alias("h2")
+        F.xxhash64(c).alias("h1"), F.xxhash64(F.lit(1), c).alias("h2")
     )
 
 
@@ -75,6 +86,11 @@ def line_digest(line: Column | str) -> Column:
     md5. Format note: the streaming index persisted BEFORE this digest
     (md5 strings) cannot be read by code after it — rebuild the index
     (the compaction helper cannot convert; original lines are gone).
+    Second format note (r14): the r13 lane-2 seeding bug fix
+    (``xxhash64(c, 1)`` -> ``xxhash64(1, c)``, see :func:`hash128`) changes
+    every ``h2`` value, so any index persisted with the r13 digest must
+    also be rebuilt — done before any production index exists in the
+    broken format.
     """
     return hash128(line)
 

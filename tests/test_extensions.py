@@ -1536,6 +1536,42 @@ def test_line_dedup_shuffle_fallback_matches_broadcast(spark):
     assert got == {1: "alpha", 2: "beta", 3: "solo\ngamma"}
 
 
+def test_hash128_lanes_are_independent(spark):
+    """hash128's two lanes must be independent hash functions of the input.
+
+    Spark folds multi-arg xxhash64 left-to-right with the running hash as
+    the next seed, so the r13 form ``xxhash64(c, lit(1))`` was
+    ``XXH64(1, seed=h1)`` — a deterministic function of lane 1, collapsing
+    the 16-byte struct to 64-bit effective collision resistance (ADVICE
+    r13). The fixed form ``xxhash64(lit(1), c)`` hashes the payload under a
+    diverged seed. This test pins (a) golden lane values so a silent
+    revert or Spark hash change is caught (the persisted line_digest index
+    format depends on them), and (b) that lane 2 differs from the broken
+    fold form.
+    """
+    from pyspark.sql import functions as SF
+
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        hash128,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            hash128(SF.lit("a")).alias("h"),
+            SF.xxhash64(SF.lit("a"), SF.lit(1)).alias("broken_fold"),
+            SF.xxhash64(SF.lit("a")).alias("h1_direct"),
+        )
+        .collect()[0]
+    )
+    assert row["h"]["h1"] == row["h1_direct"] == -8582455328737087284
+    assert row["h"]["h2"] == 8205864924878002737
+    # the broken r13 lane-2 (seed folded AFTER the payload) is a different
+    # value — and a pure function of h1, which is exactly why it was wrong
+    assert row["broken_fold"] == -4810547614043336770
+    assert row["h"]["h2"] != row["broken_fold"]
+
+
 def test_gopher_rules_planted_failures(spark):
     """Each Gopher rule trips on a doc built to violate exactly it (word
     count aside), and a clean long document passes the full gate."""
