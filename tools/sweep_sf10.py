@@ -254,6 +254,13 @@ SIDECAR = os.path.join(_ROOT, "SWEEP_SF10.json")
 def _render(data: dict, gen_sec: float) -> str:
     lines = []
     for name in PROBE:
+        if name not in data:
+            # --entries subset run against a missing/partial sidecar:
+            # placeholder instead of a KeyError that would drop the
+            # measurements already taken
+            lines.append(f"| {name} | — | — | — | (not yet timed) | {NOTES[name]} |")
+            print(f"{name:28s} (no recorded numbers — run a full sweep)")
+            continue
         a, b = data[name]["sf1p"], data[name]["sf10p"]
         ratio = round(b / a, 1) if a > 0 else float("inf")
         verdict = "linear" if ratio <= LINEAR_BAR else "SUPER-LINEAR"
@@ -277,10 +284,23 @@ def main() -> None:
     # re-adjudication upgrade the verify recipe prescribes for sweep
     # outliers) and merge into the sidecar; everything else keeps its
     # recorded numbers. Min across sessions is still a min.
-    subset = (
-        sys.argv[sys.argv.index("--entries") + 1:]
-        if "--entries" in sys.argv else None
-    )
+    subset = None
+    if "--entries" in sys.argv:
+        # consume names up to the next --flag (not all remaining argv),
+        # and validate against PROBE BEFORE Spark startup — a typo'd name
+        # used to raise KeyError after minutes of timing work
+        rest = sys.argv[sys.argv.index("--entries") + 1:]
+        subset = []
+        for a in rest:
+            if a.startswith("--"):
+                break
+            subset.append(a)
+        unknown = [n for n in subset if n not in PROBE]
+        if not subset or unknown:
+            raise SystemExit(
+                f"--entries needs probe-entry names; unknown={unknown}; "
+                f"valid: {sorted(PROBE)}"
+            )
     spark = get_spark(app_name="sweep_sf10")
     t0 = time.perf_counter()
     ensure_probe_dirs(spark, regen)
