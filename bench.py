@@ -642,19 +642,368 @@ def split_env_flags(regressions: list[dict], old_times: dict,
     return kept, cleared
 
 
+def _strip_docstrings(tree) -> None:
+    """Drop the leading string constant from every module/class/function
+    body in-place, so a docstring-only edit doesn't read as a code
+    change in an AST compare."""
+    import ast
+
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                 ast.ClassDef),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+
+
+def _defining_dumps(src: str, name: str) -> list[str]:
+    """``ast.dump`` of every statement in ``src`` that (re)binds ``name``
+    at any nesting level: def/class by that name, assignments to it, and
+    import bindings. Formatting/comments are invisible (AST compare);
+    docstrings are stripped. Sorted so multi-definition modules compare
+    as sets."""
+    import ast
+
+    tree = ast.parse(src)
+    _strip_docstrings(tree)
+    out = []
+    for node in ast.walk(tree):
+        hit = False
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            hit = node.name == name
+        elif isinstance(node, ast.Assign):
+            hit = any(
+                isinstance(n, ast.Name) and n.id == name
+                for t in node.targets
+                for n in ast.walk(t)
+            )
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            hit = (
+                isinstance(node.target, ast.Name)
+                and node.target.id == name
+            )
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            hit = any(
+                (a.asname or a.name.split(".")[0]) == name
+                for a in node.names
+            )
+        if hit:
+            out.append(ast.dump(node))
+    return sorted(out)
+
+
+def _closure_items(entry: str) -> set[tuple[str, str]] | None:
+    """FUNCTION-GRAIN closure of a catalog entry: the set of
+    ``(module_relpath, top_level_symbol)`` definitions the entry's
+    builder can reach — the builder itself, every package function/class
+    it references transitively (by global name or ``pkgmodule.attr``),
+    and every module-level constant name it reads (from-import chains
+    followed to the defining assignment). ``session.py`` rides along
+    whole-file (``(rel, "")``): its spark-conf changes affect every
+    entry's runtime without appearing in any builder closure.
+
+    Returns None on any shape that can't be resolved statically —
+    closure cells over plain values, partials, package modules used as
+    first-class values, nested submodule attribute chains, unreadable
+    source — and the caller falls back to module grain. Exists because
+    module-grain marked every entry of a 1,800-line module "code
+    changed" when r13 added two helpers to it (VERDICT r13)."""
+    import ast
+    import inspect
+    import textwrap
+    import types
+
+    import automotive_data_pipeline_demo_spark as _pkg
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = _pkg.__name__
+    prefix = pkg_name + "."
+
+    spec = next((s for s in CATALOG if s.name == entry), None)
+    if spec is None:
+        return None
+
+    def rel_of(mod) -> str | None:
+        path = getattr(mod, "__file__", None)
+        if not path:
+            return None
+        r = os.path.relpath(os.path.abspath(path), root)
+        return None if r.startswith("..") else r
+
+    def is_pkg_module(m) -> bool:
+        n = getattr(m, "__name__", "")
+        return isinstance(m, types.ModuleType) and (
+            n == pkg_name or n.startswith(prefix)
+        )
+
+    def in_pkg(obj) -> bool:
+        m = getattr(obj, "__module__", "") or ""
+        return m == pkg_name or m.startswith(prefix)
+
+    items: set[tuple[str, str]] = set()
+    seen: set[int] = set()
+    queue: list = [spec.build]
+
+    def add_const(mod, nm, depth: int = 0) -> bool:
+        """Record the defining assignment of constant ``nm`` visible in
+        ``mod``, following from-import bindings to the origin module."""
+        if depth > 5:
+            return False
+        r = rel_of(mod)
+        if r is None:
+            return False
+        try:
+            tree = ast.parse(inspect.getsource(mod))
+        except Exception:
+            return False
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == nm
+                    for t in node.targets
+                )
+            ) or (
+                isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.target.id == nm
+            ):
+                items.add((r, nm))
+                return True
+        for node in tree.body:
+            if isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    if (a.asname or a.name) == nm:
+                        items.add((r, nm))  # the import binding itself
+                        modname = "." * node.level + (node.module or "")
+                        try:
+                            import importlib
+
+                            origin = importlib.import_module(
+                                modname, mod.__package__
+                            )
+                        except Exception:
+                            return False
+                        if is_pkg_module(origin):
+                            return add_const(origin, a.name, depth + 1)
+                        return True  # outside the repo: stable
+        return False
+
+    def enqueue_callable(v) -> bool:
+        """Queue a function/class for traversal when it lives in the
+        package; True unless the value is un-trackable."""
+        if isinstance(v, (staticmethod, classmethod)):
+            v = v.__func__
+        if isinstance(v, functools.partial):
+            return False  # bound args unverifiable across refs
+        if isinstance(v, (types.FunctionType, type)):
+            if in_pkg(v):
+                queue.append(v)
+            return True
+        return True
+
+    while queue:
+        obj = queue.pop()
+        if isinstance(obj, (staticmethod, classmethod)):
+            obj = obj.__func__
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+
+        if isinstance(obj, type):
+            mod = sys.modules.get(obj.__module__)
+            if mod is None or not is_pkg_module(mod):
+                continue
+            r = rel_of(mod)
+            if r is None:
+                return None
+            items.add((r, obj.__qualname__.split(".")[0]))
+            for v in vars(obj).values():
+                if isinstance(
+                    v, (types.FunctionType, staticmethod, classmethod)
+                ):
+                    queue.append(v)
+            continue
+        if not isinstance(obj, types.FunctionType):
+            return None
+        mod = sys.modules.get(obj.__module__)
+        if mod is None or not is_pkg_module(mod):
+            continue  # outside the repo: treated as stable
+        r = rel_of(mod)
+        if r is None:
+            return None
+        # a nested def/lambda is covered by its top-level container
+        items.add((r, obj.__qualname__.split(".")[0]))
+        try:
+            tree = ast.parse(textwrap.dedent(inspect.getsource(obj)))
+        except Exception:
+            return None
+        if obj.__closure__:
+            for cell in obj.__closure__:
+                try:
+                    cv = cell.cell_contents
+                except ValueError:
+                    return None
+                if isinstance(
+                    cv, (types.FunctionType, staticmethod, classmethod,
+                         type),
+                ):
+                    queue.append(cv)
+                elif not isinstance(cv, types.ModuleType):
+                    # a plain value closed over from a factory call site
+                    # we cannot attribute to a definition
+                    return None
+        g = obj.__globals__
+        recv: set[int] = set()  # Name nodes that are attribute receivers
+        mod_attrs: dict[str, set[str]] = {}
+        names: list = []
+        for n in ast.walk(tree):
+            if isinstance(n, ast.Attribute) and isinstance(
+                n.value, ast.Name
+            ):
+                recv.add(id(n.value))
+                if is_pkg_module(g.get(n.value.id)):
+                    mod_attrs.setdefault(n.value.id, set()).add(n.attr)
+            elif isinstance(n, ast.Name):
+                names.append(n)
+        for n in names:
+            nm = n.id
+            if nm not in g:
+                continue  # local or builtin
+            if nm.startswith("__") and nm.endswith("__"):
+                continue  # implicit module dunders (__name__, __file__)
+            v = g[nm]
+            if isinstance(
+                v, (types.FunctionType, staticmethod, classmethod, type,
+                    functools.partial),
+            ):
+                if not enqueue_callable(v):
+                    return None
+            elif is_pkg_module(v):
+                if id(n) not in recv:
+                    return None  # pkg module used as a value: dynamic
+            elif isinstance(v, types.ModuleType):
+                continue
+            elif callable(v):
+                if in_pkg(type(v)):
+                    return None  # package callable instance: dynamic
+            else:
+                if not add_const(mod, nm):
+                    return None
+        for alias, attrs in mod_attrs.items():
+            am = g.get(alias)
+            for attr in attrs:
+                if not hasattr(am, attr):
+                    return None
+                av = getattr(am, attr)
+                if isinstance(
+                    av, (types.FunctionType, staticmethod, classmethod,
+                         type, functools.partial),
+                ):
+                    if not enqueue_callable(av):
+                        return None
+                elif isinstance(av, types.ModuleType):
+                    if is_pkg_module(av):
+                        return None  # nested submodule chain: untracked
+                else:
+                    if not add_const(am, attr):
+                        return None
+
+    # runtime-wide infrastructure every entry executes under
+    try:
+        from automotive_data_pipeline_demo_spark import session as _sess
+
+        sess_rel = rel_of(_sess)
+        if sess_rel:
+            items.add((sess_rel, ""))
+    except Exception:
+        return None
+    return items
+
+
+def _git_blob(root: str, tree: str, rel: str) -> str | None:
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            ["git", "show", f"{tree}:{rel}"],
+            cwd=root, capture_output=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return p.stdout.decode("utf-8", "replace") if p.returncode == 0 else None
+
+
+def _items_unchanged(
+    root: str, ref: str, items: set[tuple[str, str]]
+) -> bool | None:
+    """Compare each ``(relpath, symbol)`` definition between ``ref`` and
+    HEAD. ``symbol == ""`` means whole-file. True = every definition
+    AST-identical; False = a definition differs (or a file is missing in
+    one tree); None = a definition can't be located (dynamic creation) —
+    the caller should fall back to module grain."""
+    for rel, name in sorted(items):
+        a = _git_blob(root, ref, rel)
+        b = _git_blob(root, "HEAD", rel)
+        if a is None or b is None:
+            return False
+        if a == b:
+            continue
+        if not name:
+            return False  # whole-file item differs
+        try:
+            da, db = _defining_dumps(a, name), _defining_dumps(b, name)
+        except SyntaxError:
+            return None
+        if not da or not db:
+            return None
+        if da != db:
+            return False
+    return True
+
+
 def _entry_code_unchanged(root: str, ref: str, name: str) -> bool:
-    """True when the flagged entry's DEFINING MODULE — and every package
-    module it imports from (one level: the objects in its namespace) —
-    is byte-identical between ``ref`` and HEAD: the cheap signal that a
-    flag is more likely environment than code. Each path is verified to
-    EXIST in both trees first (``git cat-file -e``): ``git diff --quiet``
-    exits 0 on a pathspec that matches nothing, which mis-reported
-    untracked/out-of-tree modules as "unchanged" (r11 ADVICE). The
-    one-level closure catches the r11 shape where an entry's own module
-    was untouched but similarity.py on its hot path changed. Still only
-    decides whether to SPEND the A/B retime — the retime itself is sound
-    either way: a genuine dependency regression won't reproduce under the
-    old code, so the flag survives ``split_env_flags``."""
+    """FUNCTION-GRAIN: True when every definition the entry's builder
+    executes — the builder, its transitive package callees/classes, the
+    module-level constants it reads, plus session.py whole-file — is
+    AST-identical between ``ref`` and HEAD. Module-grain (r12's rule,
+    kept as :func:`_entry_module_unchanged`) marked all ~20 entries of a
+    1,800-line module "code changed" when r13 added two helper functions
+    to it, which let two box-noise flags stand as code_suspect (VERDICT
+    r13 task 1). Any closure shape the static walk can't resolve falls
+    back to module grain, which can only under-claim "unchanged"."""
+    try:
+        items = _closure_items(name)
+    except Exception:
+        items = None
+    if items:
+        res = _items_unchanged(root, ref, items)
+        if res is not None:
+            return res
+    return _entry_module_unchanged(root, ref, name)
+
+
+def _entry_module_unchanged(root: str, ref: str, name: str) -> bool:
+    """MODULE-GRAIN fallback: True when the flagged entry's DEFINING
+    MODULE — and every package module it imports from (one level: the
+    objects in its namespace) — is byte-identical between ``ref`` and
+    HEAD. Each path is verified to EXIST in both trees first
+    (``git cat-file -e``): ``git diff --quiet`` exits 0 on a pathspec
+    that matches nothing, which mis-reported untracked/out-of-tree
+    modules as "unchanged" (r11 ADVICE). The one-level closure catches
+    the r11 shape where an entry's own module was untouched but
+    similarity.py on its hot path changed."""
     import inspect
     import subprocess
     import types
@@ -713,10 +1062,15 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
     edits a shared module like similarity.py; the retime's fixed cost
     (~40 s session + min-of-3 per flagged entry) buys a definitive
     record every time. Each kept row is additionally annotated
-    ``code_unchanged`` when the entry's defining module and its
-    one-level package-import closure are byte-identical to the old ref —
-    a kept code_suspect row with ``code_unchanged: true`` says the
-    regression (if real) lives outside that closure or in the noise.
+    ``code_unchanged`` — FUNCTION grain since r14
+    (:func:`_entry_code_unchanged`): the builder's transitive executed
+    closure plus session.py, module grain only as fallback. A suspect
+    whose executed closure is AST-identical to the old ref is CLEARED
+    (``cleared_by: "identical_closure"``): identical code on both A/B
+    sides cannot be a code regression, so the reading is noise — r13's
+    two kept flags were exactly this shape, stranded because
+    module-grain detection marked a 20-entry module "changed" over two
+    added helpers.
 
     Returns (kept_flags, env_cleared_flags); flags without an A/B
     measurement always pass through kept."""
@@ -737,10 +1091,24 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
     if not old_times:
         return regressions, []
     kept, cleared = split_env_flags(regressions, old_times, dir_of_scope)
+    still_kept = []
     for row in kept:
-        if "old_code_now_sec" in row:
-            row["code_unchanged"] = unchanged(root, ref, row["query"])
-    return kept, cleared
+        if "old_code_now_sec" not in row:
+            still_kept.append(row)
+            continue
+        row["code_unchanged"] = unchanged(root, ref, row["query"])
+        if row.get("code_suspect") and row["code_unchanged"]:
+            # the executed closure (function grain, incl. session.py) is
+            # AST-identical between the refs: the A/B literally ran the
+            # same code on both sides, so a new>old reading is
+            # measurement noise by construction, not a code regression —
+            # the r13 shape where two box-noise flags stood unadjudicated
+            row = {**row, "cleared_by": "identical_closure"}
+            row.pop("code_suspect", None)
+            cleared.append(row)
+            continue
+        still_kept.append(row)
+    return still_kept, cleared
 
 
 def main() -> None:

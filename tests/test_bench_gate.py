@@ -282,11 +282,16 @@ def test_ab_control_retimes_every_flag_and_splits(tmp_path):
     assert kept == flags and cleared == []
 
 
-def test_ab_control_annotates_kept_flags_with_code_unchanged(tmp_path):
-    """Kept (code_suspect) rows carry the unchanged-closure signal: a
-    suspect whose defining module + one-level import closure are
-    byte-identical to the old ref is marked code_unchanged=True — the
-    regression, if real, lives outside that closure or in the noise."""
+def test_ab_control_clears_suspects_with_identical_closure(tmp_path):
+    """A code_suspect whose FUNCTION-GRAIN executed closure is
+    AST-identical between the refs is CLEARED (cleared_by:
+    "identical_closure"): the A/B literally ran the same code on both
+    sides, so a new>old reading is noise by construction. r13's two kept
+    flags (x_dedup_simhash_dedup, x_text_vocab) were this shape —
+    byte-identical closures stranded as code_suspect because
+    module-grain detection saw two helper functions added to their
+    1,800-line module. A suspect whose closure DID change stays kept
+    with code_unchanged=False."""
     from bench import ab_control
 
     flags = [
@@ -306,11 +311,82 @@ def test_ab_control_annotates_kept_flags_with_code_unchanged(tmp_path):
         retime=fake_retime,
         unchanged=lambda root, ref, name: name == "q_same",
     )
-    assert cleared == []
-    by = {k["query"]: k for k in kept}
-    assert by["q_same"]["code_suspect"] and by["q_same"]["code_unchanged"]
-    assert by["q_changed"]["code_suspect"]
-    assert by["q_changed"]["code_unchanged"] is False
+    assert [k["query"] for k in kept] == ["q_changed"]
+    assert kept[0]["code_suspect"]
+    assert kept[0]["code_unchanged"] is False
+    assert [c["query"] for c in cleared] == ["q_same"]
+    assert cleared[0]["cleared_by"] == "identical_closure"
+    assert "code_suspect" not in cleared[0]
+    assert cleared[0]["code_unchanged"] is True
+
+
+def test_function_grain_ignores_unrelated_helper_additions():
+    """The r13 false-positive shape, pinned: adding a module-level
+    helper (or editing another entry's function, or a docstring) does
+    NOT change the defining dumps of an untouched entry's closure —
+    only an edit to a definition the entry actually reaches does."""
+    from bench import _defining_dumps
+
+    old_src = (
+        "X = 7\n"
+        "def helper(a):\n"
+        "    '''old doc'''\n"
+        "    return a + X\n"
+        "def entry(spark, sf):\n"
+        "    return helper(1)\n"
+        "def other_entry(spark, sf):\n"
+        "    return 2\n"
+    )
+    # r13 shape: a NEW helper lands in the module, another entry changes,
+    # and the reached function's docstring is reworded
+    new_src = (
+        "X = 7\n"
+        "def brand_new_helper(q):\n"
+        "    return q * 3\n"
+        "def helper(a):\n"
+        "    '''new doc'''\n"
+        "    return a + X\n"
+        "def entry(spark, sf):\n"
+        "    return helper(1)\n"
+        "def other_entry(spark, sf):\n"
+        "    return 99\n"
+    )
+    for sym in ("entry", "helper", "X"):
+        assert _defining_dumps(old_src, sym) == _defining_dumps(new_src, sym)
+    # the grain still bites where it should
+    assert _defining_dumps(old_src, "other_entry") != _defining_dumps(
+        new_src, "other_entry"
+    )
+    changed_dep = new_src.replace("return a + X", "return a - X")
+    assert _defining_dumps(old_src, "helper") != _defining_dumps(
+        changed_dep, "helper"
+    )
+    changed_const = new_src.replace("X = 7", "X = 8")
+    assert _defining_dumps(old_src, "X") != _defining_dumps(
+        changed_const, "X"
+    )
+
+
+def test_closure_items_function_grain_on_real_catalog():
+    """The live closure walk resolves the r13 false-positive entries at
+    function grain and collects exactly the definitions they execute
+    (plus session.py whole-file), so a helper addition elsewhere in
+    their 1,800-line defining modules cannot flip code_unchanged."""
+    from bench import _closure_items
+
+    items = _closure_items("x_text_vocab")
+    assert items is not None
+    by_file: dict = {}
+    for rel, sym in items:
+        by_file.setdefault(rel.rsplit("/", 1)[-1], set()).add(sym)
+    assert "vocab_oov_rate" in by_file["text_analysis.py"]
+    assert "q_x_text_vocab" in by_file["catalog_recent_extensions.py"]
+    assert "" in by_file["session.py"]  # runtime-wide whole-file rider
+    # untouched helpers of the same module are NOT in the closure
+    assert "line_dedup" not in by_file.get("dedup_text.py", set())
+
+    assert _closure_items("x_dedup_simhash_dedup") is not None
+    assert _closure_items("definitely_not_an_entry") is None
 
 
 def test_split_env_flags_concurrent_control_is_decisive():
