@@ -34,6 +34,7 @@ from automotive_data_pipeline_demo_spark.extensions.text_analysis import (
     tokenize,
 )
 from automotive_data_pipeline_demo_spark.functions.caching import register_caches
+from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 
 # Default shingle document-frequency cap for Jaccard fan-out. A shingle in d
 # docs yields d(d-1)/2 pairs, so an uncapped hot shingle is quadratic; the
@@ -145,8 +146,13 @@ def shingle_arrays(
     this ONCE and persisting it lets candidate generation and Jaccard
     verification share it instead of each re-shingling the corpus.
     """
-    return df.select(
-        F.col(id_col).cast("long").alias("id"),
+    # fan_out: the shingle regex is the most expensive narrow stage of the
+    # whole dedup family; a single-split corpus scan would run it on one
+    # core (r14 — measured 0.4 s single-task at sf0.1; no-op at scale)
+    return fan_out(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
 
@@ -175,8 +181,11 @@ def minhash_signature_columns(
     if shingles is not None:  # a pre-built (id, __sh) table (shingle_arrays)
         shingled = shingles.select("id", F.explode("__sh").alias("shingle"))
     else:
-        shingled = df.select(
-            F.col(id_col).cast("long").alias("id"),
+        # fan_out before the shingle regex: see shingle_arrays
+        shingled = fan_out(
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        ).select(
+            "id",
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
     return shingled.groupBy("id").agg(
@@ -247,8 +256,12 @@ def ngram_contamination(
     Returns (id, benchmark_id, n_shared) where n_shared counts distinct
     shared n-grams. Drop or audit every returned id before training.
     """
-    c = corpus.select(
-        F.col(id_col).cast("long").alias("id"),
+    # fan_out: the n-gram extraction regex over the corpus is the entry's
+    # dominant narrow stage; parallelism floor, no-op at scale
+    c = fan_out(
+        corpus.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     ).select("id", hash128("g").alias("g"))
     b = benchmark.select(
@@ -559,8 +572,11 @@ def ngram_jaccard_pairs(
             "id", F.explode("__sh").alias("shingle")
         )
     else:
-        shingle_rows = df.select(
-            F.col(id_col).cast("long").alias("id"),
+        # fan_out before the shingle regex: see shingle_arrays
+        shingle_rows = fan_out(
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        ).select(
+            "id",
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
     if candidates is None and max_doc_freq is not None:
@@ -787,8 +803,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     nhex = (bits + 3) // 4
-    toks = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    # fan_out: tokenize + per-token md5 + the 60-vote partial aggregate is
+    # this entry's dominant map-side work; a one-split scan serializes it
+    # (r14 — measured 0.6 s single-task at sf0.1; no-op at scale)
+    toks = fan_out(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
     hashed = toks.select(
@@ -1321,8 +1342,12 @@ def duplicated_ngram_fraction(
     Returns (id, n_grams, n_dup_grams, dup_fraction) — one row per doc,
     including zero-overlap docs.
     """
-    grams = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    # fan_out: the gram-extraction regex dominates the map side (r14
+    # parallelism floor; no-op at scale)
+    grams = fan_out(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     ).select("id", hash128("g").alias("gh"))
     return (
@@ -1751,7 +1776,11 @@ def line_dedup(
     far, not just its own rows. ``min_doc_freq`` is then already baked
     into the digest set and ignored.
     """
-    base = df.select(
+    # fan_out: the line split + per-line digest is the map-side cost; a
+    # one-split scan serializes it (r14 parallelism floor; no-op at scale)
+    base = fan_out(
+        df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in carry_cols])
+    ).select(
         F.col(id_col).cast("long").alias("id"),
         # NULL text splits as the empty document (one empty line), not a
         # NULL array whose size(-1) would leak negative line counts — the

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from automotive_data_pipeline_demo_spark.functions.caching import (
     register_caches,
 )
+from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 
 _log = logging.getLogger(__name__)
 
@@ -68,8 +69,13 @@ def brute_force_topk(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    scored = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    # fan_out: the per-row cosine fold against every query is the
+    # dominant narrow stage; parallelism floor on a one-split scan,
+    # no-op at scale (r14)
+    scored = fan_out(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
     ).crossJoin(q).select(
         "query_id",
         "vec_id",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from automotive_data_pipeline_demo_spark.functions.caching import register_caches
+from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 
 import unicodedata
 
@@ -272,9 +273,15 @@ def tfidf_top_terms(
             ),
         )
 
+    # fan_out: the tokenize + per-doc tf fold is the entry's dominant
+    # narrow stage (r14 — 0.9 s as ONE task at sf0.1 off a single-split
+    # scan; no-op at scale)
     tf = (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
+        fan_out(
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        )
+        .select(
+            "id",
             F.explode(
                 bind_once(tokenize(F.col(text_col)), tf_fold)
             ).alias("__p"),
@@ -540,8 +547,12 @@ def vocab_oov_rate(
     division rounded to 4 dp; docs with zero tokens are absent (their
     rate is undefined), matching the exploded formulation.
     """
-    arrs = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    # fan_out before tokenize: parallelism floor for the regex pass +
+    # the per-doc scoring fold both consumers run over the cached arrays
+    arrs = fan_out(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         tokenize(F.col(text_col)).alias("__toks"),
     ).persist()  # tokenize once; both the count and scoring sides read it
     toks = arrs.select("id", F.explode("__toks").alias("term"))
@@ -716,8 +727,10 @@ def bm25_topk(
     # (sf1: 7.4 s -> ~4 s). At cluster scale this is the standard
     # narrow-projection cache; without memory for it, executors spill it
     # to local disk (MEMORY_AND_DISK default) rather than re-reading text.
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    base = fan_out(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         bind_once(tokenize(F.col(text_col)), per_row).alias("__b"),
     ).persist()
     stats = base.agg(
@@ -810,7 +823,20 @@ def source_drift_report(
         .cast("long")
         .alias("bin"),
     )
-    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
+    # sb is the ONE data-grain fold of the whole report; everything after
+    # is arithmetic on this bounded (sources x bins) frame. It feeds four
+    # consumers (s_tot, c_bin->c_tot, cell), and without a persist each
+    # consumer's exchange re-runs the corpus-grain aggregation — the r14
+    # event-log profile showed the same fold executing as 8 separate
+    # exchange-map stages (4 consumers x 2 union legs upstream). Persist
+    # makes the corpus pass happen once; the cache is post-aggregate and
+    # bounded, the right artifact to hold at any scale (guide §2.4: share
+    # one exchange across same-keyed consumers).
+    sb = (
+        binned.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+        .persist()
+    )
     s_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     c_bin = sb.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
     c_tot = F.broadcast(c_bin.agg(F.sum("n_b").alias("n_c")))
@@ -848,14 +874,15 @@ def source_drift_report(
         / F.col("p_c")
         * q
     ).cast("long")
-    return (
+    return register_caches(
         grid.groupBy("source")
         .agg(
             F.max("n_s").alias("n_docs"),
             (F.sum(tvd_q).cast("double") / (q * 2)).alias("tvd"),
             (F.sum(chi_q).cast("double") / q).alias("chi2"),
         )
-        .select("source", "n_docs", "tvd", "chi2")
+        .select("source", "n_docs", "tvd", "chi2"),
+        sb,
     )
 
 

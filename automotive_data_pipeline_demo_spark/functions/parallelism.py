@@ -1,0 +1,58 @@
+"""Scale-adaptive parallelism floor for CPU-heavy narrow stages.
+
+The engine's expensive narrow operators — tokenize/shingle regex passes,
+per-token hashing, per-row cosine folds — run inside the SCAN stage by
+design (zero shuffles). That is the right 100 TB shape, but it inherits
+the scan's task count: a corpus stored as one splittable-in-name-only
+file (single parquet row group, one gzip member, a small lake shard)
+scans as ONE task and serializes minutes of per-row CPU on one core
+while the rest of the cluster idles (guide §2.5 "input skew" /
+§6 "input split size").
+
+``fan_out`` is the measured fix: IF the frame's scan parallelism is
+below the cluster's core count, round-robin repartition it up to
+``spark.sparkContext.defaultParallelism`` BEFORE the expensive narrow
+work; otherwise return it untouched. The gate makes it scale-adaptive
+rather than a local-mode constant:
+
+- at bench/test scale (single small files) the repartition exchange
+  moves a few hundred KB once and buys core-count parallelism for the
+  regex/hash stage that dominates the entry (measured r14: the simhash
+  token pass, the shingle pass and the tf fold each ran as ONE 0.4-0.9 s
+  task at sf0.1);
+- at 100 TB the scan already has thousands of splits, the gate sees
+  ``partitions >= defaultParallelism``, and NO exchange node is added —
+  the payload is never shuffled for parallelism's sake (guide §8's
+  rule: don't move heavy bytes without need);
+- the one large-scale case where the gate fires — few huge unsplittable
+  files — is exactly the case the guide prescribes "repartition
+  immediately after the read" for.
+
+Call it on the NARROWEST projection that feeds the expensive work
+(id + text, not the full row), so the exchange that does fire carries
+only the needed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``target`` (default
+    ``sparkContext.defaultParallelism``) partitions IF it currently has
+    fewer; no-op otherwise. Round-robin: row placement is load-balanced
+    and (with Spark's default sort-before-repartition) deterministic
+    under retries. Use only ahead of CPU-heavy narrow stages — the
+    exchange is pure overhead for cheap projections.
+    """
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)

@@ -29,6 +29,9 @@ from automotive_data_pipeline_demo_spark.plans.catalog_scale_extensions import (
 from automotive_data_pipeline_demo_spark.functions.caching import (  # noqa: F401
     register_caches,
 )
+from automotive_data_pipeline_demo_spark.functions.parallelism import (  # noqa: F401,E402
+    fan_out,
+)
 
 
 # --------------------------------------------------------------------------
@@ -895,7 +898,7 @@ _PLANTED_GATE_VALUES_SQL = ",\n              ".join(
 
 # bump when the staged stage-1..5 chain changes (new scratch path per code
 # version; _scratch is already pid-namespaced, so stale dirs cost nothing)
-_CURATION_BASE_VERSION = "r8a"
+_CURATION_BASE_VERSION = "r14a"  # r14: fan_out layout (N-file artifact)
 
 
 def _curation_base(spark: SparkSession, sf: str, plant_gate: bool) -> DataFrame:
@@ -1001,7 +1004,18 @@ def _curation_base(spark: SparkSession, sf: str, plant_gate: bool) -> DataFrame:
             ).alias("__gpub"),
         )
         (
-            hash_split(gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+            # fan_out before the quality_score regex AND before the write:
+            # the line-dedup join upstream collapses to ~1 partition at
+            # small scale, which (r14 event-log profile) made every
+            # downstream read of this artifact a ONE-task scan — the
+            # dedup/contamination stages of both e2e twins serialized on
+            # one core. N output files give every reader scan parallelism;
+            # gated, so a large staged corpus is never re-shuffled.
+            fan_out(
+                hash_split(
+                    gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+                )
+            )
             .withColumn("q4", (quality_score(F.col("ldtext")) * 4).cast("long"))
             .write.mode("overwrite")
             .parquet(path)

@@ -1079,7 +1079,18 @@ def ab_control(root: str, prev: dict | None, regressions: list[dict],
     ref = _prev_code_ref(root, prev)
     if ref is None:
         return regressions, []
-    rows = regressions[:AB_MAX_ENTRIES]
+    # Budget priority (r14): sf10-smoke flags first. The smoke is a
+    # SINGLE cold run per entry (no min-of-2/3), so its readings are the
+    # noisiest in the record AND the widest-bar gate — exactly the flags
+    # that must not escape adjudication. In the r14 baseline a flag
+    # storm (20 suite flags on a slow box) filled the cap and the one
+    # sf10 flag passed through kept un-A/B'd as the 21st row; suite
+    # flags are min-of-3 by the time they get here and lose less from
+    # missing the cap.
+    ordered = sorted(
+        regressions, key=lambda r: 0 if r.get("scope") == "sf10" else 1
+    )
+    rows = ordered[:AB_MAX_ENTRIES]
     names_by_dir: dict[str, list[str]] = {}
     for row in rows:
         d = dir_of_scope.get(row["scope"])

@@ -282,6 +282,49 @@ def test_ab_control_retimes_every_flag_and_splits(tmp_path):
     assert kept == flags and cleared == []
 
 
+def test_ab_control_prioritizes_sf10_flags_under_cap(tmp_path):
+    """sf10-smoke flags are single cold runs — the noisiest readings in
+    the record — so they must never fall off the AB_MAX_ENTRIES budget
+    behind a suite flag storm. r14 baseline: 20 suite flags filled the
+    cap and the one sf10 flag (x_dedup_semdedup_inc 13.4 -> 37.6 s, a
+    cold-corpus first run on a slow box) stood kept WITHOUT an A/B row.
+    The budget now orders sf10 flags first."""
+    import bench
+    from bench import ab_control
+
+    flags = [
+        {"query": f"q{i}", "scope": "sf1", "prev_sec": 1.0,
+         "now_sec": 1.4, "delta_pct": 40.0}
+        for i in range(bench.AB_MAX_ENTRIES)
+    ] + [
+        {"query": "smoke_entry", "scope": "sf10", "prev_sec": 13.4,
+         "now_sec": 37.6, "delta_pct": 181.0}
+    ]
+    seen: dict = {}
+
+    def fake_retime(root, ref, names_by_dir):
+        seen.update(names_by_dir)
+        # old code reproduces every elevation -> everything A/B'd clears
+        return {
+            f"{d}::{n}": row["now_sec"]
+            for d, names in names_by_dir.items()
+            for n in names
+            for row in flags
+            if row["query"] == n
+        }
+
+    kept, cleared = ab_control(
+        str(tmp_path), {"git_sha": "x"}, flags,
+        {"sf1": "/sf1", "sf10": "/sf10p"}, retime=fake_retime,
+    )
+    # the sf10 flag made the A/B budget...
+    assert "smoke_entry" in seen.get("/sf10p", [])
+    # ...and cleared through the concurrent control; exactly one suite
+    # flag (the one displaced by the budget) passes through kept un-A/B'd
+    assert [c["query"] for c in cleared].count("smoke_entry") == 1
+    assert len(kept) == 1 and kept[0]["scope"] == "sf1"
+
+
 def test_ab_control_clears_suspects_with_identical_closure(tmp_path):
     """A code_suspect whose FUNCTION-GRAIN executed closure is
     AST-identical between the refs is CLEARED (cleared_by:
