@@ -150,7 +150,8 @@ def shingle_arrays(
     # whole dedup family; a single-split corpus scan would run it on one
     # core (r14 — measured 0.4 s single-task at sf0.1; no-op at scale)
     return fan_out(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        key="id",
     ).select(
         "id",
         F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
@@ -183,7 +184,8 @@ def minhash_signature_columns(
     else:
         # fan_out before the shingle regex: see shingle_arrays
         shingled = fan_out(
-            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+            key="id",
         ).select(
             "id",
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
@@ -259,7 +261,8 @@ def ngram_contamination(
     # fan_out: the n-gram extraction regex over the corpus is the entry's
     # dominant narrow stage; parallelism floor, no-op at scale
     c = fan_out(
-        corpus.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        corpus.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        key="id",
     ).select(
         "id",
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
@@ -574,7 +577,8 @@ def ngram_jaccard_pairs(
     else:
         # fan_out before the shingle regex: see shingle_arrays
         shingle_rows = fan_out(
-            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+            key="id",
         ).select(
             "id",
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
@@ -807,7 +811,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     # this entry's dominant map-side work; a one-split scan serializes it
     # (r14 — measured 0.6 s single-task at sf0.1; no-op at scale)
     toks = fan_out(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        key="id",
     ).select(
         "id",
         F.explode(tokenize(F.col(text_col))).alias("tok"),
@@ -1345,7 +1350,8 @@ def duplicated_ngram_fraction(
     # fan_out: the gram-extraction regex dominates the map side (r14
     # parallelism floor; no-op at scale)
     grams = fan_out(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+        key="id",
     ).select(
         "id",
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
@@ -1776,11 +1782,7 @@ def line_dedup(
     far, not just its own rows. ``min_doc_freq`` is then already baked
     into the digest set and ignored.
     """
-    # fan_out: the line split + per-line digest is the map-side cost; a
-    # one-split scan serializes it (r14 parallelism floor; no-op at scale)
-    base = fan_out(
-        df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in carry_cols])
-    ).select(
+    base = df.select(
         F.col(id_col).cast("long").alias("id"),
         # NULL text splits as the empty document (one empty line), not a
         # NULL array whose size(-1) would leak negative line counts — the

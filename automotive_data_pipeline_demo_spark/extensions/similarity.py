@@ -75,7 +75,8 @@ def brute_force_topk(
     scored = fan_out(
         corpus.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-        )
+        ),
+        key="vec_id",
     ).crossJoin(q).select(
         "query_id",
         "vec_id",

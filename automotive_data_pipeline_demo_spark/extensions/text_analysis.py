@@ -278,7 +278,8 @@ def tfidf_top_terms(
     # scan; no-op at scale)
     tf = (
         fan_out(
-            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col)),
+            key="id",
         )
         .select(
             "id",
@@ -547,12 +548,8 @@ def vocab_oov_rate(
     division rounded to 4 dp; docs with zero tokens are absent (their
     rate is undefined), matching the exploded formulation.
     """
-    # fan_out before tokenize: parallelism floor for the regex pass +
-    # the per-doc scoring fold both consumers run over the cached arrays
-    arrs = fan_out(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
-    ).select(
-        "id",
+    arrs = df.select(
+        F.col(id_col).cast("long").alias("id"),
         tokenize(F.col(text_col)).alias("__toks"),
     ).persist()  # tokenize once; both the count and scoring sides read it
     toks = arrs.select("id", F.explode("__toks").alias("term"))
@@ -727,10 +724,8 @@ def bm25_topk(
     # (sf1: 7.4 s -> ~4 s). At cluster scale this is the standard
     # narrow-projection cache; without memory for it, executors spill it
     # to local disk (MEMORY_AND_DISK default) rather than re-reading text.
-    base = fan_out(
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
-    ).select(
-        "id",
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
         bind_once(tokenize(F.col(text_col)), per_row).alias("__b"),
     ).persist()
     stats = base.agg(

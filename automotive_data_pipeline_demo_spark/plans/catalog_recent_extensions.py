@@ -898,7 +898,7 @@ _PLANTED_GATE_VALUES_SQL = ",\n              ".join(
 
 # bump when the staged stage-1..5 chain changes (new scratch path per code
 # version; _scratch is already pid-namespaced, so stale dirs cost nothing)
-_CURATION_BASE_VERSION = "r14a"  # r14: fan_out layout (N-file artifact)
+_CURATION_BASE_VERSION = "r14b"  # r14: keyed fan_out layout (N-file artifact)
 
 
 def _curation_base(spark: SparkSession, sf: str, plant_gate: bool) -> DataFrame:
@@ -1014,7 +1014,8 @@ def _curation_base(spark: SparkSession, sf: str, plant_gate: bool) -> DataFrame:
             fan_out(
                 hash_split(
                     gated, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
-                )
+                ),
+                key="id",
             )
             .withColumn("q4", (quality_score(F.col("ldtext")) * 4).cast("long"))
             .write.mode("overwrite")
