@@ -951,6 +951,16 @@ def simhash_dedup(
     distinct-fingerprint level.
     """
     fp = simhash(df, id_col, text_col, bits).persist()
+    # NOTE on the lazy fill: the reps aggregate and the intra-join's fp
+    # exchange materialize concurrently under AQE and can race the cache
+    # fill, re-running the token+vote fold (r14 event-log profile: two
+    # extra stages of 12.6 s + 7.6 s task time writing the same 135.5 KB
+    # exchange at sf0.1). An eager_fill(fp) was A/B'd and REJECTED: the
+    # racing folds overlap on otherwise-idle cores, so wall time was
+    # unchanged-to-worse (interleaved min-of-3: lazy 2.51/2.94 s vs
+    # eager 2.61/3.17 s at sf0.1/sf1) while the serialized fill delayed
+    # the consumers. On a saturated cluster the trade can flip; revisit
+    # with cluster measurements, not local ones.
     reps = fp.groupBy("simhash").agg(F.min("id").alias("rep"))
     intra = (
         fp.join(reps, "simhash")

@@ -17,7 +17,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from automotive_data_pipeline_demo_spark.functions.caching import register_caches
+from automotive_data_pipeline_demo_spark.functions.caching import (
+    eager_fill,
+    register_caches,
+)
 from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 
 import unicodedata
@@ -832,6 +835,12 @@ def source_drift_report(
         .agg(F.count(F.lit(1)).alias("n_sb"))
         .persist()
     )
+    # Eager fill (caching.eager_fill): the three downstream consumers
+    # (s_tot exchange, c_bin/c_tot broadcasts) materialize concurrently
+    # under AQE and would race the lazy cache fill, re-running the
+    # corpus fold; one bounded count serializes it. Same eager class as
+    # the builder-side emb.count()/centroid pulls adjudicated r11-r13.
+    eager_fill(sb)
     s_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     c_bin = sb.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
     c_tot = F.broadcast(c_bin.agg(F.sum("n_b").alias("n_c")))

@@ -22,6 +22,25 @@ from pyspark.sql import DataFrame
 _ATTR = "_graft_persisted"
 
 
+def eager_fill(df: DataFrame) -> DataFrame:
+    """Materialize a just-persisted frame's cache with one count before
+    its consumers fan out.
+
+    AQE materializes independent downstream query stages CONCURRENTLY,
+    and Spark fills cached partitions lazily per consumer task: racing
+    first-consumers each compute an uncached partition and all but one
+    discard the result ("Block already exists ... not re-adding") — for
+    an expensive shared subtree that re-runs the whole fold once per
+    racing consumer. A single bounded action serializes the fill ahead
+    of the fan; every materialization after it is a cache read. Use
+    only where the persisted fold is expensive and feeds 2+ stages of
+    ONE action (r14: simhash_dedup's fingerprint fold, the drift
+    report's (source, bin) aggregate).
+    """
+    df.count()
+    return df
+
+
 def register_caches(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Tag ``result`` with the persisted frames its plan depends on.
 
