@@ -92,10 +92,15 @@ def _shuffles(plan: str) -> int:
         # 8 = two independent 4-exchange mode subtrees (exact + capped)
         # under one union; the union itself must add none
         ("x_dedup_jaccard_capped", 8),
-        # 2 = the vocabulary-grain df groupBy + the top-k window's id
-        # exchange; tf itself folds row-locally (it's a per-document
-        # quantity — no (id, term) exchange over raw token rows)
-        ("x_text_tfidf", 2),
+        # 3 = the vocabulary-grain df groupBy + the top-k window's id
+        # exchange + the r14 scale-gated fan_out REPARTITION_BY_NUM ahead
+        # of the tokenize/tf fold (keyed by id; a no-op once the scan is
+        # already parallel — interleaved A/B: 1.27 -> 1.09 s at sf0.1,
+        # tie at sf1). tf itself still folds row-locally (it's a
+        # per-document quantity — no (id, term) exchange over raw token
+        # rows); unlike minhash's, this repartition feeds a term-grain
+        # aggregate so it cannot collapse into a downstream exchange.
+        ("x_text_tfidf", 3),
         ("x_text_entropy", 0),
         ("x_sample_split", 0),
         ("x_sample_stratified", 0),
