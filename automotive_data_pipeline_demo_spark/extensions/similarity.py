@@ -22,11 +22,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from automotive_data_pipeline_demo_spark.functions.caching import (
+    eager_fill,
     register_caches,
 )
 from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 
 _log = logging.getLogger(__name__)
+
+# Shared-subtree policy for the unconditional collapse modes of
+# _near_dup_pairs_collapsed when new_col is set (the one case where the
+# branches cannot share via ReuseExchange): "fill" (persist the windowed
+# frame and eager-fill it before the branches fan out — pinned r14:
+# single evaluation at cluster scale, ~neutral locally), "lazy" (persist
+# only; racing first-consumers may duplicate the fill), "off" (r13
+# shape: every branch recomputes). Internal A/B knob
+# (tools/ab_shapes_r14.py flips it).
+_SHARE_MARKED = "fill"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -812,6 +823,40 @@ def _near_dup_pairs_collapsed(
     else:
         marked = keyed.withColumn("__rep", F.min(id_col).over(w))
 
+    if (
+        collapse in ("star", "exact")
+        and new_col is not None
+        and _SHARE_MARKED != "off"
+    ):
+        # r14 (guide §2.4/§5): the rep-pair and star/member branches are
+        # SEPARATE consumers of `marked`. With new_col set their pruned
+        # window subtrees differ (the rep branch keeps __repnew, the
+        # member branch keeps __nb/__rep), so the exchange subtrees no
+        # longer canonicalize equal and ReuseExchange does NOT fire —
+        # the whole scan → assignment → hash(block) exchange → window
+        # chain executed once per branch (r14 sf10p profile: two 38-48 s
+        # assignment-scale jobs). Persisting the windowed frame computes
+        # it once; the eager fill serializes the cache fill so AQE's
+        # concurrently-materialized branches read cache instead of
+        # racing it. The interleaved sf10p A/B measured fill ~neutral
+        # locally (8.34 s vs 8.17 s recompute — the duplicate passes
+        # overlap on idle local cores), but at cluster scale the
+        # recompute is two full corpus passes + two corpus-scale
+        # exchanges with no idle capacity to hide them, so the
+        # single-evaluation shape is pinned (same reasoning as the r13
+        # auto-gate contract). Cache partitioning is hash(block), so
+        # the blocked scorer still consumes it without a new exchange.
+        # WITHOUT new_col the branches DO canonicalize equal and
+        # ReuseExchange already shares everything below the exchange —
+        # there the persist only replaces a cheap window recompute with
+        # a corpus-scale cache write (measured LOSS: 18.53 s vs 16.57 s
+        # at sf10p), so the r11 ReuseExchange contract stays. The auto
+        # gate persists `keyed` instead (r13) — holding both frames
+        # would double cache pressure, so auto is excluded here.
+        marked = marked.persist()
+        if _SHARE_MARKED == "fill":
+            eager_fill(marked)
+
     reps = marked.filter(F.col(id_col) == F.col("__rep"))
     eblk = block_col
     if do_split:
@@ -851,9 +896,10 @@ def _near_dup_pairs_collapsed(
             )
             .filter(F.col("score") >= F.lit(threshold))
         )
-        # no-op for the unconditional modes (keyed unpersisted); holds the
-        # auto gate's cache for the caller's action otherwise
-        return register_caches(rep_pairs.unionByName(edges), keyed)
+        # holds whichever shared frame this call persisted — the auto
+        # gate's keyed cache, or the unconditional modes' marked cache
+        # (register_caches skips unpersisted frames)
+        return register_caches(rep_pairs.unionByName(edges), keyed, marked)
 
     # exact expansion: rep pairs fan back out to member pairs (scores are
     # bit-identical — members ARE the rep vector), plus the in-group
@@ -907,7 +953,7 @@ def _near_dup_pairs_collapsed(
         F.col("__ib").alias("b_id"),
         F.col("__sa").alias("score"),
     ).filter(F.col("score") >= F.lit(threshold))
-    return register_caches(crossx.unionByName(cliq), keyed)
+    return register_caches(crossx.unionByName(cliq), keyed, marked)
 
 
 def _near_dup_pairs_blocked(
@@ -1045,6 +1091,7 @@ def kmeans_lloyd(
     inline_max_k: int = 8,
     route_probe: int | None = None,
     route_k1: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Lloyd's k-means over an embedding corpus (cosine assignment) —
     the clustering step of SemDeDup-style semantic dedup and of
@@ -1087,15 +1134,23 @@ def kmeans_lloyd(
     Routed assignment is approximate but deterministic;
     ``route_probe >= k1`` reproduces the flat result bit-for-bit.
 
-    Returns the final assignment: (id_col, centroid_id).
+    Returns the final assignment: (id_col, centroid_id[, keep_cols...]).
+    ``keep_cols`` ride through the FINAL assignment pass only (training
+    passes stay minimal-width) — same passthrough contract as
+    :func:`assign_to_stored_centroids`, removing the consumer's
+    join-back of the assignment to the source frame.
     """
     cents, corpus, id_type = _kmeans_train(
         vectors, seeds, n_iter, id_col, vec_col, centroid_id_col,
         centroid_vec_col, scale, inline_max_k, route_probe, route_k1,
     )
+    if keep_cols:
+        dims = len(next(iter(cents.values())))
+        corpus = _micro_units(vectors, id_col, vec_col, scale, dims, keep_cols)
     return _assign_exact(
-        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1
-    ).select(F.col(id_col), "centroid_id")
+        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1,
+        keep_cols,
+    ).select(F.col(id_col), "centroid_id", *keep_cols)
 
 
 def kmeans_centroids(
@@ -1147,6 +1202,7 @@ def assign_to_stored_centroids(
     inline_max_k: int = 8,
     route_probe: int | None = None,
     route_k1: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign vectors to STORED centroids (``kmeans_centroids`` output,
     read back from wherever it was persisted) — the incremental posture:
@@ -1164,7 +1220,13 @@ def assign_to_stored_centroids(
     (k = corpus/cell_target). Deterministic; ``route_probe >= k1``
     reproduces the flat assignment bit-for-bit.
 
-    Returns (id_col, centroid_id).
+    Returns (id_col, centroid_id[, keep_cols...]). ``keep_cols`` ride
+    through the zero-shuffle assignment unchanged (r14): a consumer that
+    needs the assignment AND the payload column (the near-dup scorer
+    needs the raw vector per row) reads both off ONE narrow pass instead
+    of joining the (id, centroid_id) result back to the source by id —
+    at corpus scale that join is either a full payload exchange or a
+    mis-sized corpus-scale broadcast (guide §8).
     """
     rows = centroids.select(
         F.col(centroid_id_col).alias("cid"), F.col(centroid_sum_col).alias("cv")
@@ -1175,28 +1237,42 @@ def assign_to_stored_centroids(
         raise ValueError("stored centroid ids must be unique")
     cents = {int(r["cid"]): [int(x) for x in r["cv"]] for r in rows}
     dims = len(next(iter(cents.values())))
-    corpus = _micro_units(vectors, id_col, vec_col, scale, dims)
+    corpus = _micro_units(vectors, id_col, vec_col, scale, dims, keep_cols)
     id_type = dict(zip(vectors.schema.names, vectors.schema.fields))[
         id_col
     ].dataType.simpleString()
     return _assign_exact(
-        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1
-    ).select(F.col(id_col), "centroid_id")
+        corpus, cents, id_col, id_type, inline_max_k, route_probe, route_k1,
+        keep_cols,
+    ).select(F.col(id_col), "centroid_id", *keep_cols)
 
 
 def _micro_units(
-    vectors: DataFrame, id_col: str, vec_col: str, scale: int, dims: int
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    dims: int,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, __mv) projection in integer micro-units. NULL or
     wrong-dimension vectors are EXCLUDED, not crashed on: cosine against a
     d-dim centroid is undefined for them, and a ragged batch breaks the
-    numpy path's rectangular matmul (poison-corpus audit)."""
+    numpy path's rectangular matmul (poison-corpus audit).
+
+    ``keep_cols`` ride through unchanged (r14): the assignment is a
+    zero-shuffle narrow map, so carrying the payload column (normally the
+    raw vector) through it lets a consumer use the assignment WITHOUT
+    joining it back to the source frame by id — the join is a full
+    corpus-scale exchange (or a corpus-scale broadcast when the planner
+    mis-sizes the assignment side) that the passthrough removes outright
+    (guide §8: move heavy bytes once, never to re-attach a decision)."""
     mv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
-    return vectors.select(F.col(id_col), mv.alias("__mv")).filter(
-        F.col("__mv").isNotNull() & (F.size("__mv") == dims)
-    )
+    return vectors.select(
+        F.col(id_col), mv.alias("__mv"), *[F.col(c) for c in keep_cols]
+    ).filter(F.col("__mv").isNotNull() & (F.size("__mv") == dims))
 
 
 def _kmeans_train(
@@ -1311,6 +1387,7 @@ def _assign_numpy_routed(
     id_type: str,
     route_k1: int | None,
     route_probe: int,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-level routed nearest-centroid assignment — the IVF-quantized
     scale path of :func:`kmeans_lloyd` / :func:`assign_to_stored_centroids`.
@@ -1373,7 +1450,12 @@ def _assign_numpy_routed(
             mv = np.array(pdf["__mv"].tolist(), dtype=np.int64)  # b × d
             if len(mv) == 0:
                 yield pd.DataFrame(
-                    {id_col: pdf[id_col], "centroid_id": [], "__mv": pdf["__mv"]}
+                    {
+                        id_col: pdf[id_col],
+                        "centroid_id": [],
+                        "__mv": pdf["__mv"],
+                        **{c: pdf[c] for c in keep_cols},
+                    }
                 )
                 continue
             # route: top-probe reps by (score desc, rep id asc) — stable
@@ -1401,12 +1483,14 @@ def _assign_numpy_routed(
                     id_col: pdf[id_col],
                     "centroid_id": best_c,
                     "__mv": pdf["__mv"],
+                    **{c: pdf[c] for c in keep_cols},
                 }
             )
 
     return corpus.mapInPandas(
         assign_batches,
-        schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
+        schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>"
+        + _keep_schema(corpus, keep_cols),
     )
 
 
@@ -1418,11 +1502,15 @@ def _assign_exact(
     inline_max_k: int,
     route_probe: int | None = None,
     route_k1: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Zero-shuffle exact-integer nearest-centroid assignment:
-    (id, centroid_id, __mv). Inline codegen up to ``inline_max_k``
-    centroids, Arrow-batched numpy matmul above (bit-identical; see
-    kmeans_lloyd docstring)."""
+    (id, centroid_id, __mv[, keep_cols...]). Inline codegen up to
+    ``inline_max_k`` centroids, Arrow-batched numpy matmul above
+    (bit-identical; see kmeans_lloyd docstring). ``keep_cols`` must
+    already be present on ``corpus`` (see :func:`_micro_units`) and ride
+    through every path untouched — pure passthrough, no arithmetic, so
+    values round-trip bit-identically."""
 
     def _assign_inline() -> DataFrame:
         structs = []
@@ -1448,6 +1536,7 @@ def _assign_exact(
             F.col(id_col),
             (-best["ncid"]).cast("long").alias("centroid_id"),
             F.col("__mv"),
+            *[F.col(c) for c in keep_cols],
         )
 
     def _assign_numpy() -> DataFrame:
@@ -1469,7 +1558,12 @@ def _assign_exact(
                 mv = np.array(pdf["__mv"].tolist(), dtype=np.int64)  # b × d
                 if len(mv) == 0:
                     yield pd.DataFrame(
-                        {id_col: pdf[id_col], "centroid_id": [], "__mv": pdf["__mv"]}
+                        {
+                            id_col: pdf[id_col],
+                            "centroid_id": [],
+                            "__mv": pdf["__mv"],
+                            **{c: pdf[c] for c in keep_cols},
+                        }
                     )
                     continue
                 # int64 matmul: exact under the same 2^63 bound as the
@@ -1481,19 +1575,28 @@ def _assign_exact(
                         id_col: pdf[id_col],
                         "centroid_id": cid_arr[best],
                         "__mv": pdf["__mv"],
+                        **{c: pdf[c] for c in keep_cols},
                     }
                 )
 
         return corpus.mapInPandas(
             assign_batches,
-            schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>",
+            schema=f"{id_col} {id_type}, centroid_id long, __mv array<long>"
+            + _keep_schema(corpus, keep_cols),
         )
 
     if route_probe is not None:
         return _assign_numpy_routed(
-            corpus, cents, id_col, id_type, route_k1, route_probe
+            corpus, cents, id_col, id_type, route_k1, route_probe, keep_cols
         )
     return _assign_inline() if len(cents) <= inline_max_k else _assign_numpy()
+
+
+def _keep_schema(corpus: DataFrame, keep_cols: tuple[str, ...]) -> str:
+    """DDL suffix for passthrough columns, typed from the input frame so
+    the Arrow round-trip declares exactly the source type (no casts)."""
+    fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    return "".join(f", {c} {fields[c]}" for c in keep_cols)
 
 
 def split_oversized_cells(

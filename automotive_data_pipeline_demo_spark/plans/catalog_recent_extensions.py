@@ -27,6 +27,7 @@ from automotive_data_pipeline_demo_spark.plans.catalog_scale_extensions import (
     _routed_assign_sql,
 )
 from automotive_data_pipeline_demo_spark.functions.caching import (  # noqa: F401
+    eager_fill,
     register_caches,
 )
 from automotive_data_pipeline_demo_spark.functions.parallelism import (  # noqa: F401,E402
@@ -1795,7 +1796,15 @@ def q_x_text_line_dedup_inc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), framed.alias("ftext")
     )
     corpus = base.filter(F.col("doc_id") < 400)
-    batch = base.filter(F.col("doc_id") >= 400)
+    # r14 (guide §2.4/§5): the framed BATCH is read three times per run —
+    # its own digest-counts aggregate, line_dedup's exploded line stream,
+    # and line_dedup's doc-grain rebuild join — and the framing transform
+    # (split + 8-word re-slice + array_join) is the entry's dominant
+    # narrow work, so each re-read re-paid it (the r14 profile's 3x
+    # corpus scan). Persist + eager-fill computes it once; the batch is
+    # the DAILY INCREMENT, bounded by posture, so caching it is the
+    # scale-safe side (the corpus slice stays single-pass, uncached).
+    batch = eager_fill(base.filter(F.col("doc_id") >= 400).persist())
 
     def digest_counts(df: DataFrame) -> DataFrame:
         return (
@@ -1818,7 +1827,10 @@ def q_x_text_line_dedup_inc(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("line_h")
     )
-    return line_dedup(batch, "doc_id", "ftext", delim="\n", hot_digests=hot)
+    return register_caches(
+        line_dedup(batch, "doc_id", "ftext", delim="\n", hot_digests=hot),
+        batch,
+    )
 
 
 _register(QuerySpec(
@@ -1904,10 +1916,14 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
         corpus, seeds, n_iter=1, route_probe=2
     ).write.mode("overwrite").parquet(cent_path)
     cents = spark.read.parquet(cent_path)
-    assign_all = assign_to_stored_centroids(emb, cents, route_probe=2)
-    assigned = emb.join(assign_all, "vec_id").withColumn(
-        "is_new", F.col("vec_id") >= cutoff
-    )
+    # r14: the assignment CARRIES the embedding through its zero-shuffle
+    # map (keep_cols) instead of being joined back to emb by vec_id — the
+    # join-back planned as a corpus-scale broadcast of the assignment
+    # under each consumer branch (guide §8: attach decisions without
+    # moving/duplicating the payload). Row-wise identical output.
+    assigned = assign_to_stored_centroids(
+        emb, cents, route_probe=2, keep_cols=("embedding",)
+    ).withColumn("is_new", F.col("vec_id") >= cutoff)
     # collapse="star": flood guard at the pair stage (see
     # x_dedup_semdedup) — with new_col the reps prefer the smallest-id
     # STORED member, which keeps the greedy smaller-id kill rule exact
@@ -1923,9 +1939,17 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
     # range, so b is ALWAYS the batch side — losers = batch vectors that
     # near-dup any smaller-id vector
     losers = pairs.select(F.col("b_id").alias("vec_id")).distinct()
-    kept = assign_all.filter(F.col("vec_id") >= cutoff).join(
-        losers, "vec_id", "left_anti"
+    # r14: the kept side re-assigns the BATCH SLICE only — a per-row map
+    # commutes with the id filter, so assign(emb)[id>=cutoff] ==
+    # assign(emb[id>=cutoff]) row for row, and the filter now pushes to
+    # the parquet scan instead of running a second FULL-corpus assignment
+    # pass (the r14 profile's third assignment-scale job). losers is
+    # bounded by the batch (every loser is a batch id), so it broadcasts:
+    # the anti-join loses its two exchanges + sorts.
+    batch_assign = assign_to_stored_centroids(
+        emb.filter(F.col("vec_id") >= cutoff), cents, route_probe=2
     )
+    kept = batch_assign.join(F.broadcast(losers), "vec_id", "left_anti")
     return kept.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("centroid_id").cast("int").alias("centroid_id"),

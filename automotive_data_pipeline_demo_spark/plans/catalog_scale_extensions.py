@@ -3491,8 +3491,13 @@ def q_x_dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    assign = kmeans_lloyd(emb, seeds, n_iter=1, route_probe=2)
-    cells = emb.join(assign, "vec_id")
+    # r14: the final assignment pass CARRIES the embedding (keep_cols)
+    # instead of being joined back to emb by vec_id — the join-back
+    # planned as a corpus-scale broadcast of the assignment side
+    # (guide §8). Row-wise identical frame for the pair scorer.
+    cells = kmeans_lloyd(
+        emb, seeds, n_iter=1, route_probe=2, keep_cols=("embedding",)
+    )
     # collapse="star": an identical-vector FLOOD (boilerplate corpus)
     # collapses to one rep before pair scoring — f copies cost f star
     # edges instead of f²/2 in-cell cosines, and the components the keep

@@ -821,7 +821,11 @@ def test_collapse_auto_gate_single_evaluation(spark):
         assert held and all(f.is_cached for f in held), label
         release_caches(out)
         assert not any(f.is_cached for f in held), label
-    # unconditional modes persist nothing — the gate never runs
+    # unconditional modes WITHOUT new_col persist nothing — the gate
+    # never runs, and the rep/star branches share via ReuseExchange
+    # (their pruned subtrees canonicalize equal when no new flag forks
+    # them; the r14 persist applies only to the new_col form — see
+    # test_star_collapse_single_evaluation_incremental)
     plain = embedding_near_dup_pairs(
         spark.createDataFrame(
             spread, "vec_id long, label int, embedding array<double>"
@@ -829,6 +833,48 @@ def test_collapse_auto_gate_single_evaluation(spark):
         threshold=0.3, block_col="label", collapse="star",
     )
     assert not getattr(plain, "_graft_persisted", [])
+
+
+def test_star_collapse_single_evaluation_incremental(spark):
+    """r14: star mode persists + eager-fills the windowed frame. With
+    new_col set, the rep-pair and star-edge branches prune DIFFERENT
+    window columns (__repnew vs __nb/__rep), their exchange subtrees no
+    longer canonicalize equal, and ReuseExchange cannot fire — pre-r14
+    the whole input (scan -> assignment -> exchange -> window) executed
+    once per branch. An accumulator inside a mapInPandas stage under the
+    pair call counts input rows evaluated: the action must read n, not
+    2n. Lifetime: the persist is tagged on the result and released by
+    release_caches, like the auto gate's."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    rows = [
+        (i, i % 3, [1.0, float(i % 7), 3.0], i >= 20) for i in range(30)
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>, is_new boolean"
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def mark(batches, acc=acc):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    out = embedding_near_dup_pairs(
+        base.mapInPandas(mark, base.schema),
+        threshold=0.3, block_col="cell", new_col="is_new", collapse="star",
+    )
+    out.collect()
+    assert acc.value == len(rows), acc.value
+    held = getattr(out, "_graft_persisted", [])
+    assert held and all(f.is_cached for f in held)
+    release_caches(out)
+    assert not any(f.is_cached for f in held)
 
 
 def test_near_dup_pairs_null_block_rows_never_pair(spark):

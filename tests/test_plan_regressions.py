@@ -286,14 +286,18 @@ def test_single_partition_only_on_calendar_grain(spark, sf_dir):
 
 
 def test_star_collapse_reuses_identity_exchange(spark, sf_dir):
-    """The r11 flood-collapse plan contract: star mode's rep-enumeration
-    and star-edge branches both read the (block, vector-identity) window
-    output, and Spark must serve the second read from a ReusedExchange of
-    the first — NOT recompute the input corpus. The collapsed path
-    projects both branches to one minimal identical column set exactly so
-    the exchange subtrees canonicalize equal (a single stray payload
-    column forks the scan: observed pre-fix, 'label' riding only into the
-    scorer branch). Executed (AQE-final) plan, not the static render."""
+    """The r11 flood-collapse plan contract (no-new_col form): star
+    mode's rep-enumeration and star-edge branches both read the (block,
+    vector-identity) window output, and Spark must serve the second read
+    from a ReusedExchange of the first — NOT recompute the input corpus.
+    The collapsed path projects both branches to one minimal identical
+    column set exactly so the exchange subtrees canonicalize equal (a
+    single stray payload column forks the scan: observed pre-fix,
+    'label' riding only into the scorer branch). Executed (AQE-final)
+    plan, not the static render. The new_col form CANNOT share this way
+    (its branches prune different window columns) and uses an
+    eager-filled persist instead — see
+    test_star_collapse_shares_marked_cache_incremental below."""
     from automotive_data_pipeline_demo_spark.extensions.similarity import (
         embedding_near_dup_pairs,
     )
@@ -311,3 +315,44 @@ def test_star_collapse_reuses_identity_exchange(spark, sf_dir):
     # the reused node is the identity window's (cell, __vkey) exchange
     reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
     assert any("__vkey" in ln for ln in reused), plan
+
+
+def test_star_collapse_shares_marked_cache_incremental(spark, sf_dir):
+    """r14: star mode WITH new_col persists + eager-fills the windowed
+    frame — the branches' pruned window subtrees differ (__repnew vs
+    __nb/__rep), ReuseExchange cannot fire, and pre-r14 the whole
+    scan -> assignment -> exchange -> window chain executed once per
+    branch. New contract: both union branches read InMemoryTableScan,
+    the single hash(block) exchange + window live INSIDE the cached
+    relation, and the blocked scorer consumes the cache's partitioning
+    without a new exchange. Evaluation count (n, not 2n) is pinned by
+    test_star_collapse_single_evaluation_incremental's accumulator."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.withColumn("cell", (F.col("vec_id") % 5).cast("int")).withColumn(
+        "is_new", F.col("vec_id") >= 1000
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.3, block_col="cell", new_col="is_new",
+        collapse="star",
+    )
+    pairs.write.format("noop").mode("overwrite").save()
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "isFinalPlan=true" in plan
+    # both union branches are served from the cache
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the scorer branch reads the cache directly — no fresh exchange
+    # between the cache scan and FlatMapGroupsInPandas (the cached
+    # partitioning is hash(block), which groupBy(block) consumes)
+    scorer_at = plan.index("FlatMapGroupsInPandas")
+    cache_at = plan.index("InMemoryTableScan")
+    assert scorer_at < cache_at, plan
+    assert "Exchange" not in plan[scorer_at:cache_at], plan
+    release_caches(pairs)
