@@ -1950,9 +1950,15 @@ def q_x_dedup_semdedup_inc(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= cutoff), cents, route_probe=2
     )
     kept = batch_assign.join(F.broadcast(losers), "vec_id", "left_anti")
-    return kept.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("centroid_id").cast("int").alias("centroid_id"),
+    # adopt the pair stage's persisted window frame (r14) so a
+    # long-lived session can release_caches() after its action; bench/
+    # tests clearCache between queries as before
+    return register_caches(
+        kept.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+        ),
+        pairs,
     )
 
 

@@ -581,6 +581,11 @@ def streaming_semdedup_ingest(
         keep.select(id_col, vec_col, "centroid_id").write.mode(
             "append"
         ).parquet(corpus_path)
+        # r14: star mode with new_col persists the shared windowed frame
+        # inside embedding_near_dup_pairs; a long-lived stream must
+        # release it per micro-batch or it pins one cache entry per
+        # batch forever (the r9 line-dedup lesson, same contract)
+        release_caches(pairs)
 
     writer = (
         vectors_stream.writeStream.outputMode("append")

@@ -232,7 +232,12 @@ REGRESSION_PCT = 25.0
 # it under /tmp) and diffs them round-over-round like any other section.
 # Single-run numbers are noisier than the suite's min-of-2, so the bar is
 # wider; the unconditional worktree A/B still adjudicates any flag.
-SF10_SMOKE = ["x_dedup_semdedup_inc", "x_text_line_dedup_inc"]
+# r14 adds x_text_scrub_spans (VERDICT r13 task 3): the heaviest probe
+# entry after the r13 digest rework — its 2.2x win rides two persisted
+# shared frames whose loss would only show at probe scale.
+SF10_SMOKE = [
+    "x_dedup_semdedup_inc", "x_text_line_dedup_inc", "x_text_scrub_spans",
+]
 SF10_REGRESSION_PCT = 60.0
 
 # History of the A/B trigger: wide flag storms are almost always the
