@@ -1270,6 +1270,14 @@ def _micro_units(
     mv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
+    # NO fan_out here (r14, examined and REJECTED): a gated repartition
+    # ahead of the assignment matmul was A/B'd at sf0.1/sf1 and LOST on
+    # every semdedup entry (sf1 min-of-4: semdedup 2.04->2.65 s, inc
+    # 2.72->3.59 s, drift 1.90->2.82 s) — the numpy matmul per row is
+    # cheap enough that the added exchange of (id, __mv[, vec]) never
+    # pays, and k-means training re-pays it once per pass. The dedup_text
+    # fan_out sites win because their narrow stage is a regex pass ~10x
+    # heavier per row.
     return vectors.select(
         F.col(id_col), mv.alias("__mv"), *[F.col(c) for c in keep_cols]
     ).filter(F.col("__mv").isNotNull() & (F.size("__mv") == dims))

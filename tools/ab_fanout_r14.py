@@ -43,10 +43,10 @@ def main() -> int:
 
     MODS = (dd, sim, ta, cre)
 
-    def _ident(df, target=None):
+    def _ident(df, key=None, target=None):
         return df
 
-    def _hash(df, target=None):
+    def _hash(df, key=None, target=None):
         spark = df.sparkSession
         t = target or spark.sparkContext.defaultParallelism
         try:
