@@ -45,6 +45,14 @@ from automotive_data_pipeline_demo_spark.functions.parallelism import fan_out
 # exact-mode opt-out (used by the oracle-pinned catalog entries).
 DEFAULT_MAX_DOC_FREQ = 1000
 
+# Shared-subtree policy for scrub_shared_spans' untouched/touched split
+# (both union branches consume the starts-joined frame): "both" (r14
+# shape — persist+eager-fill the folded starts AND the joined frame),
+# "starts" (persist only the small starts fold), "off" (r13 shape:
+# every branch recomputes the post-collapse chain). Internal A/B knob,
+# same contract as similarity._SHARE_MARKED.
+_SCRUB_PIN = "both"
+
 
 def hash128(col: Column | str) -> Column:
     """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(1, c))``.
@@ -1532,16 +1540,16 @@ def scrub_shared_spans(
     # starts only 16.9 s, starts+joined 13.2 s — 2.6x. Both frames are
     # registered on the result for release_caches; MEMORY_AND_DISK default
     # spills rather than recomputing the regexp/window chain at scale.
-    starts_per_doc = eager_fill(
-        hot_starts.groupBy("__th")
-        .agg(F.collect_list("start").alias("__starts"))
-        .persist()
+    starts_per_doc = hot_starts.groupBy("__th").agg(
+        F.collect_list("start").alias("__starts")
     )
-    joined = eager_fill(
-        base.select("__th", "__ids", "__toks")
-        .join(starts_per_doc, "__th", "left")
-        .persist()
+    if _SCRUB_PIN in ("starts", "both"):
+        starts_per_doc = eager_fill(starts_per_doc.persist())
+    joined = base.select("__th", "__ids", "__toks").join(
+        starts_per_doc, "__th", "left"
     )
+    if _SCRUB_PIN == "both":
+        joined = eager_fill(joined.persist())
     untouched = joined.filter(F.col("__starts").isNull()).select(
         F.explode("__ids").alias("id"),
         F.size("__toks").cast("long").alias("n_tokens"),

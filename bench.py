@@ -26,11 +26,11 @@ per-copy offset — and re-runs the suite there, where per-query time is real
 work. Generation happens once and is reused via a marker file. Disable with
 SPARK_GRAFT_SF1=0.
 
-sf10 smoke (r13): in the same round-close mode, two daily-ingest-posture
-entries additionally run ONCE each against the decorrelated sf10p probe
-corpus (see SF10_SMOKE) so a super-linear scaling regression flags in the
-per-round record instead of waiting for an ad-hoc SWEEP_SF10 session.
-Disable with SPARK_GRAFT_SF10=0.
+sf10 smoke (r13; min-of-2 since r14): in the same round-close mode, the
+daily-ingest-posture entries in SF10_SMOKE additionally run against the
+decorrelated sf10p probe corpus so a super-linear scaling regression
+flags in the per-round record instead of waiting for an ad-hoc
+SWEEP_SF10 session. Disable with SPARK_GRAFT_SF10=0.
 """
 
 from __future__ import annotations
@@ -227,11 +227,16 @@ REGRESSION_PCT = 25.0
 # sf10 scaling smoke (r13, VERDICT r12 item 5): scaling regressions used
 # to surface only in ad-hoc SWEEP_SF10 sessions — the gate saw sf0.1/sf1
 # and a super-linear plan change could land unflagged. The round-close
-# bench now times two daily-ingest-posture entries once each against the
-# decorrelated sf10p probe corpus (tools/sweep_sf10.py builds and caches
-# it under /tmp) and diffs them round-over-round like any other section.
-# Single-run numbers are noisier than the suite's min-of-2, so the bar is
-# wider; the unconditional worktree A/B still adjudicates any flag.
+# bench now times daily-ingest-posture entries against the decorrelated
+# sf10p probe corpus (tools/sweep_sf10.py builds and caches it under
+# /tmp) and diffs them round-over-round like any other section.
+# r14 measurement fix: min-of-2 per entry, same methodology as the main
+# suite — the original single cold run proved catastrophically
+# stall-sensitive (r14 round close recorded scrub at 261.7 s in a box
+# stall window that an interleaved min-of-4 A/B measured at 14.7-36.6 s;
+# the same session's canary read 0.97, i.e. the stall hit between
+# canary and smoke). The bar stays wider than the suite's, and the
+# unconditional worktree A/B still adjudicates any flag.
 # r14 adds x_text_scrub_spans (VERDICT r13 task 3): the heaviest probe
 # entry after the r13 digest rework — its 2.2x win rides two persisted
 # shared frames whose loss would only show at probe scale.
@@ -1218,13 +1223,16 @@ def main() -> None:
             sf10_dir = _SF10_DIRS["sf10p"][0]
             by_name = {s.name: s for s in CATALOG}
             t10: dict[str, float] = {}
-            for name in SF10_SMOKE:  # single run each — see SF10_SMOKE
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                by_name[name].build(spark, sf10_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                t10[name] = round(time.perf_counter() - t0, 3)
+            for name in SF10_SMOKE:  # min-of-2 each — see SF10_SMOKE
+                best10 = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    by_name[name].build(spark, sf10_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best10 = min(best10, time.perf_counter() - t0)
+                t10[name] = round(best10, 3)
             dir_of_scope["sf10"] = sf10_dir
             if prev_comparable:
                 regressions += gate_regressions(
