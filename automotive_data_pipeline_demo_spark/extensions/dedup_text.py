@@ -1537,7 +1537,9 @@ def scrub_shared_spans(
     # distinct-content grain), eager-filled so AQE's concurrent branch
     # materialization reads cache instead of racing the fill. Interleaved
     # in-process A/B at sf10p (quiet box, min across runs): no pin 33.8 s,
-    # starts only 16.9 s, starts+joined 13.2 s — 2.6x. Both frames are
+    # starts only 16.9 s, starts+joined 13.2 s — 2.6x; re-adjudicated at
+    # round close via _SCRUB_PIN min-of-4 on a regenerated probe corpus:
+    # off 39.9 s / starts 20.1 s / both 14.7 s, same ordering. Both frames are
     # registered on the result for release_caches; MEMORY_AND_DISK default
     # spills rather than recomputing the regexp/window chain at scale.
     starts_per_doc = hot_starts.groupBy("__th").agg(
