@@ -1545,13 +1545,17 @@ def scrub_shared_spans(
     starts_per_doc = hot_starts.groupBy("__th").agg(
         F.collect_list("start").alias("__starts")
     )
-    if _SCRUB_PIN in ("starts", "both"):
+    if _SCRUB_PIN.startswith(("starts", "both")):
         starts_per_doc = eager_fill(starts_per_doc.persist())
     joined = base.select("__th", "__ids", "__toks").join(
         starts_per_doc, "__th", "left"
     )
     if _SCRUB_PIN == "both":
         joined = eager_fill(joined.persist())
+    elif _SCRUB_PIN == "both_ser":
+        from pyspark import StorageLevel
+
+        joined = eager_fill(joined.persist(StorageLevel.MEMORY_AND_DISK))
     untouched = joined.filter(F.col("__starts").isNull()).select(
         F.explode("__ids").alias("id"),
         F.size("__toks").cast("long").alias("n_tokens"),
