@@ -25,6 +25,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,8 +52,9 @@ DEFAULT_MAX_DOC_FREQ = 1000
 # shape — persist+eager-fill the folded starts AND the joined frame),
 # "starts" (persist only the small starts fold), "off" (r13 shape:
 # every branch recomputes the post-collapse chain). Internal A/B knob,
-# same contract as similarity._SHARE_MARKED.
-_SCRUB_PIN = "both"
+# same contract as similarity._SHARE_MARKED (env override
+# SPARK_GRAFT_SCRUB_PIN for cold-JVM A/Bs and cluster deployment).
+_SCRUB_PIN = os.environ.get("SPARK_GRAFT_SCRUB_PIN", "both")
 
 
 def hash128(col: Column | str) -> Column:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -35,9 +36,11 @@ _log = logging.getLogger(__name__)
 # frame and eager-fill it before the branches fan out — pinned r14:
 # single evaluation at cluster scale, ~neutral locally), "lazy" (persist
 # only; racing first-consumers may duplicate the fill), "off" (r13
-# shape: every branch recomputes). Internal A/B knob
-# (tools/ab_shapes_r14.py flips it).
-_SHARE_MARKED = "fill"
+# shape: every branch recomputes). A/B knob (tools/ab_shapes_r14.py
+# flips the module constant in-process; SPARK_GRAFT_SHARE_MARKED flips
+# it per-subprocess for the r15 cold-JVM driver-methodology A/B, and is
+# the cluster-deployment override).
+_SHARE_MARKED = os.environ.get("SPARK_GRAFT_SHARE_MARKED", "fill")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -823,11 +826,11 @@ def _near_dup_pairs_collapsed(
     else:
         marked = keyed.withColumn("__rep", F.min(id_col).over(w))
 
-    if (
-        collapse in ("star", "exact")
-        and new_col is not None
-        and _SHARE_MARKED != "off"
-    ):
+    share_marked = _SHARE_MARKED != "off" and (
+        (collapse in ("star", "exact") and new_col is not None)
+        or collapse == "auto"
+    )
+    if share_marked:
         # r14 (guide §2.4/§5): the rep-pair and star/member branches are
         # SEPARATE consumers of `marked`. With new_col set their pruned
         # window subtrees differ (the rep branch keeps __repnew, the
@@ -850,12 +853,29 @@ def _near_dup_pairs_collapsed(
         # ReuseExchange already shares everything below the exchange —
         # there the persist only replaces a cheap window recompute with
         # a corpus-scale cache write (measured LOSS: 18.53 s vs 16.57 s
-        # at sf10p), so the r11 ReuseExchange contract stays. The auto
-        # gate persists `keyed` instead (r13) — holding both frames
-        # would double cache pressure, so auto is excluded here.
+        # at sf10p), so for the UNCONDITIONAL star/exact modes the r11
+        # ReuseExchange contract stays and the persist applies only to
+        # the new_col form.
+        #
+        # r15 (VERDICT r14 item 4): the AUTO fall-through — the flood
+        # gate fired and the call continues as mode="exact" — now also
+        # shares the windowed frame. Here ReuseExchange shares only the
+        # exchange below the window: each of the FIVE exact-expansion
+        # readers (reps, mem x2, ga, gb) re-ran sort+window over the
+        # cached keyed frame. Persisting `marked` computes the window
+        # once; after the eager fill the keyed pin is released — the
+        # marked cache strictly contains it, so cache pressure does not
+        # double (the r14 objection to holding both).
         marked = marked.persist()
         if _SHARE_MARKED == "fill":
             eager_fill(marked)
+            if collapse == "auto":
+                # keyed's cache (filled by the gate's stats pass) has
+                # served its purpose: the marked fill read it once, and
+                # every downstream branch reads marked. lazy mode keeps
+                # both — unpersisting before the fill would drop the
+                # gate-warmed input and recompute it under the race.
+                keyed.unpersist()
 
     reps = marked.filter(F.col(id_col) == F.col("__rep"))
     eblk = block_col

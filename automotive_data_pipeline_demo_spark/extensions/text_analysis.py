@@ -13,6 +13,8 @@ shuffle at all unless the caller aggregates afterwards.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -28,6 +30,15 @@ import unicodedata
 import pandas as pd
 
 TOKEN_SPLIT = r"[^a-zA-Z0-9]+"  # separator form; tokens are [a-z0-9]+ runs
+
+# Shared-subtree policy for source_drift_report's (source, bin) fold —
+# the ONE corpus-grain aggregate of the report, read by 4 post-aggregate
+# consumers: "fill" (r14 shape — persist + eager-fill before the
+# consumers fan out), "lazy" (persist only), "off" (r13 shape: each
+# consumer recomputes the fold). Same A/B-knob contract as
+# similarity._SHARE_MARKED; env override SPARK_GRAFT_DRIFT_PIN for
+# cold-JVM A/Bs and cluster deployment.
+_DRIFT_PIN = os.environ.get("SPARK_GRAFT_DRIFT_PIN", "fill")
 TOKEN_RUN = "[a-z0-9]+"
 
 
@@ -830,17 +841,17 @@ def source_drift_report(
     # makes the corpus pass happen once; the cache is post-aggregate and
     # bounded, the right artifact to hold at any scale (guide §2.4: share
     # one exchange across same-keyed consumers).
-    sb = (
-        binned.groupBy("source", "bin")
-        .agg(F.count(F.lit(1)).alias("n_sb"))
-        .persist()
-    )
-    # Eager fill (caching.eager_fill): the three downstream consumers
-    # (s_tot exchange, c_bin/c_tot broadcasts) materialize concurrently
-    # under AQE and would race the lazy cache fill, re-running the
-    # corpus fold; one bounded count serializes it. Same eager class as
-    # the builder-side emb.count()/centroid pulls adjudicated r11-r13.
-    eager_fill(sb)
+    sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
+    if _DRIFT_PIN != "off":
+        sb = sb.persist()
+        if _DRIFT_PIN == "fill":
+            # Eager fill (caching.eager_fill): the downstream consumers
+            # (s_tot exchange, c_bin/c_tot broadcasts) materialize
+            # concurrently under AQE and would race the lazy cache fill,
+            # re-running the corpus fold; one bounded count serializes
+            # it. Same eager class as the builder-side
+            # emb.count()/centroid pulls adjudicated r11-r13.
+            eager_fill(sb)
     s_tot = sb.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
     c_bin = sb.groupBy("bin").agg(F.sum("n_sb").alias("n_b"))
     c_tot = F.broadcast(c_bin.agg(F.sum("n_b").alias("n_c")))

@@ -45,6 +45,8 @@ fan_out — the floor is not free at bench scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -58,11 +60,18 @@ def fan_out(
     Use only ahead of CPU-heavy narrow stages — the exchange is pure
     overhead for cheap projections.
     """
+    if os.environ.get("SPARK_GRAFT_FAN_OUT") == "0":
+        return df  # A/B kill switch (r15 cold-JVM re-adjudication)
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
     try:
-        current = df.rdd.getNumPartitions()
+        # partition probe on the JVM-side internal-row RDD: same count
+        # as df.rdd (which wraps exactly this RDD), without building the
+        # Python-serializer conversion chain per query build (VERDICT
+        # r14 item 7). No job runs — fan_out is only called on narrow
+        # scan-stage frames, whose RDD creation schedules nothing.
+        current = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
         return df
     if current >= target:

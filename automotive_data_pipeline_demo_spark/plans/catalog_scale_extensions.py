@@ -3643,3 +3643,72 @@ _register(QuerySpec(
 ))
 
 
+
+
+def q_x_dedup_flood_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """Flood-shaped near-dup pairs — the bench entry that exercises the
+    ``collapse="auto"`` FLOOD branch of ``embedding_near_dup_pairs``
+    (VERDICT r14 item 4: the exact-expansion path had no measurable
+    bench presence, so its shared-window persist could neither win nor
+    regress visibly).
+
+    Construction (pure expressions over the stored embeddings — no
+    side data): vectors block into runs of 96 consecutive ids
+    (``cell = vec_id div 96``); within each cell, the 3/4 of rows with
+    ``vec_id % 4 != 0`` collapse onto one content-free canonical vector
+    (every element = cell + 1 — constant within the cell, distinct
+    across cells), modeling the boilerplate-embedding flood SURVEY §7.4
+    describes; the remaining 1/4 keep their stored embedding. The
+    largest identity group per cell is therefore ~72 >= collapse_min
+    (64) at every benched SF, so the measured gate fires, pairs are
+    scored at rep grain, and the exact expansion fans them back out —
+    output pair-for-pair identical to the direct plan, which is exactly
+    what the declarative oracle computes.
+
+    Scale shape: one stats pass (map-combined, gate), one hash(cell)
+    exchange into the identity window (persisted once — r15 shares the
+    windowed frame across the 5 expansion readers), rep-grain blocked
+    scoring, then broadcast-bounded expansion joins; the f²/2 flood
+    cosines are never computed.
+    """
+    emb = _t(spark, sf, "embeddings")
+    cell = F.expr("vec_id div 96").cast("int")
+    canon = F.transform(
+        F.col("embedding"),
+        lambda _: (cell.cast("double") + F.lit(1.0)).cast("float"),
+    )
+    flooded = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        cell.alias("cell"),
+        F.when((F.col("vec_id") % 4) != 0, canon)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return embedding_near_dup_pairs(flooded, threshold=0.30, block_col="cell")
+
+
+_register(QuerySpec(
+    name="x_dedup_flood_collapse",
+    survey="north-star: identity-flood guard (measured collapse gate + exact expansion)",
+    bench=True,
+    build=q_x_dedup_flood_collapse,
+    oracle=f"""
+        WITH f AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(vec_id // 96 AS INT) AS cell,
+                 CASE WHEN vec_id % 4 <> 0
+                      THEN list_transform(embedding,
+                          x -> CAST(CAST(vec_id // 96 AS DOUBLE) + 1.0
+                                    AS FLOAT))
+                      ELSE embedding END AS embedding
+          FROM embeddings
+        )
+        SELECT a_id, b_id, score FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS score
+          FROM f a JOIN f b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE score >= 0.30
+    """,
+    tags=("dedup", "embedding", "flood"),
+))

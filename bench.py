@@ -240,8 +240,16 @@ REGRESSION_PCT = 25.0
 # r14 adds x_text_scrub_spans (VERDICT r13 task 3): the heaviest probe
 # entry after the r13 digest rework — its 2.2x win rides two persisted
 # shared frames whose loss would only show at probe scale.
+# r15 (VERDICT r14 item 3): the smoke grows toward the heavy entries —
+# at sf0.1 every 8-vs-32-core scaling ratio is ~1 (scheduler-bound), so
+# sf10p is where round-over-round deltas measure algorithm shape. The
+# additions are the heaviest PROBE entries that run on the probe corpus
+# (documents/embeddings only) plus the new flood-gate entry; the
+# original three stay first and nothing is removed.
 SF10_SMOKE = [
     "x_dedup_semdedup_inc", "x_text_line_dedup_inc", "x_text_scrub_spans",
+    "x_dedup_pipeline", "x_dedup_semdedup", "x_dedup_simhash_dedup",
+    "x_text_tfidf", "x_curation_e2e_capped", "x_dedup_flood_collapse",
 ]
 SF10_REGRESSION_PCT = 60.0
 

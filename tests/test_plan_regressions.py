@@ -356,3 +356,102 @@ def test_star_collapse_shares_marked_cache_incremental(spark, sf_dir):
     assert scorer_at < cache_at, plan
     assert "Exchange" not in plan[scorer_at:cache_at], plan
     release_caches(pairs)
+
+
+# r15 (VERDICT r14 item 5): plan pins for the fan_out parallelism
+# floor. Only tfidf's extra exchange was plan-pinned in r14; the rest of
+# the family relied on builder A/Bs alone, so a later round could
+# silently lose the floor (or keep paying it after it stops winning).
+# At bench scale every source table is one small parquet file, the
+# scan-parallelism gate sees 1 < defaultParallelism, and the keyed
+# repartition MUST appear (REPARTITION_BY_NUM shuffle origin); the
+# no-op side of the gate is pinned by test_fan_out_gate_scale_adaptive.
+_FAN_OUT_PINNED = [
+    "x_dedup_minhash",        # shingle+hash fold (dedup_text.shingle_arrays)
+    "x_text_dup_ngrams",      # n-gram extraction regex
+    "x_text_contamination",   # gram pass
+    "x_dedup_jaccard_capped", # tokenize pass (same helper as minhash)
+    "x_sim_bruteforce",       # per-row cosine fold vs the query side
+    "x_text_tfidf",           # tokenize/tf fold (r14 pin, kept)
+]
+
+
+@pytest.mark.parametrize("name", _FAN_OUT_PINNED)
+def test_fan_out_floor_present_at_bench_scale(spark, sf_dir, name):
+    plan = _plan(_SPECS[name].build(spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_fan_out_floor_in_pipeline_operators(spark, sf_dir):
+    """x_dedup_pipeline / x_dedup_simhash_dedup run their iterative
+    stage eagerly at build time, so the returned frame is only the
+    residual final join — their fan_out sites must be pinned on the
+    library operators the builders execute (the shingle pass feeding
+    MinHash candidates; the simhash fingerprint fold)."""
+    from automotive_data_pipeline_demo_spark.extensions.dedup_text import (
+        shingle_arrays,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "REPARTITION_BY_NUM" in _plan(
+        shingle_arrays(docs, "doc_id", "text", 3)
+    )
+    assert "REPARTITION_BY_NUM" in _plan(
+        simhash(docs, "doc_id", "text", 32)
+    )
+
+
+def test_fan_out_gate_scale_adaptive(spark):
+    """The floor is a GATE, not a constant: a frame already at (or
+    above) the target parallelism passes through untouched — at 100 TB
+    the scan has thousands of splits and fan_out must add NO exchange —
+    while an under-parallel frame gains the keyed repartition."""
+    from automotive_data_pipeline_demo_spark.functions.parallelism import (
+        fan_out,
+    )
+
+    wide = spark.range(0, 1000, 1, 64)  # 64 partitions >= default target
+    assert fan_out(wide, key="id") is wide
+
+    narrow = spark.range(0, 1000, 1, 1)  # single-split scan shape
+    out = fan_out(narrow, key="id")
+    assert out is not narrow
+    plan = _plan(out)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # keyed: hash partitioning on the key, not round-robin (no
+    # sort-before-repartition)
+    assert "hashpartitioning(id" in plan, plan
+
+
+def test_flood_collapse_shares_windowed_frame(spark):
+    """r15 (VERDICT r14 item 4): when the auto gate's flood branch
+    fires, the call continues as mode="exact" and FIVE expansion
+    readers (reps, mem x2, ga, gb) consume the windowed frame. Pre-r15
+    only the keyed INPUT was cached — each reader re-ran sort+window
+    over it. New contract: the windowed frame itself is persisted and
+    eager-filled, every reader is an InMemoryTableScan, and the keyed
+    pin is released once the fill completes (exactly ONE held cache —
+    cache pressure must not double)."""
+    from automotive_data_pipeline_demo_spark.extensions.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from automotive_data_pipeline_demo_spark.functions.caching import (
+        release_caches,
+    )
+
+    flood = [(i, 0, [1.0, 2.0, 3.0]) for i in range(70)]  # >= collapse_min
+    spread = [(100 + i, i % 2, [1.0, float(i), 3.0]) for i in range(20)]
+    base = spark.createDataFrame(
+        flood + spread, "vec_id long, cell int, embedding array<double>"
+    )
+    pairs = embedding_near_dup_pairs(base, threshold=0.3, block_col="cell")
+    held = getattr(pairs, "_graft_persisted", [])
+    assert len(held) == 1 and held[0].is_cached
+    pairs.write.format("noop").mode("overwrite").save()
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    release_caches(pairs)
+    assert not held[0].is_cached
