@@ -33,14 +33,23 @@ _log = logging.getLogger(__name__)
 # Shared-subtree policy for the unconditional collapse modes of
 # _near_dup_pairs_collapsed when new_col is set (the one case where the
 # branches cannot share via ReuseExchange): "fill" (persist the windowed
-# frame and eager-fill it before the branches fan out — pinned r14:
-# single evaluation at cluster scale, ~neutral locally), "lazy" (persist
+# frame and eager-fill it before the branches fan out), "lazy" (persist
 # only; racing first-consumers may duplicate the fill), "off" (r13
-# shape: every branch recomputes). A/B knob (tools/ab_shapes_r14.py
-# flips the module constant in-process; SPARK_GRAFT_SHARE_MARKED flips
-# it per-subprocess for the r15 cold-JVM driver-methodology A/B, and is
-# the cluster-deployment override).
-_SHARE_MARKED = os.environ.get("SPARK_GRAFT_SHARE_MARKED", "fill")
+# shape: every branch recomputes). Default LAZY since r15: the r14
+# "fill" default was re-adjudicated with the driver's own cold-JVM
+# min-of-2 methodology (tools/ab_r15.py, 4 interleaved sessions per
+# variant) and measured worst at BOTH scales — sf0.1 min 2.78 vs lazy
+# 2.56 / off 2.59 on x_dedup_semdedup_inc, and at sf10p a heavy bad
+# tail (sessions of 22.3 / 10.4 / 10.4 s vs lazy's 8.7 / 7.5): the
+# serializing count() plus the corpus-scale cache write of a frame
+# carrying the embedding vectors is exactly the driver-measured r14
+# regression (VERDICT r14 items 1-2). The race lazy admits duplicates
+# at most one window fill and is bounded by off's recompute; "fill"
+# stays available per-deployment via SPARK_GRAFT_SHARE_MARKED for
+# clusters where a duplicated fill provably costs more than the
+# serialized action. (tools/ab_shapes_r14.py flips the module constant
+# in-process; the env var flips it per-subprocess.)
+_SHARE_MARKED = os.environ.get("SPARK_GRAFT_SHARE_MARKED", "lazy")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -867,14 +876,18 @@ def _near_dup_pairs_collapsed(
         # marked cache strictly contains it, so cache pressure does not
         # double (the r14 objection to holding both).
         marked = marked.persist()
-        if _SHARE_MARKED == "fill":
+        if _SHARE_MARKED == "fill" or collapse == "auto":
+            # The AUTO fall-through eager-fills REGARDLESS of the
+            # fill/lazy knob: the gate's stats pass already warmed the
+            # keyed cache, so this fill is one cheap window-over-cache
+            # pass (none of the cold-input cost that makes "fill" lose
+            # on the unconditional modes), and the eager fill is what
+            # legalizes releasing the keyed pin — the marked cache
+            # strictly contains it, so holding both would double cache
+            # pressure. Cold A/B (r15, sf10p): fill 3.60 / lazy 3.72 /
+            # off 3.94 s on x_dedup_flood_collapse.
             eager_fill(marked)
             if collapse == "auto":
-                # keyed's cache (filled by the gate's stats pass) has
-                # served its purpose: the marked fill read it once, and
-                # every downstream branch reads marked. lazy mode keeps
-                # both — unpersisting before the fill would drop the
-                # gate-warmed input and recompute it under the race.
                 keyed.unpersist()
 
     reps = marked.filter(F.col(id_col) == F.col("__rep"))

@@ -35,10 +35,18 @@ TOKEN_SPLIT = r"[^a-zA-Z0-9]+"  # separator form; tokens are [a-z0-9]+ runs
 # the ONE corpus-grain aggregate of the report, read by 4 post-aggregate
 # consumers: "fill" (r14 shape — persist + eager-fill before the
 # consumers fan out), "lazy" (persist only), "off" (r13 shape: each
-# consumer recomputes the fold). Same A/B-knob contract as
-# similarity._SHARE_MARKED; env override SPARK_GRAFT_DRIFT_PIN for
-# cold-JVM A/Bs and cluster deployment.
-_DRIFT_PIN = os.environ.get("SPARK_GRAFT_DRIFT_PIN", "fill")
+# consumer recomputes the fold). Default LAZY since r15 (cold-JVM
+# driver-methodology A/B, min over 4 interleaved sessions,
+# x_dedup_semdedup_drift): sf0.1 lazy 1.66 vs fill 1.80 vs off 1.69 —
+# the r14 fill default's extra count() action is exactly the
+# driver-measured sf0.1 regression — while at sf10p the PERSIST is the
+# load-bearing half (off 6.88 s: the four consumers race the
+# lazily-persisted assignment input's fill, each recompute an
+# assignment-scale pass; lazy 5.04, fill 4.59). "fill" stays the
+# documented override (SPARK_GRAFT_DRIFT_PIN) for clusters where the
+# serialized fill's latency is provably under the duplicated-fill
+# cost. Same A/B-knob contract as similarity._SHARE_MARKED.
+_DRIFT_PIN = os.environ.get("SPARK_GRAFT_DRIFT_PIN", "lazy")
 TOKEN_RUN = "[a-z0-9]+"
 
 
@@ -793,6 +801,7 @@ def source_drift_report(
     value_col: str,
     bin_width: int = 100,
     quant: float = 1e9,
+    pin: str | None = None,
 ) -> DataFrame:
     """Per-source distribution-drift report against the whole corpus.
 
@@ -841,10 +850,20 @@ def source_drift_report(
     # makes the corpus pass happen once; the cache is post-aggregate and
     # bounded, the right artifact to hold at any scale (guide §2.4: share
     # one exchange across same-keyed consumers).
+    # ``pin`` lets the CALLER pick the shared-fold policy when it knows
+    # its input's recompute cost (default: the module knob). A caller
+    # whose input is a narrow scan (x_corpus_drift) passes "off" — the
+    # fold's exchange is already shared by ReuseExchange across the
+    # consumers, so a persist only adds a cache write (r15 cold A/B:
+    # off 0.45/0.79 s vs lazy 0.62/0.98 at sf0.1/sf10p). A caller whose
+    # input is an expensive cached pass (centroid_assignment_drift's
+    # assignment) keeps the persist — see _DRIFT_PIN.
+    if pin is None:
+        pin = _DRIFT_PIN
     sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))
-    if _DRIFT_PIN != "off":
+    if pin != "off":
         sb = sb.persist()
-        if _DRIFT_PIN == "fill":
+        if pin == "fill":
             # Eager fill (caching.eager_fill): the downstream consumers
             # (s_tot exchange, c_bin/c_tot broadcasts) materialize
             # concurrently under AQE and would race the lazy cache fill,

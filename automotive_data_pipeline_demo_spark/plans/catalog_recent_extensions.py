@@ -761,7 +761,16 @@ def q_x_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     change the hash.
     """
     docs = _t(spark, sf, "documents")
-    return source_drift_report(docs, "source", "n_chars", bin_width=100)
+    # pin="off" (r15, measured): this caller's input is a narrow scan,
+    # the (source, bin) fold's exchange is shared by ReuseExchange
+    # across the report's consumers regardless, and the r14 persist
+    # only added a cache write + serializing count inside the timed
+    # region (cold A/B: off 0.45/0.79 s vs fill 0.72/1.09 at
+    # sf0.1/sf10p). Callers with expensive inputs keep the persist —
+    # see source_drift_report's pin contract.
+    return source_drift_report(
+        docs, "source", "n_chars", bin_width=100, pin="off"
+    )
 
 
 _register(QuerySpec(

@@ -835,16 +835,27 @@ def test_collapse_auto_gate_single_evaluation(spark):
     assert not getattr(plain, "_graft_persisted", [])
 
 
-def test_star_collapse_single_evaluation_incremental(spark):
-    """r14: star mode persists + eager-fills the windowed frame. With
-    new_col set, the rep-pair and star-edge branches prune DIFFERENT
-    window columns (__repnew vs __nb/__rep), their exchange subtrees no
-    longer canonicalize equal, and ReuseExchange cannot fire — pre-r14
-    the whole input (scan -> assignment -> exchange -> window) executed
-    once per branch. An accumulator inside a mapInPandas stage under the
-    pair call counts input rows evaluated: the action must read n, not
-    2n. Lifetime: the persist is tagged on the result and released by
+def test_star_collapse_single_evaluation_incremental(spark, monkeypatch):
+    """r14: star mode persists the windowed frame. With new_col set,
+    the rep-pair and star-edge branches prune DIFFERENT window columns
+    (__repnew vs __nb/__rep), their exchange subtrees no longer
+    canonicalize equal, and ReuseExchange cannot fire — pre-r14 the
+    whole input (scan -> assignment -> exchange -> window) executed
+    once per branch. An accumulator inside a mapInPandas stage under
+    the pair call counts input rows evaluated.
+
+    This pins the _SHARE_MARKED="fill" CONTRACT (the serialized eager
+    fill reads exactly n, never 2n), so the knob is forced here: the
+    r15 DEFAULT is "lazy" (cold-JVM A/B — see the knob's comment),
+    under which AQE's racing branch materialization may legally
+    duplicate the fill (bounded by one extra window pass; the cache
+    still serves every later read). The lazy default's cache lifetime
+    is covered by test_star_collapse_shares_marked_cache_incremental.
+    Lifetime: the persist is tagged on the result and released by
     release_caches, like the auto gate's."""
+    import automotive_data_pipeline_demo_spark.extensions.similarity as _sim
+
+    monkeypatch.setattr(_sim, "_SHARE_MARKED", "fill")
     from automotive_data_pipeline_demo_spark.extensions.similarity import (
         embedding_near_dup_pairs,
     )

@@ -318,8 +318,11 @@ def test_star_collapse_reuses_identity_exchange(spark, sf_dir):
 
 
 def test_star_collapse_shares_marked_cache_incremental(spark, sf_dir):
-    """r14: star mode WITH new_col persists + eager-fills the windowed
-    frame — the branches' pruned window subtrees differ (__repnew vs
+    """r14: star mode WITH new_col persists the windowed frame (lazy
+    fill by default since r15 — see similarity._SHARE_MARKED; the
+    fill-mode single-evaluation contract is pinned separately by
+    test_star_collapse_single_evaluation_incremental)
+    — the branches' pruned window subtrees differ (__repnew vs
     __nb/__rep), ReuseExchange cannot fire, and pre-r14 the whole
     scan -> assignment -> exchange -> window chain executed once per
     branch. New contract: both union branches read InMemoryTableScan,

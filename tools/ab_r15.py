@@ -51,8 +51,10 @@ sf_dir = os.environ["AB_SF_DIR"]
 by_name = {s.name: s for s in CATALOG}
 spark = get_spark(app_name="ab_r15")
 
-# identical warmup to bench.py's run_suite
-by_name["flagship_segments"].build(spark, sf_dir).write.format(
+# identical warmup to bench.py's run_suite (configurable: the probe
+# corpus has only documents/embeddings, so flagship can't build there)
+warm = os.environ.get("AB_WARM", "flagship_segments")
+by_name[warm].build(spark, sf_dir).write.format(
     "noop").mode("overwrite").save()
 
 out = {}
@@ -103,6 +105,7 @@ def main() -> int:
                     help="'name:K=V,K2=V2;name2:...' ('' env = baseline)")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--warm", default="flagship_segments")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -122,7 +125,8 @@ def main() -> int:
         for vname, venv in variants.items():
             env = {**os.environ, **venv,
                    "AB_ROOT": _ROOT, "AB_ENTRIES": args.entries,
-                   "AB_SF_DIR": args.sf, "PYTHONPATH": _ROOT}
+                   "AB_SF_DIR": args.sf, "AB_WARM": args.warm,
+                   "PYTHONPATH": _ROOT}
             t0 = time.time()
             res = subprocess.run(
                 [sys.executable, "-c", _RUNNER], capture_output=True,
