@@ -50,6 +50,7 @@ DEFAULT_MAX_DOC_FREQ = 1000
 # Shared-subtree policy for scrub_shared_spans' untouched/touched split
 # (both union branches consume the starts-joined frame): "both" (r14
 # shape — persist+eager-fill the folded starts AND the joined frame),
+# "both_lazy" (persist both, no serializing counts — r15 candidate),
 # "starts" (persist only the small starts fold), "off" (r13 shape:
 # every branch recomputes the post-collapse chain). Internal A/B knob,
 # same contract as similarity._SHARE_MARKED (env override
@@ -1548,17 +1549,23 @@ def scrub_shared_spans(
     starts_per_doc = hot_starts.groupBy("__th").agg(
         F.collect_list("start").alias("__starts")
     )
-    if _SCRUB_PIN.startswith(("starts", "both")):
-        starts_per_doc = eager_fill(starts_per_doc.persist())
-    joined = base.select("__th", "__ids", "__toks").join(
-        starts_per_doc, "__th", "left"
-    )
-    if _SCRUB_PIN == "both":
-        joined = eager_fill(joined.persist())
-    elif _SCRUB_PIN == "both_ser":
-        from pyspark import StorageLevel
+    if _SCRUB_PIN == "both_lazy":
+        starts_per_doc = starts_per_doc.persist()
+        joined = base.select("__th", "__ids", "__toks").join(
+            starts_per_doc, "__th", "left"
+        ).persist()
+    else:
+        if _SCRUB_PIN.startswith(("starts", "both")):
+            starts_per_doc = eager_fill(starts_per_doc.persist())
+        joined = base.select("__th", "__ids", "__toks").join(
+            starts_per_doc, "__th", "left"
+        )
+        if _SCRUB_PIN == "both":
+            joined = eager_fill(joined.persist())
+        elif _SCRUB_PIN == "both_ser":
+            from pyspark import StorageLevel
 
-        joined = eager_fill(joined.persist(StorageLevel.MEMORY_AND_DISK))
+            joined = eager_fill(joined.persist(StorageLevel.MEMORY_AND_DISK))
     untouched = joined.filter(F.col("__starts").isNull()).select(
         F.explode("__ids").alias("id"),
         F.size("__toks").cast("long").alias("n_tokens"),

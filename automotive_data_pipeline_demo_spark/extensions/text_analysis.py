@@ -850,14 +850,14 @@ def source_drift_report(
     # makes the corpus pass happen once; the cache is post-aggregate and
     # bounded, the right artifact to hold at any scale (guide §2.4: share
     # one exchange across same-keyed consumers).
-    # ``pin`` lets the CALLER pick the shared-fold policy when it knows
-    # its input's recompute cost (default: the module knob). A caller
-    # whose input is a narrow scan (x_corpus_drift) passes "off" — the
-    # fold's exchange is already shared by ReuseExchange across the
-    # consumers, so a persist only adds a cache write (r15 cold A/B:
-    # off 0.45/0.79 s vs lazy 0.62/0.98 at sf0.1/sf10p). A caller whose
-    # input is an expensive cached pass (centroid_assignment_drift's
-    # assignment) keeps the persist — see _DRIFT_PIN.
+    # ``pin`` lets a CALLER override the shared-fold policy when it
+    # knows its input's recompute cost (default: the module knob). No
+    # in-repo caller overrides today: "off" was A/B'd 27-33% faster on
+    # the narrow-scan caller (x_corpus_drift) at local bench scales and
+    # rejected — the off-plan re-scans the corpus once per unshared
+    # consumer (5 FileScans in the executed plan), a bench-scale-only
+    # win that inverts at 100 TB where the bounded (source, bin) cache
+    # is the right artifact. See q_x_corpus_drift's note.
     if pin is None:
         pin = _DRIFT_PIN
     sb = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_sb"))

@@ -34,6 +34,16 @@ from automotive_data_pipeline_demo_spark.functions.parallelism import (  # noqa:
     fan_out,
 )
 
+import os as _os
+
+# Shared-subtree policy for x_text_line_dedup_inc's framed daily batch
+# (read by its digest aggregate, line_dedup's exploded line stream, and
+# the doc-grain rebuild join): "fill" (r14 shape — persist+eager-fill),
+# "lazy" (persist only), "off" (r13: three framing passes). Same
+# A/B-knob contract as similarity._SHARE_MARKED; env override
+# SPARK_GRAFT_LINE_INC_PIN.
+_LINE_INC_PIN = _os.environ.get("SPARK_GRAFT_LINE_INC_PIN", "fill")
+
 
 # --------------------------------------------------------------------------
 # Round-4 extensions: quantized ANN, model-based quality gate, Z-order layout,
@@ -761,16 +771,17 @@ def q_x_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     change the hash.
     """
     docs = _t(spark, sf, "documents")
-    # pin="off" (r15, measured): this caller's input is a narrow scan,
-    # the (source, bin) fold's exchange is shared by ReuseExchange
-    # across the report's consumers regardless, and the r14 persist
-    # only added a cache write + serializing count inside the timed
-    # region (cold A/B: off 0.45/0.79 s vs fill 0.72/1.09 at
-    # sf0.1/sf10p). Callers with expensive inputs keep the persist —
-    # see source_drift_report's pin contract.
-    return source_drift_report(
-        docs, "source", "n_chars", bin_width=100, pin="off"
-    )
+    # Default pin (lazy persist since r15). pin="off" was A/B'd 27-33%
+    # faster here at BOTH bench scales (0.45/0.79 s vs lazy 0.62/0.98
+    # at sf0.1/sf10p) and REJECTED: the executed off-plan re-scans the
+    # corpus five times (3 ReusedExchange, 5 FileScans —
+    # plans/r15/x_corpus_drift_after_executed.txt), which only reads
+    # cheap because the two pruned columns of a local parquet file are
+    # page-cached; at 100 TB those are four extra corpus-column scans.
+    # The bounded (source, bin) cache is the scale-correct artifact,
+    # and this entry is not in the bench set, so the local win would
+    # not even be driver-visible.
+    return source_drift_report(docs, "source", "n_chars", bin_width=100)
 
 
 _register(QuerySpec(
@@ -1813,7 +1824,11 @@ def q_x_text_line_dedup_inc(spark: SparkSession, sf: str) -> DataFrame:
     # corpus scan). Persist + eager-fill computes it once; the batch is
     # the DAILY INCREMENT, bounded by posture, so caching it is the
     # scale-safe side (the corpus slice stays single-pass, uncached).
-    batch = eager_fill(base.filter(F.col("doc_id") >= 400).persist())
+    batch = base.filter(F.col("doc_id") >= 400)
+    if _LINE_INC_PIN != "off":
+        batch = batch.persist()
+        if _LINE_INC_PIN == "fill":
+            batch = eager_fill(batch)
 
     def digest_counts(df: DataFrame) -> DataFrame:
         return (
