@@ -775,7 +775,7 @@ def q_x_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     # faster here at BOTH bench scales (0.45/0.79 s vs lazy 0.62/0.98
     # at sf0.1/sf10p) and REJECTED: the executed off-plan re-scans the
     # corpus five times (3 ReusedExchange, 5 FileScans —
-    # plans/r15/x_corpus_drift_after_executed.txt), which only reads
+    # plans/r15/x_corpus_drift_off_rejected_executed.txt), which only reads
     # cheap because the two pruned columns of a local parquet file are
     # page-cached; at 100 TB those are four extra corpus-column scans.
     # The bounded (source, bin) cache is the scale-correct artifact,

@@ -305,9 +305,15 @@ def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
     A/B measurements, policy string) lives in BENCH_LOCAL.json and
     BENCH_AB.json; the line carries counts and a pointer instead.
     Degradation order when over budget: (1) drop regression rows off the
-    tail (``regressions_n`` keeps the true count); (2) replace the sf10
-    then sf1 per-query maps with their counts plus a detail pointer —
-    BENCH_LOCAL.json keeps the full maps; (3) last resort, trim the
+    tail (``regressions_n`` keeps the true count); (2) replace the sf1
+    then sf10 per-query maps with their counts plus a detail pointer —
+    BENCH_LOCAL.json keeps the full maps (sf1 before sf10 since r15:
+    the smoke grew to the heavy entries because sf0.1/sf1 carry almost
+    no optimization signal — every 8-vs-32-core ratio ~1 — so when one
+    section must go, the envelope keeps the scale where round-over-round
+    deltas measure algorithm shape; the gate recovers a dropped
+    section's map from BENCH_LOCAL.json when the git_sha matches, see
+    _prev_round_bench); (3) last resort, trim the
     primary queries map off its tail (``queries_dropped_n`` records how
     many). The line therefore ALWAYS fits: a growing bench catalog can
     no longer silently push it past the envelope (the r11 parsed:null
@@ -335,7 +341,7 @@ def _compact_record(result: dict, budget: int = EMIT_BYTE_BUDGET) -> dict:
 
     while regs and size(out) > budget:
         regs.pop()
-    for section in ("sf10", "sf1"):
+    for section in ("sf1", "sf10"):
         sub = out.get(section)
         if size(out) <= budget or not isinstance(sub, dict):
             continue
@@ -455,6 +461,28 @@ def _prev_round_bench(root: str) -> dict | None:
     except (OSError, ValueError):
         pass
 
+    def _restore_sections(payload: dict) -> dict:
+        """Merge per-query maps the compact printed line dropped for
+        byte budget (r15: the grown sf10 smoke forces one section out)
+        back in from BENCH_LOCAL.json — valid only when both records
+        come from the same code (git_sha match), since BENCH_LOCAL is
+        overwritten by every local bench run."""
+        if local is None or not payload.get("git_sha"):
+            return payload
+        if local.get("git_sha") != payload.get("git_sha"):
+            return payload
+        for sec in ("sf1", "sf10"):
+            have = payload.get(sec)
+            full = local.get(sec)
+            if (
+                isinstance(have, dict)
+                and not isinstance(have.get("queries"), dict)
+                and isinstance(full, dict)
+                and isinstance(full.get("queries"), dict)
+            ):
+                payload[sec] = full
+        return payload
+
     for n, path in rounds:
         try:
             with open(path, encoding="utf-8") as fh:
@@ -464,7 +492,7 @@ def _prev_round_bench(root: str) -> dict | None:
         payload = _payload_of(data) if isinstance(data, dict) else None
         if payload is not None:
             payload["_round"] = n
-            return payload
+            return _restore_sections(payload)
         if local is not None:
             # the newest round's envelope is unusable; the local record
             # was written by that round's own bench run (or later), so it

@@ -552,7 +552,7 @@ def test_compact_record_never_exceeds_budget_on_grown_catalog():
     """The r12 ADVICE hole: popping regression rows was the ONLY
     degradation path, so a bench catalog whose query maps alone exceed
     the budget silently emitted an over-budget line (the r11 parsed:null
-    failure mode). The runtime fallback now drops the sf10 then sf1
+    failure mode). The runtime fallback now drops the sf1 then sf10
     per-query maps (counts + a BENCH_LOCAL.json pointer stay) and, as a
     last resort, trims the primary queries map with a recorded count —
     the line always fits and always parses."""
@@ -626,3 +626,69 @@ def test_recover_from_tail_handles_compact_separators(tmp_path):
         "x_sim_bruteforce": 0.737, "flagship_segments": 0.875,
     }
     assert got["sf1"]["queries"] == {"x_dedup_pipeline": 14.557}
+
+
+def test_compact_record_drops_sf1_map_before_sf10():
+    """r15: with the grown sf10 smoke the line cannot always carry both
+    sub-section maps. sf1 must be the one that degrades first — sf0.1
+    and sf1 carry almost no optimization signal (every 8-vs-32-core
+    ratio ~1), so the envelope keeps the scale where round-over-round
+    deltas measure algorithm shape. The REAL r15 record shape (24-entry
+    primary + 24-entry sf1 + 9-entry sf10) is exactly the overflow case."""
+    from automotive_data_pipeline_demo_spark.plans.catalog import CATALOG
+    from bench import EMIT_BYTE_BUDGET, SF10_SMOKE, _compact_record
+
+    names = [s.name for s in CATALOG if s.bench]
+    result = {
+        "metric": "catalog_headline_total_sec", "value": 1.0, "unit": "sec",
+        "queries": {n: 12.345 for n in names}, "sf": 0.1,
+        "canary_sec": 0.123, "canary_mc_sec": 2.345,
+        "canary_ratio": 1.056, "canary_src": "mc",
+        "sf1": {"queries": {n: 12.345 for n in names},
+                "total_sec": 1.0, "gen_sec": 1.0},
+        "sf10": {"queries": {n: 12.345 for n in SF10_SMOKE},
+                 "total_sec": 1.0, "gen_sec": 1.0},
+        "regressions": [], "vs_round": 14, "git_sha": "0" * 40,
+    }
+    out = _compact_record(result)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= EMIT_BYTE_BUDGET, len(line)
+    # the sf10 smoke map SURVIVES; sf1 degraded to counts + pointer
+    assert out["sf10"]["queries"] == result["sf10"]["queries"]
+    assert "queries" not in out["sf1"]
+    assert out["sf1"]["queries_n"] == len(names)
+    assert out["sf1"]["detail"] == "BENCH_LOCAL.json"
+
+
+def test_prev_round_restores_dropped_sections_from_local(tmp_path):
+    """r15: when the newest envelope's line dropped a sub-section's
+    per-query map for byte budget, the gate merges it back from
+    BENCH_LOCAL.json — but ONLY when both records carry the same
+    git_sha (BENCH_LOCAL is overwritten by every local run)."""
+    import bench
+
+    sha = "a" * 40
+    envelope = {"parsed": {
+        "metric": "m", "value": 1.0, "queries": {"q": 1.0}, "sf": 0.1,
+        "git_sha": sha,
+        "sf1": {"queries_n": 24, "detail": "BENCH_LOCAL.json",
+                "total_sec": 2.0},
+        "sf10": {"queries": {"s": 3.0}, "total_sec": 3.0},
+    }}
+    local = {
+        "metric": "m", "value": 1.0, "queries": {"q": 1.0}, "sf": 0.1,
+        "git_sha": sha,
+        "sf1": {"queries": {"q": 2.0}, "total_sec": 2.0},
+        "sf10": {"queries": {"s": 3.0}, "total_sec": 3.0},
+    }
+    (tmp_path / "BENCH_r14.json").write_text(json.dumps(envelope))
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    got = bench._prev_round_bench(str(tmp_path))
+    assert got["sf1"]["queries"] == {"q": 2.0}  # restored
+    assert got["sf10"]["queries"] == {"s": 3.0}  # untouched
+
+    # sha mismatch: the local record is someone else's run — no merge
+    local["git_sha"] = "b" * 40
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    got = bench._prev_round_bench(str(tmp_path))
+    assert "queries" not in got["sf1"]

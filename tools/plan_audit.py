@@ -100,7 +100,14 @@ def main() -> int:
     # benched-adjacent entries audited alongside the headline set (the
     # curation DAG is slated for r7 headline promotion; the r6 curation
     # operators ride along for shuffle-shape visibility)
-    extra = {"x_curation_e2e", "x_text_line_dedup", "x_text_gopher_rules"}
+    extra = {
+        "x_curation_e2e", "x_text_line_dedup", "x_text_gopher_rules",
+        # r15 (VERDICT r14 item 5): the fan_out-floor family rows not
+        # already in the bench set, so the floor's exchange stays
+        # audit-visible alongside its plan-budget tests
+        "x_dedup_minhash", "x_text_dup_ngrams", "x_text_contamination",
+        "x_dedup_jaccard_capped",
+    }
     for spec in CATALOG:
         if not (getattr(spec, "bench", False) or spec.name in extra):
             continue
