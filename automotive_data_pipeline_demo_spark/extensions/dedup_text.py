@@ -57,6 +57,22 @@ DEFAULT_MAX_DOC_FREQ = 1000
 # SPARK_GRAFT_SCRUB_PIN for cold-JVM A/Bs and cluster deployment).
 _SCRUB_PIN = os.environ.get("SPARK_GRAFT_SCRUB_PIN", "both")
 
+# Key representation for the candidate-verify array joins in
+# ngram_jaccard_pairs: "hash128" ships the shingle arrays through the
+# two per-side exchanges as 16-byte two-long structs (the arrays only
+# feed array_intersect counts — internal equality keys, r13 hash128
+# class); "text" (default) is the raw-shingle-string shape. hash128
+# was A/B'd cold at sf10p and REJECTED: despite halving the two
+# verify exchanges' bytes, `F.transform(__sh, hash128)` is a
+# higher-order function — interpreted, outside whole-stage codegen
+# (the repo's own measured 13x HOF gotcha) — and the per-element
+# hashing over both join sides cost more than the narrower exchange
+# saved (min-of-4: pipeline 14.50 vs text 11.36 s, curation capped
+# 25.87 vs 24.08 s). Kept as a knob because the trade flips if the
+# network is the binding constraint (a real cluster's exchanges cross
+# NICs; local[32] exchanges are memcpy).
+_VERIFY_KEY = os.environ.get("SPARK_GRAFT_VERIFY_KEY", "text")
+
 
 def hash128(col: Column | str) -> Column:
     """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(1, c))``.
@@ -670,20 +686,44 @@ def ngram_jaccard_pairs(
                 F.array_sort(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
             ).withColumn("__sz", F.size("__sh")).persist()
             held.append(arr)
+        # r15 (guide §2.3, shuffle fewer bytes): the two candidate joins
+        # EXCHANGE the per-doc shingle arrays (hash by id_a, then id_b —
+        # at sf10p each exchange wrote 466 MB and the pair of stages was
+        # 15 s of the pipeline's 18 s). The arrays only feed the
+        # array_intersect COUNT, i.e. they are internal equality keys —
+        # so ship them as 16-byte hash128 structs instead of shingle
+        # strings (~2x narrower rows through both exchanges, and the
+        # per-pair intersect compares two-long structs instead of
+        # strings). Same convention and collision class as the r13 gram
+        # keys: a 2^-128 collision would perturb one pair's n_common by
+        # one; the oracle replays shingle TEXT, so parity rests on
+        # collision-freeness exactly like scrub's span keys. __sz still
+        # counts the original distinct-shingle set. _VERIFY_KEY="text"
+        # restores the r14 shape (A/B knob + deployment override).
+        if _VERIFY_KEY == "hash128":
+            karr = arr.select(
+                "id",
+                F.transform("__sh", hash128).alias("__shk"),
+                "__sz",
+            )
+        else:
+            karr = arr.select(
+                "id", F.col("__sh").alias("__shk"), "__sz"
+            )
         scored = (
             candidates.select("id_a", "id_b")
             .join(
-                arr.select(
+                karr.select(
                     F.col("id").alias("id_a"),
-                    F.col("__sh").alias("__sh_a"),
+                    F.col("__shk").alias("__sh_a"),
                     F.col("__sz").alias("size_a"),
                 ),
                 "id_a",
             )
             .join(
-                arr.select(
+                karr.select(
                     F.col("id").alias("id_b"),
-                    F.col("__sh").alias("__sh_b"),
+                    F.col("__shk").alias("__sh_b"),
                     F.col("__sz").alias("size_b"),
                 ),
                 "id_b",

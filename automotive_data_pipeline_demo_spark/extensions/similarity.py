@@ -848,15 +848,12 @@ def _near_dup_pairs_collapsed(
         # the whole scan → assignment → hash(block) exchange → window
         # chain executed once per branch (r14 sf10p profile: two 38-48 s
         # assignment-scale jobs). Persisting the windowed frame computes
-        # it once; the eager fill serializes the cache fill so AQE's
-        # concurrently-materialized branches read cache instead of
-        # racing it. The interleaved sf10p A/B measured fill ~neutral
-        # locally (8.34 s vs 8.17 s recompute — the duplicate passes
-        # overlap on idle local cores), but at cluster scale the
-        # recompute is two full corpus passes + two corpus-scale
-        # exchanges with no idle capacity to hide them, so the
-        # single-evaluation shape is pinned (same reasoning as the r13
-        # auto-gate contract). Cache partitioning is hash(block), so
+        # it once (modulo a bounded fill race under the r15 lazy
+        # default — see _SHARE_MARKED: the r14 eager fill was
+        # re-adjudicated cold and its serializing count() + the
+        # corpus-scale cache write measured as the driver's r14
+        # regression; the persist itself stays, the extra action goes).
+        # Cache partitioning is hash(block), so
         # the blocked scorer still consumes it without a new exchange.
         # WITHOUT new_col the branches DO canonicalize equal and
         # ReuseExchange already shares everything below the exchange —
