@@ -73,6 +73,24 @@ _SCRUB_PIN = os.environ.get("SPARK_GRAFT_SCRUB_PIN", "both")
 # NICs; local[32] exchanges are memcpy).
 _VERIFY_KEY = os.environ.get("SPARK_GRAFT_VERIFY_KEY", "text")
 
+# Shared-subtree policy for connected_components' distributed loop:
+# each round's pointer-jump is a SELF-join of the propagated labels
+# (`prop`), and without a pin both join sides materialize the
+# neighbor-hop join + groupBy subtree independently — the r15 sf10p
+# profile showed twin stages with identical bytes once per round
+# (s308/s309, s333/s334 ...). "fill" (default since r15) persists
+# prop and serializes its fill with one bounded count before the
+# join's concurrently materialized sides race it (released per round
+# after the convergence action); "off" is the pre-r15 shape. Only
+# graphs past the driver union-find bound (>1e6 edges) ever run this
+# loop. Cold A/B at sf10p (x_dedup_semdedup, the one smoke entry that
+# crosses the bound): fill 12.64 vs off 15.94 s min-of-4, every
+# session agreeing — the OPPOSITE call from the semdedup_inc marked
+# frame because prop is two longs per vertex (tiny cache write) while
+# the duplicated subtree is the round's whole neighbor-hop join +
+# fold; the per-site rule, not a uniform policy.
+_CC_PROP = os.environ.get("SPARK_GRAFT_CC_PROP", "fill")
+
 
 def hash128(col: Column | str) -> Column:
     """16-byte INTERNAL equality key: ``struct(xxhash64(c), xxhash64(1, c))``.
@@ -1163,6 +1181,12 @@ def connected_components(
             )
         )
         prop = cand.groupBy("id").agg(F.min("label").alias("label"))
+        if _CC_PROP == "fill":
+            # both sides of the pointer-jump self-join below read prop;
+            # see _CC_PROP. The count is one extra bounded job per
+            # round; the cache is released right after the round's
+            # convergence action materializes the new labels.
+            prop = eager_fill(prop.persist())
         # pointer jump: follow label -> label(label). Every label value is
         # itself a vertex id (labels start as ids and move as mins of ids),
         # so the lookup is a self-join on the label column.
@@ -1178,6 +1202,8 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if _CC_PROP == "fill":
+            prop.unpersist()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
